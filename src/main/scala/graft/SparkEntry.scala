@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry in `queries` is one operator from SURVEY.md §2 (reference
+  * surface O1–O13/Q1–Q3 or extension E1–E8); `oracleSql` holds the
+  * DuckDB-equivalent SQL the driver runs on the same parquet tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's three-phase search funnel (O8→O9→O10).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Search.funnel(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference surface: the similarity-search funnel and its phases.
+    "v1_hamming_topk" -> ((s, d) => Search.hammingTopK(s, d)),
+    "v2_funnel" -> ((s, d) => Search.funnel(s, d)),
+    "v3_knn_cosine" -> ((s, d) => Search.knnCosine(s, d)),
+    "v4_knn_per_label" -> ((s, d) => Search.knnPerLabel(s, d)),
+    "v5_neardup_embedding" -> ((s, d) => Search.nearDupEmbeddings(s, d)),
+    "v6_ivf_knn" -> ((s, d) => Search.ivfKnn(s, d)),
+    // E6: relational analytics over the TPC-H-ish tables.
+    "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q3_top_orders" -> ((s, d) => Relational.q3TopOrders(s, d)),
+    "q5_nation_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
+    "q_window_customer_orders" -> ((s, d) => Relational.qWindowCustomerOrders(s, d)),
+    "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    Search.oracles ++ Relational.oracles
 }

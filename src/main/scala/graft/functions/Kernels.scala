@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+
+/** Column-level API over the graft vector kernels plus the deterministic
+  * text-hashing helpers shared by the dedup/text-analysis operators.
+  *
+  * Registration: `Kernels.install(spark)` (idempotent, per-session) or the
+  * [[GraftExtensions]] `SparkSessionExtensions` class for sessions built
+  * with `.withExtensions`. The Column helpers resolve through the
+  * registry (`call_function`), so they work on any installed session and
+  * the same kernels are usable from SQL.
+  */
+object Kernels {
+
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_hamming"   -> (e => HammingDistance(e(0), e(1))),
+    "graft_dot"       -> (e => DotProduct(e(0), e(1))),
+    "graft_sign_dot"  -> (e => SignDotPacked(e(0), e(1))),
+    "graft_pack_bits" -> (e => PackSignBits(e(0))),
+    "graft_int8"      -> (e => QuantizeInt8(e(0), e(1))),
+    "graft_dot_int8"  -> (e => DotInt8(e(0), e(1))),
+    "graft_norm_int8" -> (e => NormInt8(e(0))),
+    "graft_simhash"   -> (e => SimHash60(e(0))),
+  )
+
+  /** Idempotent per-session registration of all kernels. */
+  def install(spark: SparkSession): Unit = registrations.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
+  // ---- vector kernels -----------------------------------------------------
+
+  /** popcount(xor) over `array<long>` packed codes. */
+  def hamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
+
+  /** Dot product of two numeric arrays (double accumulator). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** L2 norm of a numeric array. */
+  def norm(a: Column): Column = sqrt(call_function("graft_dot", a, a))
+
+  /** Cosine similarity of two numeric arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** `q · (2*unpackbits(code) − 1)` — Phase-II score from the packed code. */
+  def signDot(q: Column, code: Column): Column = call_function("graft_sign_dot", q, code)
+
+  /** Q1: float vector → packed sign-bit code (`array<long>`, MSB-first). */
+  def packBits(v: Column): Column = call_function("graft_pack_bits", v)
+
+  /** Q2: float vector → int8 bytes, symmetric linear scale by maxAbs. */
+  def int8(v: Column, maxAbs: Column): Column = call_function("graft_int8", v, maxAbs)
+
+  /** Dot of float/double query against an int8 binary column. */
+  def dotInt8(q: Column, bytes: Column): Column = call_function("graft_dot_int8", q, bytes)
+
+  /** L2 norm of an int8 binary column. */
+  def normInt8(bytes: Column): Column = call_function("graft_norm_int8", bytes)
+
+  /** 60-bit SimHash over an array of token hashes. */
+  def simHash(hashes: Column): Column = call_function("graft_simhash", hashes)
+
+  // ---- deterministic text hashing (oracle-mirrorable) ---------------------
+
+  /** 60-bit deterministic hash: first 15 hex chars of md5, as a BIGINT.
+    * DuckDB mirror: `cast(concat('0x', substr(md5(x), 1, 15)) as bigint)`.
+    * Non-negative (< 2^60), so bitwise ops stay sign-free in both engines.
+    */
+  def h60(c: Column): Column = conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens (the corpus is space-separated keyword text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word 3-gram shingles. DuckDB mirror:
+    * `list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])`.
+    */
+  def shingles3(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val MersennePrime31 = 2147483647L // 2^31 − 1
+
+  /** MinHash signature: array of `numHashes` minima over per-permutation
+    * affine mixes of the shingle hashes, all mod 2^31−1. Products stay
+    * < 2^62, so the identical formula is overflow-safe in both Spark
+    * (Long) and DuckDB (BIGINT, which errors on overflow). Per-row (no
+    * shuffle). DuckDB mirror of permutation i applied to base hash h:
+    * `((2*i+1) * (h % 2147483647) + i * 12582917) % 2147483647`.
+    */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shingleHashes, h =>
+        ((lit(2L) * i + lit(1L)) * (h % lit(MersennePrime31)) + i * lit(12582917L))
+          % lit(MersennePrime31))))
+}
+
+/** `SparkSessionExtensions` hook: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) registers every
+  * graft kernel as a permanent SQL function.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    Kernels.registrations.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", name),
+        builder))
+    }
+}

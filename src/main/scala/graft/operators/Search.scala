@@ -1,0 +1,294 @@
+package graft.operators
+
+import graft.functions.Kernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference engine's read path (O8–O11, `BinaryVectorDB.py:174-252`)
+  * re-expressed as declarative DataFrame programs, plus the extension
+  * similarity-search operators (E3/E4/E7).
+  *
+  * Scale notes (100 TB design):
+  *  - Phase I is the only cluster-wide stage: a codegen'd hamming scan of
+  *    the cached packed-code column followed by `orderBy().limit()`, which
+  *    Catalyst plans as `TakeOrderedAndProject` — per-partition top-k +
+  *    driver merge, the same partial/final shape faiss gets from its
+  *    OpenMP reduction. No shuffle of the scan data, ever.
+  *  - Phases II/III touch ≤ k·oversample rows (≤100 at defaults) — cost
+  *    independent of table size, exactly the reference's funnel intent.
+  *  - The query vector is a literal (constant-folded into codegen), never
+  *    a join side.
+  */
+object Search {
+
+  /** Default funnel parameters — the reference's own defaults
+    * (`BinaryVectorDB.py:17,67,174`).
+    */
+  val K = 10
+  val BinaryOversample = 10
+  val Int8Oversample = 3
+
+  /** Fetch one embedding as a driver-side double array (query-side input,
+    * like the reference's per-query embed call — never a table).
+    */
+  def queryVector(emb: DataFrame, vecId: Long): Seq[Double] =
+    emb.filter(col("vec_id") === vecId)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+
+  /** Driver-side Q1 pack of a query vector (MSB-first, 64 dims/word). */
+  def packQuery(q: Seq[Double]): Seq[Long] = {
+    val words = new Array[Long]((q.length + 63) / 64)
+    q.zipWithIndex.foreach { case (x, j) =>
+      if (x > 0.0) words(j >> 6) |= (1L << (63 - (j & 63)))
+    }
+    words.toSeq
+  }
+
+  /** Global int8 calibration constant: max |x| over all dimensions of all
+    * vectors, as double. One cheap agg pass (map-side combined).
+    */
+  def maxAbs(emb: DataFrame): Double =
+    emb.select(max(array_max(transform(col("embedding"), x => abs(x)))).cast("double"))
+      .head().getDouble(0)
+
+  /** The three-phase coarse-to-fine funnel (O8→O9→O10) for one query
+    * vector, with the reference's defaults and score names
+    * (`score_hamming`, `score_binary`, `score_cossim` —
+    * `BinaryVectorDB.py:214,226,245`). Scores are rounded to 4 decimals
+    * and used as sort keys with `vec_id` tie-break so results are
+    * deterministic and oracle-comparable.
+    */
+  def funnel(spark: SparkSession, dir: String, queryVecId: Long = 0,
+             k: Int = K, binaryOversample: Int = BinaryOversample,
+             int8Oversample: Int = Int8Oversample): DataFrame = {
+    Kernels.install(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = typedlit(queryVector(emb, queryVecId))
+    val qCode = typedlit(packQuery(queryVector(emb, queryVecId)))
+    val ma = lit(maxAbs(emb))
+
+    // Phase I — exhaustive hamming over packed codes, top k*binaryOversample.
+    // Codegen'd kernel + TakeOrderedAndProject; the only full scan.
+    val phase1 = emb
+      .withColumn("code", Kernels.packBits(col("embedding")))
+      .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
+      .orderBy(col("score_hamming").asc, col("vec_id").asc)
+      .limit(k * binaryOversample)
+
+    // Phase II — ⟨float, ±1-binary⟩ rescore of ≤ k*binaryOversample rows.
+    val phase2 = phase1
+      .withColumn("score_binary", round(Kernels.signDot(q, col("code")), 4))
+      .orderBy(col("score_binary").desc, col("vec_id").asc)
+      .limit(k * int8Oversample)
+
+    // Phase III — ⟨float, int8⟩ rescore of ≤ k*int8Oversample rows.
+    // Reference divides by the DOC norm only (BinaryVectorDB.py:242) —
+    // replicated exactly, not "fixed" to true cosine.
+    val int8 = Kernels.int8(col("embedding"), ma)
+    phase2
+      .withColumn("score_cossim",
+        round(Kernels.dotInt8(q, int8) / Kernels.normInt8(int8), 4))
+      .orderBy(col("score_cossim").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "score_hamming", "score_binary", "score_cossim")
+  }
+
+  /** Phase I standalone (O8): exhaustive hamming top-k over packed codes. */
+  def hammingTopK(spark: SparkSession, dir: String, queryVecId: Long = 0,
+                  topK: Int = K * BinaryOversample): DataFrame = {
+    Kernels.install(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qCode = typedlit(packQuery(queryVector(emb, queryVecId)))
+    emb
+      .withColumn("code", Kernels.packBits(col("embedding")))
+      .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
+      .orderBy(col("score_hamming").asc, col("vec_id").asc)
+      .limit(topK)
+      .select("vec_id", "score_hamming")
+  }
+
+  /** E3 baseline: exact brute-force cosine top-k. */
+  def knnCosine(spark: SparkSession, dir: String, queryVecId: Long = 0, k: Int = K): DataFrame = {
+    Kernels.install(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = typedlit(queryVector(emb, queryVecId))
+    emb
+      .withColumn("score", round(Kernels.cosine(col("embedding").cast("array<double>"), q), 4))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "label", "score")
+  }
+
+  /** E7: top-k nearest to the query per label (window rank). */
+  def knnPerLabel(spark: SparkSession, dir: String, queryVecId: Long = 0, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Kernels.install(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = typedlit(queryVector(emb, queryVecId))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    emb
+      .withColumn("score", round(Kernels.cosine(col("embedding").cast("array<double>"), q), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("label").asc, col("rnk").asc)
+      .select("label", "rnk", "vec_id", "score")
+  }
+
+  /** E4: within-label all-pairs embedding near-duplicates (exact).
+    * Label is the blocking key: the self-join shuffles both sides on
+    * `label` (co-partitioned), pairs are enumerated only inside a block,
+    * and the codegen'd dot kernel keeps the pair loop in whole-stage
+    * codegen. At skewed 100 TB scale the block key would be a coarse
+    * LSH/IVF cell (see `Dedup.simhashPairs` for the banded variant).
+    */
+  def nearDupEmbeddings(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    Kernels.install(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val a = emb.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Kernels.cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("id_a").asc, col("id_b").asc)
+      .select("label", "id_a", "id_b", "sim")
+  }
+
+  /** E3 scale path: IVF-style ANN. Coarse cells = per-label centroids
+    * (deterministic; k-means would be the unsupervised variant), the query
+    * probes the `nprobe` nearest centroids, and only those cells are
+    * scanned exactly. At 100 TB the table is partitioned by cell id, so a
+    * probe prunes all but `nprobe` partitions at the source.
+    */
+  def ivfKnn(spark: SparkSession, dir: String, queryVecId: Long = 0,
+             k: Int = K, nprobe: Int = 2): DataFrame = {
+    Kernels.install(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = typedlit(queryVector(emb, queryVecId))
+
+    // Centroids: per-label per-dim mean. Tiny (labels × dim) — driver-side.
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cols = (0 until dim).map(i =>
+      avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
+    val centroids = emb.groupBy("label").agg(cols.head, cols.tail: _*)
+      .select(col("label"), array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"))
+
+    val probed = centroids
+      .withColumn("cscore", Kernels.cosine(col("centroid"), q))
+      .orderBy(col("cscore").desc, col("label").asc)
+      .limit(nprobe)
+      .select(col("label"))
+
+    // Scan only the probed cells (broadcast semi-join = partition prune).
+    emb.join(broadcast(probed), Seq("label"), "left_semi")
+      .withColumn("score", round(Kernels.cosine(col("embedding").cast("array<double>"), q), 4))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "label", "score")
+  }
+
+  // ---- DuckDB oracles -----------------------------------------------------
+  // Same semantics written against the raw parquet tables: hamming is
+  // sign-disagreement count (≡ popcount(xor) of the packed codes by
+  // construction — packing round-trip is unit-tested), dots are double
+  // accumulations, all sort keys are rounded with id tie-breaks.
+
+  private def q(i: Long) = s"(select embedding from embeddings where vec_id = $i)"
+
+  val oracles: Map[String, String] = Map(
+    "v1_hamming_topk" ->
+      s"""WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0)
+         |SELECT v.vec_id,
+         |  (SELECT count(*) FROM range(1,65) t(i)
+         |     WHERE (v.embedding[i] > 0) <> (qv.e[i] > 0))::INT AS score_hamming
+         |FROM embeddings v, qv
+         |ORDER BY score_hamming ASC, vec_id ASC LIMIT 100""".stripMargin,
+
+    "v2_funnel" ->
+      s"""WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT max(abs(x))::DOUBLE ma FROM (SELECT unnest(embedding) x FROM embeddings)),
+         |p1 AS (
+         |  SELECT v.vec_id, v.embedding,
+         |    (SELECT count(*) FROM range(1,65) t(i)
+         |       WHERE (v.embedding[i] > 0) <> (qv.e[i] > 0))::INT AS score_hamming
+         |  FROM embeddings v, qv
+         |  ORDER BY score_hamming ASC, vec_id ASC LIMIT 100),
+         |p2 AS (
+         |  SELECT p1.*, round((SELECT sum(qv.e[i]::DOUBLE *
+         |      (CASE WHEN p1.embedding[i] > 0 THEN 1 ELSE -1 END))
+         |     FROM range(1,65) t(i)), 4) AS score_binary
+         |  FROM p1, qv
+         |  ORDER BY score_binary DESC, vec_id ASC LIMIT 30),
+         |p3 AS (
+         |  SELECT p2.vec_id, p2.score_hamming, p2.score_binary,
+         |    round((SELECT sum(qv.e[i]::DOUBLE *
+         |        least(127.0, greatest(-127.0, floor(p2.embedding[i]::DOUBLE * 127.0 / s.ma + 0.5))))
+         |       FROM range(1,65) t(i)) /
+         |      sqrt((SELECT sum(power(least(127.0, greatest(-127.0,
+         |          floor(p2.embedding[i]::DOUBLE * 127.0 / s.ma + 0.5))), 2))
+         |       FROM range(1,65) t(i))), 4) AS score_cossim
+         |  FROM p2, qv, s
+         |  ORDER BY score_cossim DESC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, score_hamming, score_binary, score_cossim
+         |FROM p3 ORDER BY score_cossim DESC, vec_id ASC""".stripMargin,
+
+    "v3_knn_cosine" ->
+      s"""SELECT vec_id, label,
+         |  round(list_dot_product(embedding::DOUBLE[], ${q(0)}::DOUBLE[]) /
+         |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(${q(0)}::DOUBLE[], ${q(0)}::DOUBLE[]))), 4) AS score
+         |FROM embeddings
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "v4_knn_per_label" ->
+      s"""WITH scored AS (
+         |  SELECT label, vec_id,
+         |    round(list_dot_product(embedding::DOUBLE[], ${q(0)}::DOUBLE[]) /
+         |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+         |       sqrt(list_dot_product(${q(0)}::DOUBLE[], ${q(0)}::DOUBLE[]))), 4) AS score
+         |  FROM embeddings),
+         |ranked AS (
+         |  SELECT label, vec_id, score,
+         |    row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT label, rnk::INT AS rnk, vec_id, score FROM ranked
+         |WHERE rnk <= 3 ORDER BY label ASC, rnk ASC""".stripMargin,
+
+    "v5_neardup_embedding" ->
+      s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
+         |ORDER BY id_a ASC, id_b ASC""".stripMargin,
+
+    "v6_ivf_knn" ->
+      s"""WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+         |cent AS (
+         |  SELECT label, i, avg(embedding[i]::DOUBLE) c
+         |  FROM embeddings, range(1,65) t(i) GROUP BY label, i),
+         |cvec AS (
+         |  SELECT label, array_agg(c ORDER BY i) centroid FROM cent GROUP BY label),
+         |probe AS (
+         |  SELECT cv.label
+         |  FROM cvec cv, qv
+         |  ORDER BY list_dot_product(cv.centroid, qv.e::DOUBLE[]) /
+         |    (sqrt(list_dot_product(cv.centroid, cv.centroid)) *
+         |     sqrt(list_dot_product(qv.e::DOUBLE[], qv.e::DOUBLE[]))) DESC, cv.label ASC
+         |  LIMIT 2)
+         |SELECT v.vec_id, v.label,
+         |  round(list_dot_product(v.embedding::DOUBLE[], qv.e::DOUBLE[]) /
+         |    (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(qv.e::DOUBLE[], qv.e::DOUBLE[]))), 4) AS score
+         |FROM embeddings v, qv
+         |WHERE v.label IN (SELECT label FROM probe)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+  )
+}
