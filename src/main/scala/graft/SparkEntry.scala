@@ -31,11 +31,26 @@ object SparkEntry {
     "q5_nation_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
     "q_window_customer_orders" -> ((s, d) => Relational.qWindowCustomerOrders(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
+    // E1/E2: dedup family (exact, MinHash-LSH, SimHash-banded, n-gram).
+    "d1_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "d2_dedup_minhash" -> ((s, d) => Dedup.minhashDedup(s, d)),
+    "d3_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "d4_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardDedup(s, d)),
+    // T: text analysis (profile, quality, langid, fingerprint).
+    "t1_lang_profile" -> ((s, d) => TextAnalysis.langProfile(s, d)),
+    "t2_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "t3_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // E8 (batch form): event-stream analytics.
+    "e1_hourly" -> ((s, d) => Events.hourly(s, d)),
+    "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "e3_json_stats" -> ((s, d) => Events.jsonStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Search.oracles ++ Relational.oracles
+    Search.oracles ++ Relational.oracles ++ Dedup.oracles ++
+      TextAnalysis.oracles ++ Events.oracles
 }

@@ -25,6 +25,10 @@ object Kernels {
     "graft_dot_int8"  -> (e => DotInt8(e(0), e(1))),
     "graft_norm_int8" -> (e => NormInt8(e(0))),
     "graft_simhash"   -> (e => SimHash60(e(0))),
+    "graft_h60"       -> (e => Md5Hash60(e(0))),
+    "graft_h60_array" -> (e => Md5Hash60Array(e(0))),
+    "graft_minhash_16" -> (e => MinHashSig(e(0), 16)),
+    "graft_minhash_32" -> (e => MinHashSig(e(0), 32)),
   )
 
   /** Idempotent per-session registration of all kernels. */
@@ -70,7 +74,10 @@ object Kernels {
     * DuckDB mirror: `cast(concat('0x', substr(md5(x), 1, 15)) as bigint)`.
     * Non-negative (< 2^60), so bitwise ops stay sign-free in both engines.
     */
-  def h60(c: Column): Column = conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  def h60(c: Column): Column = call_function("graft_h60", c)
+
+  /** [[h60]] over every element of an `array<string>` in one pass. */
+  def h60Array(c: Column): Column = call_function("graft_h60_array", c)
 
   /** Whitespace tokens (the corpus is space-separated keyword text). */
   def tokens(text: Column): Column = split(text, " ")
@@ -95,11 +102,14 @@ object Kernels {
     * shuffle). DuckDB mirror of permutation i applied to base hash h:
     * `((2*i+1) * (h % 2147483647) + i * 12582917) % 2147483647`.
     */
-  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shingleHashes, h =>
-        ((lit(2L) * i + lit(1L)) * (h % lit(MersennePrime31)) + i * lit(12582917L))
-          % lit(MersennePrime31))))
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column = {
+    // MinHashSig carries a non-expression Int parameter, so it goes
+    // through a registered per-arity builder (Column(expr) is internal
+    // in Spark 4).
+    require(numHashes == 16 || numHashes == 32,
+      s"registered MinHash arities are 16 and 32, got $numHashes")
+    call_function(s"graft_minhash_$numHashes", shingleHashes)
+  }
 }
 
 /** `SparkSessionExtensions` hook: `SparkSession.builder()

@@ -418,3 +418,106 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** 60-bit md5 hash of a UTF-8 string: numerically equal to
+  * `conv(substr(md5(s),1,15),16,10)` (the first 15 hex chars as a BIGINT,
+  * i.e. big-endian first 8 digest bytes >>> 4) but computed in one digest
+  * pass — no hex-string round-trip. DuckDB mirror:
+  * `cast(concat('0x', substr(md5(s),1,15)) as bigint)`.
+  */
+case class Md5Hash60(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_h60"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash60.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Md5Hash60 {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    // big-endian first 8 bytes, top 60 bits (= first 15 hex chars)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** [[Md5Hash60]] applied to every element of an `array<string>` in one
+  * call — avoids per-element interpreted-lambda overhead on the hot
+  * shingle-hashing path.
+  */
+case class Md5Hash60Array(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_h60_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](a.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = Md5Hash60.hash(a.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature in one pass: for permutation p of `numHashes`,
+  * min over the input hashes of `((2p+1)·(h mod M) + p·12582917) mod M`
+  * with M = 2^31−1 — the same affine family the DuckDB oracle computes.
+  * One Java call per row replaces numHashes × |shingles| interpreted
+  * lambda evaluations.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<long>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  private val M = 2147483647L
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < a.numElements()) {
+      val base = a.getLong(i) % M
+      var p = 0
+      while (p < numHashes) {
+        val v = ((2L * p + 1L) * base + p * 12582917L) % M
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

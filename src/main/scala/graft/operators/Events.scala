@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics (batch form; [[graft.streaming.StreamingIngest]]
+  * runs the same aggregations as Structured Streaming queries and the
+  * specs assert batch/stream equivalence — extension E8).
+  *
+  * Timestamps are emitted as epoch seconds (BIGINT) so the oracle compare
+  * is type-stable; Spark `unix_timestamp` FLOORS sub-second timestamps, so
+  * the DuckDB mirror is `floor(epoch(ts))::BIGINT` (a bare
+  * `epoch(ts)::BIGINT` cast rounds — off-by-one on .5+ fractions).
+  */
+object Events {
+
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark rejects by default. Read nanos as long (legacy conf, runtime
+    * settable) and convert to TimestampType via integer division — `div`,
+    * not `/`, since nanos ~1.7e18 exceed double's 53-bit mantissa.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** E8a: tumbling 1-hour windows per event type — the canonical streaming
+    * aggregation shape (`window()` aligns to epoch hours, same as
+    * `date_trunc('hour')`). Partial aggregation map-side; one shuffle on
+    * (window, event_type).
+    */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+
+  /** E8b: sessionization — gaps-and-islands with a 30-minute inactivity
+    * gap. One shuffle on user_id; both window functions share the same
+    * partitioning/ordering so Catalyst plans a single Window exchange.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val sec = unix_timestamp(col("ts"))
+    val sessions = events(spark, dir)
+      .withColumn("prev_sec", lag(sec, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || (sec - col("prev_sec")) > gapSeconds, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"), (max(sec) - min(sec)).as("dur_secs"))
+
+    sessions.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        round(avg(col("n_events").cast("double")), 4).as("avg_session_events"),
+        max("dur_secs").as("max_session_secs"))
+      .orderBy("user_id")
+  }
+
+  /** E8c: semi-structured props — JSON field extraction + per-type stats. */
+  def jsonStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+        round(avg("k"), 4).as("avg_k"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+
+  val oracles: Map[String, String] = Map(
+    "e1_hourly" ->
+      """SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e2_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT sec,
+        |    lag(floor(epoch(ts))::BIGINT) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) prev_sec
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, ts, sec,
+        |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END new_sess
+        |  FROM e),
+        |numbered AS (
+        |  SELECT user_id, sec,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
+        |  FROM marked),
+        |sessions AS (
+        |  SELECT user_id, sess_id, count(*) n_events, max(sec) - min(sec) dur_secs
+        |  FROM numbered GROUP BY user_id, sess_id)
+        |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+        |  round(avg(n_events), 4) AS avg_session_events,
+        |  max(dur_secs) AS max_session_secs
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e3_json_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+        |  round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.functions.Kernels
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data-pipeline north star:
+  * corpus profiling, per-document quality scoring, heuristic language ID
+  * with corpus-derived marker tokens, and rolling-hash fingerprinting.
+  * Everything is deterministic arithmetic over built-in (codegen'd)
+  * string/array functions, so each operator has an exact DuckDB oracle.
+  *
+  * Scale notes: t1/t3 are hash-aggregations with map-side combine; t2/t4
+  * are pure per-row maps (embarrassingly parallel, no shuffle at all);
+  * the langid marker table is tiny (langs × 5) and broadcast.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    Kernels.install(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+  }
+
+  /** Stop tokens present in the fixture vocabulary. */
+  private val StopWords = Seq("the", "a")
+
+  /** T1: per-language corpus profile. */
+  def langProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tokens", size(Kernels.tokens(col("text"))))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        round(avg("n_tokens"), 2).as("avg_tokens"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("lang")
+
+  /** T2: per-document quality features + a composite score — length,
+    * stopword ratio, type-token ratio, regex token count (the BPE-ish
+    * word tokenizer), average token length. Pure per-row map.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Kernels.tokens(col("text"))
+    val nTok = size(w)
+    val stopRatio = size(filter(w, t => t.isin(StopWords: _*))).cast("double") / nTok
+    val ttr = size(array_distinct(w)).cast("double") / nTok
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    docs(spark, dir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_regex_tokens", size(expr("regexp_extract_all(text, '[a-z]+', 0)")))
+      .withColumn("stop_ratio", round(stopRatio, 4))
+      .withColumn("ttr", round(ttr, 4))
+      .withColumn("avg_token_len", round(avgTokLen, 4))
+      .withColumn("quality", round(
+        lit(0.4) * least(lit(1.0), nTok.cast("double") / 50.0) +
+          lit(0.3) * (lit(1.0) - stopRatio) + lit(0.3) * ttr, 4))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_regex_tokens", "stop_ratio", "ttr",
+        "avg_token_len", "quality")
+  }
+
+  /** T3: heuristic language ID. Markers = the top-5 most frequent tokens
+    * per language in the corpus itself (rank by count desc, token asc);
+    * a document's predicted language is the marker-language with the most
+    * token hits (multiplicity counted, ties broken by language asc,
+    * no hits → 'unknown'). Output: per actual language, how many docs the
+    * heuristic got right. The marker table is tiny and broadcast.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d.select(col("lang"), explode(Kernels.tokens(col("text"))).as("t"))
+    val markers = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("t").asc)))
+      .filter(col("rnk") <= 5)
+      .select(col("lang").as("marker_lang"), col("t"))
+
+    val dtok = d.select(col("doc_id"), explode(Kernels.tokens(col("text"))).as("t"))
+    val hits = dtok.join(broadcast(markers), "t")
+      .groupBy("doc_id", "marker_lang").agg(count(lit(1)).as("hits"))
+    val pred = hits.withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("hits").desc, col("marker_lang").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("marker_lang").as("predicted"))
+
+    d.join(pred, Seq("doc_id"), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit("unknown")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy("lang")
+  }
+
+  /** T4: 31-bit rolling polynomial fingerprint over the token hash
+    * sequence (order-sensitive, unlike the shingle-set operators):
+    * `acc = (acc*131 + h60(token) % 1000003) % (2^31−1)` folded left.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("fp", aggregate(
+        transform(Kernels.h60Array(Kernels.tokens(col("text"))), h => h % 1000003L),
+        lit(0L),
+        (acc, x) => (acc * 131L + x) % 2147483647L))
+      .orderBy("doc_id")
+      .select("doc_id", "fp")
+
+  val oracles: Map[String, String] = Map(
+    "t1_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t2_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    string_split(text, ' ') w,
+        |    len(string_split(text, ' ')) n_tokens,
+        |    len(regexp_extract_all(text, '[a-z]+')) n_regex_tokens,
+        |    length(replace(text, ' ', '')) n_nospace,
+        |    text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_tokens, n_regex_tokens,
+        |    len(list_filter(w, t -> t IN ('the','a'))) / cast(n_tokens as double) stop_ratio,
+        |    len(list_distinct(w)) / cast(n_tokens as double) ttr,
+        |    n_nospace / cast(n_tokens as double) avg_token_len
+        |  FROM f)
+        |SELECT doc_id, n_tokens::INT AS n_tokens, n_regex_tokens::INT AS n_regex_tokens,
+        |  round(stop_ratio, 4) AS stop_ratio, round(ttr, 4) AS ttr,
+        |  round(avg_token_len, 4) AS avg_token_len,
+        |  round(0.4 * least(1.0, n_tokens / 50.0) +
+        |        0.3 * (1.0 - stop_ratio) + 0.3 * ttr, 4) AS quality
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH tok AS (
+        |  SELECT lang, u.t FROM documents, unnest(string_split(text,' ')) u(t)),
+        |markers AS (
+        |  SELECT lang AS marker_lang, t FROM (
+        |    SELECT lang, t, count(*) c,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, t ASC) rnk
+        |    FROM tok GROUP BY lang, t) WHERE rnk <= 5),
+        |dtok AS (
+        |  SELECT doc_id, u.t FROM documents, unnest(string_split(text,' ')) u(t)),
+        |hits AS (
+        |  SELECT doc_id, marker_lang, count(*) hits
+        |  FROM dtok JOIN markers USING (t) GROUP BY doc_id, marker_lang),
+        |pred AS (
+        |  SELECT doc_id, marker_lang AS predicted FROM (
+        |    SELECT doc_id, marker_lang, hits,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, marker_lang ASC) rnk
+        |    FROM hits) WHERE rnk = 1)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  sum(CASE WHEN coalesce(p.predicted, 'unknown') = d.lang THEN 1 ELSE 0 END) AS n_correct
+        |FROM documents d LEFT JOIN pred p USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ' '),
+        |        t -> cast(concat('0x', substr(md5(t), 1, 15)) as bigint) % 1000003)),
+        |    (acc, x) -> (acc * 131 + x) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
