@@ -1,0 +1,45 @@
+package graft
+
+import graft.db.VectorDB
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end usage demo of the library surface (the reference's
+  * `examples/create_new_db.py` + `search_in_db.py` flows, offline):
+  * build a DB from the documents fixture, run a text search through the
+  * three-phase funnel, stream the events fixture into an hourly
+  * aggregate. Usage: graft.Demo <sfDir> <dbDir>
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val dbDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graftdb").toString + "/db"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Build: create-or-open, bulk-load the corpus (upsert semantics).
+    val db = VectorDB.openOrCreate(spark, dbDir)
+    db.addDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"))
+    println(s"indexed ${db.count()} documents into $dbDir")
+
+    // Query: text → hashing embedder → 3-phase funnel.
+    val query = "spark group query row data filter"
+    println(s"search: '$query'")
+    db.search(query, k = 5).show(5, 60)
+
+    // Streaming: replay events into hourly windows.
+    val q = StreamingIngest.runHourlyToMemory(spark, sfDir, "demo_hourly")
+    println("first 5 streamed hourly windows:")
+    spark.table("demo_hourly").orderBy("hour_epoch", "event_type").show(5)
+    q.stop()
+    spark.stop()
+  }
+}

@@ -45,6 +45,8 @@ object SparkEntry {
     "e1_hourly" -> ((s, d) => Events.hourly(s, d)),
     "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "e3_json_stats" -> ((s, d) => Events.jsonStats(s, d)),
+    // Multimodal: opaque binary payloads + partition-wise decode stub.
+    "m1_media_features" -> ((s, d) => graft.multimodal.Multimodal.mediaFeatures(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +54,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Search.oracles ++ Relational.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Events.oracles
+      TextAnalysis.oracles ++ Events.oracles ++ graft.multimodal.Multimodal.oracles
 }

@@ -1,0 +1,238 @@
+package graft.db
+
+import graft.functions.Kernels
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** The engine facade mirroring the reference's `BinaryVectorDB` class
+  * (`BinaryVectorDB/BinaryVectorDB.py:17-259`) on a Spark-native layout:
+  *
+  * {{{
+  * folder/
+  *   config.json     — {"version":"1.0","model":...,"dim":64}
+  *   codes.parquet   — doc_id:long, code:array<long>        (hot tier)
+  *   docs.parquet    — doc_id:long, doc:string, emb_int8:binary (cold tier)
+  * }}}
+  *
+  * mirroring the reference's {config.json, index.bin, docs/} two-tier
+  * split (`BinaryVectorDB.py:42-64`; `README.md:68-70`): the packed-code
+  * relation is small (16 bytes/row at dim 64, 136 at dim 1024) and kept
+  * `persist(MEMORY_AND_DISK)`-resident for exhaustive Phase-I scans; the
+  * doc+int8 relation is read per query and joined only for the ≤
+  * k·oversample candidates (broadcast hash join = the point-lookup batch).
+  *
+  * Upserts are delete-then-insert (`BinaryVectorDB.py:92-101` semantics)
+  * implemented as anti-join + union + atomic overwrite. At 100 TB this
+  * rewrite-on-upsert becomes the divergence point — the production design
+  * would be merge-on-read with compaction (Delta/Iceberg-style); the
+  * facade isolates that behind `writeSnapshot` so only one method changes.
+  */
+class VectorDB private (
+    val spark: SparkSession,
+    val folder: String,
+    val model: String,
+    val dim: Int) {
+
+  import VectorDB._
+
+  private def fs: FileSystem =
+    FileSystem.get(new java.net.URI(folder), spark.sparkContext.hadoopConfiguration)
+
+  private def codesPath = s"$folder/codes.parquet"
+  private def docsPath = s"$folder/docs.parquet"
+
+  @volatile private var codesCache: Option[DataFrame] = None
+
+  private def hasData: Boolean = fs.exists(new Path(codesPath))
+
+  /** The hot tier: (doc_id, code), cached in memory across queries. */
+  def codes: DataFrame = codesCache.getOrElse {
+    val df =
+      if (hasData) spark.read.parquet(codesPath).persist(StorageLevel.MEMORY_AND_DISK)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema)
+    codesCache = Some(df)
+    df
+  }
+
+  /** The cold tier: (doc_id, doc, emb_int8), read per query. */
+  def docs: DataFrame =
+    if (hasData) spark.read.parquet(docsPath)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docsSchema)
+
+  /** O12: number of indexed documents. */
+  def count(): Long = codes.count()
+
+  /** O2: bulk upsert. `input` must have `doc_id:long` and `text:string`
+    * columns (the `docs2text` extraction is any Column expression the
+    * caller applies beforehand — the engine-side generalization of the
+    * reference's user function, `BinaryVectorDB.py:67,87`); an optional
+    * `doc` column is the stored payload (defaults to the text).
+    * Re-adding an existing id replaces it (delete-then-insert,
+    * `BinaryVectorDB.py:92-101`).
+    */
+  def addDocuments(input: DataFrame, embedder: Embedder = new HashingEmbedder()): Unit = {
+    Kernels.install(spark)
+    require(input.columns.contains("doc_id"), "input must have a doc_id column")
+    require(input.columns.contains("text"), "input must have a text column")
+    val withDoc = if (input.columns.contains("doc")) input
+      else input.withColumn("doc", col("text"))
+    val typed = withDoc.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("doc").cast("string").as("doc"),
+      col("text").cast("string").as("text"))
+    val nNullIds = typed.filter(col("doc_id").isNull).count()
+    require(nNullIds == 0, s"$nNullIds rows have null/non-integer doc_id")
+
+    val embedded = typed
+      .withColumn("embedding", embedder.embed(col("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Per-batch int8 calibration (the reference embeds per batch too).
+      val ma = embedded
+        .select(max(array_max(transform(col("embedding"), x => abs(x)))).cast("double"))
+        .head().getDouble(0)
+      val newCodes = embedded.select(col("doc_id"), Kernels.packBits(col("embedding")).as("code"))
+      val newDocs = embedded.select(col("doc_id"), col("doc"),
+        Kernels.int8(col("embedding"), lit(if (ma > 0) ma else 1.0)).as("emb_int8"))
+
+      // Upsert = anti-join out the replaced ids, union, overwrite.
+      val keptCodes = codes.join(newCodes.select("doc_id"), Seq("doc_id"), "left_anti")
+      val keptDocs = docs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+      writeSnapshot(keptCodes.unionByName(newCodes), keptDocs.unionByName(newDocs))
+    } finally embedded.unpersist()
+  }
+
+  /** O5: delete by id; error if any id is absent (`BinaryVectorDB.py:159-160`). */
+  def removeDocs(ids: Seq[Long]): Unit = {
+    val idDf = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
+    val missing = idDf.join(codes, Seq("doc_id"), "left_anti").count()
+    if (missing > 0)
+      throw new IllegalArgumentException(s"$missing of ${ids.size} ids not in index")
+    writeSnapshot(
+      codes.join(idDf, Seq("doc_id"), "left_anti"),
+      docs.join(idDf, Seq("doc_id"), "left_anti"))
+  }
+
+  /** O11: the three-phase funnel over the stored tiers. Returns
+    * (doc_id, score_hamming, score_binary, score_cossim, doc) — the
+    * reference's result fields (`BinaryVectorDB.py:252`).
+    */
+  def search(text: String, k: Int = 10, binaryOversample: Int = 10,
+             int8Oversample: Int = 3,
+             embedder: Embedder = new HashingEmbedder()): DataFrame = {
+    Kernels.install(spark)
+    require(count() > 0, "search on empty index (BinaryVectorDB.py:190-191 guard)")
+    val qRow = spark.range(1).select(
+      embedder.embed(lit(text)).cast("array<double>").as("q"))
+      .head().getSeq[Double](0)
+    searchVector(qRow, k, binaryOversample, int8Oversample)
+  }
+
+  /** O8–O10 with a caller-supplied query vector. */
+  def searchVector(q: Seq[Double], k: Int = 10, binaryOversample: Int = 10,
+                   int8Oversample: Int = 3): DataFrame = {
+    Kernels.install(spark)
+    require(count() > 0, "search on empty index")
+    val qLit = typedlit(q)
+    val qCode = typedlit(graft.operators.Search.packQuery(q))
+
+    val phase1 = codes
+      .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
+      .orderBy(col("score_hamming").asc, col("doc_id").asc)
+      .limit(math.min(k * binaryOversample, Int.MaxValue))
+    val phase2 = phase1
+      .withColumn("score_binary", Kernels.signDot(qLit, col("code")))
+      .orderBy(col("score_binary").desc, col("doc_id").asc)
+      .limit(k * int8Oversample)
+    // Point-lookup batch: broadcast the tiny candidate set against the
+    // cold tier (replaces the reference's per-id RocksDB reads).
+    broadcast(phase2)
+      .join(docs, Seq("doc_id"))
+      .withColumn("score_cossim",
+        Kernels.dotInt8(qLit, col("emb_int8")) / Kernels.normInt8(col("emb_int8")))
+      .orderBy(col("score_cossim").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
+  }
+
+  /** O6: the parquet snapshots are durable as written; kept for API
+    * parity with the reference's explicit `save()` (`BinaryVectorDB.py:168`).
+    */
+  def save(): Unit = ()
+
+  private def writeSnapshot(newCodes: DataFrame, newDocs: DataFrame): Unit = {
+    // Write to temp dirs first, then swap: the inputs' lineage reads the
+    // live dirs, so an in-place overwrite would corrupt its own source.
+    val tmpCodes = s"$codesPath.tmp"
+    val tmpDocs = s"$docsPath.tmp"
+    newCodes.write.mode("overwrite").parquet(tmpCodes)
+    newDocs.write.mode("overwrite").parquet(tmpDocs)
+    codesCache.foreach(_.unpersist())
+    codesCache = None
+    fs.delete(new Path(codesPath), true)
+    fs.delete(new Path(docsPath), true)
+    fs.rename(new Path(tmpCodes), new Path(codesPath))
+    fs.rename(new Path(tmpDocs), new Path(docsPath))
+  }
+}
+
+object VectorDB {
+
+  private val codesSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("code", ArrayType(LongType, containsNull = false), nullable = false)))
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("doc", StringType, nullable = true),
+    StructField("emb_int8", BinaryType, nullable = true)))
+
+  /** O1: open-or-create (`BinaryVectorDB.py:42-53` semantics): an empty
+    * folder is initialized with config.json; a folder with a config is
+    * opened; a non-empty folder without a config is rejected.
+    */
+  def openOrCreate(spark: SparkSession, folder: String,
+                   model: String = "graft-hash-64", dim: Int = 64): VectorDB = {
+    val fs = FileSystem.get(new java.net.URI(folder), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(folder)
+    val cfg = new Path(s"$folder/config.json")
+    if (fs.exists(cfg)) {
+      val in = fs.open(cfg)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(k: String): Option[String] =
+        ("\"" + k + "\"\\s*:\\s*\"?([^\",}]+)\"?").r.findFirstMatchIn(txt).map(_.group(1))
+      new VectorDB(spark, folder,
+        field("model").getOrElse(model),
+        field("dim").map(_.trim.toInt).getOrElse(dim))
+    } else {
+      if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
+        throw new IllegalStateException(
+          s"folder $folder contains files but no config.json (BinaryVectorDB.py:43-45 guard)")
+      fs.mkdirs(dir)
+      val out = fs.create(cfg, true)
+      try out.write(
+        s"""{"version": "1.0", "model": "$model", "dim": $dim}""".getBytes("UTF-8"))
+      finally out.close()
+      new VectorDB(spark, folder, model, dim)
+    }
+  }
+}
+
+/** Text → `array<float>` embedding strategy. The reference delegates this
+  * to a network API (`BinaryVectorDB.py:109,193-196`); implementations
+  * here must be offline and deterministic.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+}
+
+/** Q3: feature-hashing embedder (see [[graft.functions.HashingEmbed]]). */
+class HashingEmbedder(val dim: Int = 64) extends Embedder {
+  require(dim == 64, "registered hashing-embedder dimension is 64")
+  override def embed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Kernels.hashEmbed64(Kernels.tokens(text))
+}

@@ -29,6 +29,7 @@ object Kernels {
     "graft_h60_array" -> (e => Md5Hash60Array(e(0))),
     "graft_minhash_16" -> (e => MinHashSig(e(0), 16)),
     "graft_minhash_32" -> (e => MinHashSig(e(0), 32)),
+    "graft_embed_64"  -> (e => HashingEmbed(e(0), 64)),
   )
 
   /** Idempotent per-session registration of all kernels. */
@@ -78,6 +79,11 @@ object Kernels {
 
   /** [[h60]] over every element of an `array<string>` in one pass. */
   def h60Array(c: Column): Column = call_function("graft_h60_array", c)
+
+  /** Q3 hashing embedder: tokens → L2-normalized `array<float>` of the
+    * registered dimension (64).
+    */
+  def hashEmbed64(tokens: Column): Column = call_function("graft_embed_64", tokens)
 
   /** Whitespace tokens (the corpus is space-separated keyword text). */
   def tokens(text: Column): Column = split(text, " ")

@@ -521,3 +521,42 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Q3: offline deterministic text embedder — feature hashing of tokens
+  * into `dim` buckets (via [[Md5Hash60]] mod dim), term-frequency counts,
+  * L2-normalized, as `array<float>`. Stands in for the reference's
+  * network embed API (`BinaryVectorDB.py:109,193` — unavailable
+  * zero-egress); correctness tests use precomputed fixture vectors, this
+  * is for end-to-end text→search flows only.
+  */
+case class HashingEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> (tokens), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_embed"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val counts = new Array[Double](dim)
+    var i = 0
+    while (i < toks.numElements()) {
+      val b = (Md5Hash60.hash(toks.getUTF8String(i).getBytes) % dim).toInt
+      counts(b) += 1.0
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += counts(j) * counts(j); j += 1 }
+    val inv = if (ss > 0.0) 1.0 / math.sqrt(ss) else 0.0
+    val out = new Array[Float](dim)
+    j = 0
+    while (j < dim) { out(j) = (counts(j) * inv).toFloat; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

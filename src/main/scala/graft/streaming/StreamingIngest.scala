@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.db.VectorDB
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** E8: Structured Streaming ingest — the capability the reference
+  * explicitly lacks (batch-only; `README.md:174` lists multi-process
+  * safety as missing). Two shapes:
+  *
+  *  1. [[hourlyCounts]]: the same windowed aggregation as the batch
+  *     operator [[graft.operators.Events.hourly]], expressed over
+  *     `readStream` with a watermark — the specs assert batch/stream
+  *     equivalence on the fixture replay.
+  *  2. [[indexUpsert]]: `foreachBatch` upsert of each micro-batch into a
+  *     [[VectorDB]] — streaming index maintenance. Each micro-batch is
+  *     one idempotent delete-then-insert snapshot commit, so replays are
+  *     safe (at-least-once → effectively exactly-once on ids).
+  *
+  * At scale the parquet file source is replaced by Kafka/queue sources —
+  * the plan below (watermark → window agg → sink) is unchanged; only the
+  * `readStream.format` differs.
+  */
+object StreamingIngest {
+
+  /** Streaming source over the events fixture directory. The fixture
+    * stores TIMESTAMP(NANOS); read nanos as long and convert (see
+    * [[graft.operators.Events]]).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The fixture is a single file, not a stream directory; the file
+    // source requires a directory unless the path is a glob, so glob it.
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event type with a 10-minute watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run [[hourlyCounts]] into an in-memory sink until the (finite)
+    * fixture is drained; returns the sink table name.
+    */
+  def runHourlyToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    val q = hourlyCounts(eventsStream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Streaming index maintenance: upsert each micro-batch of documents
+    * (doc_id, text) into the VectorDB via foreachBatch.
+    */
+  def indexUpsert(db: VectorDB, docsStream: DataFrame): StreamingQuery = {
+    val q = docsStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) db.addDocuments(batch)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

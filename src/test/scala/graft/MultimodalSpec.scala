@@ -1,0 +1,41 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing spec: schema, partition-wise decode determinism,
+  * and batch-shape invariants of the binary-payload path.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("media relation has opaque binary payloads with typed metadata") {
+    val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val schema = media.schema
+    assert(schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(schema("kind").dataType == org.apache.spark.sql.types.StringType)
+    val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("decode is deterministic and runs per partition without shuffle") {
+    val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq, "features must not depend on partitioning")
+    // no Exchange in the single-pass plan
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode plan must be shuffle-free:\n$plan")
+  }
+
+  test("feature arithmetic matches the payload bytes") {
+    val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val row = media.orderBy("media_id").head()
+    val payload = row.getAs[Array[Byte]]("payload")
+    val f = Multimodal.StubDecoder.decode(
+      Multimodal.MediaRow(row.getAs[Long]("media_id"), row.getAs[String]("kind"), payload))
+    assert(f.n_bytes == payload.length)
+    assert(f.width == (payload(0) & 0xff) + 1)
+    assert(f.height == (payload(1) & 0xff) + 1)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.db.VectorDB
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CRUD lifecycle spec mirroring the reference's
+  * `examples/add_update_delete.py` end to end (add → search → add more →
+  * update by re-adding an id → delete → guards), plus the O13 error
+  * guards and O1 open/create semantics.
+  */
+class VectorDBSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftdb").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  test("create, add, search, update, delete lifecycle (add_update_delete.py)") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    assert(db.count() == 0)
+
+    // add 2 docs (examples/add_update_delete.py:23-29)
+    db.addDocuments(Seq(
+      (1L, "Berlin is the capital of Germany"),
+      (2L, "Paris is the capital of France")).toDF("doc_id", "text"))
+    assert(db.count() == 2)
+
+    // search finds the matching doc first
+    val hit = db.search("capital of France Paris", k = 1).head()
+    assert(hit.getAs[Long]("doc_id") == 2L)
+
+    // add a third
+    db.addDocuments(Seq((3L, "Rome is the capital of Italy")).toDF("doc_id", "text"))
+    assert(db.count() == 3)
+
+    // update = re-add an existing id (examples/add_update_delete.py:68-76)
+    db.addDocuments(Seq((2L, "Madrid is the capital of Spain")).toDF("doc_id", "text"))
+    assert(db.count() == 3)
+    val updated = db.search("Madrid capital Spain", k = 1).head()
+    assert(updated.getAs[Long]("doc_id") == 2L)
+    assert(updated.getAs[String]("doc").contains("Madrid"))
+
+    // delete (examples/add_update_delete.py:92)
+    db.removeDocs(Seq(2L))
+    assert(db.count() == 2)
+
+    // delete-missing guard (BinaryVectorDB.py:159-160)
+    intercept[IllegalArgumentException] { db.removeDocs(Seq(2L)) }
+
+    // reopen from disk: state survives
+    val db2 = VectorDB.openOrCreate(spark, db.folder)
+    assert(db2.count() == 2)
+  }
+
+  test("guard: search on empty index fails (BinaryVectorDB.py:190-191)") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    intercept[IllegalArgumentException] { db.search("anything") }
+  }
+
+  test("guard: non-empty folder without config.json is rejected (BinaryVectorDB.py:43-45)") {
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "stray.txt"), "x")
+    intercept[IllegalStateException] { VectorDB.openOrCreate(spark, dir) }
+  }
+
+  test("guard: missing doc_id/text columns and null ids are rejected") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    intercept[IllegalArgumentException] {
+      db.addDocuments(Seq(("x")).toDF("text"))
+    }
+    intercept[IllegalArgumentException] {
+      db.addDocuments(Seq((1L, "ok")).toDF("doc_id", "wrong"))
+    }
+  }
+
+  test("config round-trips model and dim") {
+    val dir = freshDir()
+    VectorDB.openOrCreate(spark, dir, model = "my-model", dim = 64)
+    val re = VectorDB.openOrCreate(spark, dir)
+    assert(re.model == "my-model")
+    assert(re.dim == 64)
+  }
+}
