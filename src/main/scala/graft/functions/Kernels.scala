@@ -30,6 +30,7 @@ object Kernels {
     "graft_minhash_16" -> (e => MinHashSig(e(0), 16)),
     "graft_minhash_32" -> (e => MinHashSig(e(0), 32)),
     "graft_embed_64"  -> (e => HashingEmbed(e(0), 64)),
+    "graft_shingle3"  -> (e => Shingle3(e(0))),
   )
 
   /** Idempotent per-session registration of all kernels. */
@@ -91,13 +92,7 @@ object Kernels {
   /** Distinct word 3-gram shingles. DuckDB mirror:
     * `list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])`.
     */
-  def shingles3(text: Column): Column = {
-    val w = tokens(text)
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles3(text: Column): Column = call_function("graft_shingle3", tokens(text))
 
   private val MersennePrime31 = 2147483647L // 2^31 − 1
 

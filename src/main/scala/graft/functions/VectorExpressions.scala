@@ -203,10 +203,11 @@ case class SignDotPacked(left: Expression, right: Expression) extends BinaryExpr
 /** Q1 quantizer: pack the sign bit of each dimension (bit = 1 iff x > 0)
   * into 64-bit words, MSB-first — same layout the reference's binary
   * embeddings use (`np.unpackbits` convention, `BinaryVectorDB.py:221`;
-  * semantics spec `README.md:128-131`). Build-path expression; interpreted
-  * eval is fine (CodegenFallback).
+  * semantics spec `README.md:128-131`). Codegen'd so query-time packing
+  * (fixtures store raw floats) doesn't break the Phase-I scan's
+  * whole-stage codegen span.
   */
-case class PackSignBits(child: Expression) extends UnaryExpression with CodegenFallback {
+case class PackSignBits(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.numericArrayCheck(prettyName, Seq(child))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -225,6 +226,25 @@ case class PackSignBits(child: Expression) extends UnaryExpression with CodegenF
       j += 1
     }
     new GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = VectorExpressions.elemGetter(elem)
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $words = new long[($n + 63) / 64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ((double) $a.$g($j) > 0.0) {
+         |    $words[$j >> 6] |= (1L << (63 - ($j & 63)));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -556,6 +576,41 @@ case class HashingEmbed(child: Expression, dim: Int)
     j = 0
     while (j < dim) { out(j) = (counts(j) * inv).toFloat; j += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word 3-gram shingles of a token array in one pass —
+  * semantically identical to the HOF form
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ', w[i],
+  * w[i+1], w[i+2])))` and to the DuckDB mirror
+  * `list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1,len(w)-1)])`,
+  * but without per-shingle interpreted-lambda overhead. One call per row
+  * (build path for every dedup operator).
+  */
+case class Shingle3(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> (tokens), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle3"
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[ArrayData]
+    val n = w.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i < n - 2) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space,
+        w.getUTF8String(i), w.getUTF8String(i + 1), w.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

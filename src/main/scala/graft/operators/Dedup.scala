@@ -50,6 +50,8 @@ object Dedup {
     */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val postingsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir),
@@ -117,13 +119,16 @@ object Dedup {
 
     val a = banded.select(col("doc_id").as("doc_a"), col("sh60").as("sim_a"), col("band"), col("bkey"))
     val b = banded.select(col("doc_id").as("doc_b"), col("sh60").as("sim_b"), col("band"), col("bkey"))
+    // Filter on hamming BEFORE deduping candidates: the threshold test is
+    // a codegen'd scalar op on the join output, so the expensive distinct
+    // shuffle only sees the (tiny) surviving pairs, not every band
+    // collision.
     a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
       .withColumn("hamming", expr("int(bit_count(sim_a ^ sim_b))"))
       .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
       .orderBy("doc_a", "doc_b")
-      .select("doc_a", "doc_b", "hamming")
   }
 
   /** E2c: n-gram-Jaccard near-dedup via inverted-index join: explode
@@ -133,10 +138,15 @@ object Dedup {
     */
   def ngramJaccardDedup(spark: SparkSession, dir: String,
                         threshold: Double = 0.5, dfCap: Int = 200): DataFrame = {
-    val sh = shingled(spark, dir)
-    val postings = sh.select(col("doc_id"), explode(col("s")).as("sg"))
-    val keep = postings.groupBy("sg").count().filter(col("count") <= dfCap).select("sg")
-    val filtered = postings.join(keep, "sg")
+    // The df-capped postings list is read three times (both join sides +
+    // per-doc counts) — persist it once per (session, dir, cap).
+    val filtered = postingsCache.getOrElseUpdate((spark, dir, dfCap), {
+      val sh = shingled(spark, dir)
+      val postings = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+      val keep = postings.groupBy("sg").count().filter(col("count") <= dfCap).select("sg")
+      postings.join(keep, "sg")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
     val nPerDoc = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = filtered.select(col("doc_id").as("doc_a"), col("sg"))

@@ -64,8 +64,9 @@ object Search {
              int8Oversample: Int = Int8Oversample): DataFrame = {
     Kernels.install(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val q = typedlit(queryVector(emb, queryVecId))
-    val qCode = typedlit(packQuery(queryVector(emb, queryVecId)))
+    val qv = queryVector(emb, queryVecId)
+    val q = typedlit(qv)
+    val qCode = typedlit(packQuery(qv))
     val ma = lit(maxAbs(emb))
 
     // Phase I — exhaustive hamming over packed codes, top k*binaryOversample.

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make each operator hold
+  * at 1000× the data are checked here, not just eyeballed —
+  * TakeOrderedAndProject for top-k (per-partition top-k + driver merge,
+  * no global sort), broadcast joins for dimensions/candidates (no fact
+  * shuffle), parquet filter pushdown, whole-stage codegen over the
+  * scan kernels, and shuffle-free per-row maps.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("phase-I hamming top-k plans as TakeOrderedAndProject, no global sort") {
+    val p = plan(graft.operators.Search.hammingTopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked in:\n$p")
+  }
+
+  test("phase-I scan stays inside whole-stage codegen") {
+    // `*(n)` prefixes mark whole-stage-codegen'd operators in the compact
+    // plan string: the hamming+pack projection must carry one.
+    val p = plan(graft.operators.Search.hammingTopK(spark, dir))
+    assert("""\*\(\d+\) Project \[vec_id""".r.findFirstIn(p).isDefined,
+      s"hamming projection not codegen'd:\n$p")
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan(graft.operators.Relational.q1Agg(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1 projects only the needed columns at the scan") {
+    val p = plan(graft.operators.Relational.q1Agg(spark, dir))
+    // l_orderkey etc. must be pruned away: ReadSchema holds just the 7 used cols
+    assert(!p.contains("l_orderkey"), s"column pruning failed:\n$p")
+  }
+
+  test("q5 joins every dimension via BroadcastHashJoin (fact side never shuffles for joins)") {
+    val p = plan(graft.operators.Relational.q5NationRevenue(spark, dir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("funnel phases II/III operate on limited candidate sets (two TakeOrdered stages)") {
+    val p = plan(graft.operators.Search.funnel(spark, dir))
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("VectorDB search joins candidates to the cold tier via broadcast") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftplan").toFile
+    tmp.delete()
+    val db = graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath)
+    import spark.implicits._
+    db.addDocuments(Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text"))
+    val p = plan(db.searchVector(Seq.fill(64)(0.1)))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("quality scoring is a shuffle-free per-row map (modulo output ordering)") {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    // the feature computation itself — without the presentation orderBy
+    val df = graft.operators.TextAnalysis.qualityScore(spark, dir)
+    val exchanges = "Exchange".r.findAllIn(plan(df)).length
+    // only the final orderBy's range exchange is allowed
+    assert(exchanges <= 1, s"unexpected shuffles:\n${plan(df)}")
+  }
+}
