@@ -25,12 +25,18 @@ object SparkEntry {
     "v4_knn_per_label" -> ((s, d) => Search.knnPerLabel(s, d)),
     "v5_neardup_embedding" -> ((s, d) => Search.nearDupEmbeddings(s, d)),
     "v6_ivf_knn" -> ((s, d) => Search.ivfKnn(s, d)),
+    // MLlib k-means IVF (learned cells; rows-only check — iterative fit
+    // has no closed-form SQL oracle; the deterministic twin is v6).
+    "v7_ivf_kmeans" -> ((s, d) => MLSimilarity.kmeansIvfKnn(s, d)),
     // E6: relational analytics over the TPC-H-ish tables.
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_top_orders" -> ((s, d) => Relational.q3TopOrders(s, d)),
     "q5_nation_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
     "q_window_customer_orders" -> ((s, d) => Relational.qWindowCustomerOrders(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
+    "q_cube" -> ((s, d) => Relational.qCube(s, d)),
+    "q_monthly_revenue" -> ((s, d) => Relational.qMonthlyRevenue(s, d)),
+    "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(s, d)),
     // E1/E2: dedup family (exact, MinHash-LSH, SimHash-banded, n-gram).
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d2_dedup_minhash" -> ((s, d) => Dedup.minhashDedup(s, d)),

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.functions.Kernels
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed variants of the similarity operators — the unsupervised
+  * scale path (BASELINE.json: "MLlib + DataFrame for batch index build").
+  * Results depend on MLlib's iterative fitting, so these are smoke/
+  * property-checked (rows-only driver check + specs) rather than
+  * DuckDB-oracle-matched; the deterministic label-centroid IVF
+  * ([[Search.ivfKnn]]) is the oracle-checked twin.
+  */
+object MLSimilarity {
+
+  /** IVF with learned cells: k-means (fixed seed) fits the coarse
+    * quantizer, the query probes the `nprobe` nearest centers, and only
+    * those cells are scanned exactly. At scale the table is written
+    * partitioned by `cell` so probing prunes partitions at the source.
+    */
+  def kmeansIvfKnn(spark: SparkSession, dir: String, queryVecId: Long = 0,
+                   k: Int = 10, numCells: Int = 10, nprobe: Int = 2): DataFrame = {
+    Kernels.install(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")))
+    // A coarse quantizer converges in a few iterations; capping maxIter
+    // keeps the (driver-side) fit cheap relative to the scan it prunes.
+    val model = new KMeans().setK(numCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features")
+      .fit(emb)
+    val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
+
+    val q = Search.queryVector(emb, queryVecId)
+    val centers = model.clusterCenters.zipWithIndex
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probed = centers.sortBy { case (c, i) => (-cos(c.toArray, q), i) }
+      .take(nprobe).map(_._2).toSeq
+
+    assigned
+      .filter(col("cell").isin(probed: _*))
+      .withColumn("score", round(Kernels.cosine(
+        col("embedding").cast("array<double>"), typedlit(q)), 4))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cell", "score")
+  }
+}

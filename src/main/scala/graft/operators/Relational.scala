@@ -96,7 +96,71 @@ object Relational {
       .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Cube aggregate — all grouping-set combinations. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Date/time functions over the fact table: monthly revenue series
+    * (year/month extraction, month truncation, date arithmetic).
+    */
+  def qMonthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("y", "m")
+
+  /** String functions over part names: tokenize brand ids out of
+    * 'Brand#N', LIKE filters, upper/substr/concat — the string-fn
+    * coverage row of SURVEY §2.2.
+    */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_name").like("%e%"))
+      .groupBy(
+        substring(col("p_type"), 1, 3).as("type_prefix"),
+        regexp_replace(col("p_brand"), "Brand#", "").cast("int").as("brand_num"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(upper(col("p_name"))).as("n_names"),
+        max(concat(col("p_brand"), lit(":"), col("p_type"))).as("max_tag"),
+        round(avg(length(col("p_name"))), 4).as("avg_name_len"))
+      .orderBy("type_prefix", "brand_num")
+
   val oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT substr(p_type, 1, 3) AS type_prefix,
+        |  replace(p_brand, 'Brand#', '')::INT AS brand_num,
+        |  count(*) AS n,
+        |  count(DISTINCT upper(p_name)) AS n_names,
+        |  max(concat(p_brand, ':', p_type)) AS max_tag,
+        |  round(avg(length(p_name)), 4) AS avg_name_len
+        |FROM part
+        |WHERE p_name LIKE '%e%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_monthly_revenue" ->
+      """SELECT year(l_shipdate)::INT AS y, month(l_shipdate)::INT AS m,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
