@@ -47,6 +47,7 @@ object SparkEntry {
     "t2_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "t3_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "t5_length_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
     // E8 (batch form): event-stream analytics.
     "e1_hourly" -> ((s, d) => Events.hourly(s, d)),
     "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),

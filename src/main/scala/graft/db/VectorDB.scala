@@ -230,9 +230,10 @@ trait Embedder extends Serializable {
   def embed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column
 }
 
-/** Q3: feature-hashing embedder (see [[graft.functions.HashingEmbed]]). */
+/** Q3: feature-hashing embedder (see [[graft.functions.HashingEmbed]]).
+  * dim 1024 exercises the reference's native width (16-long packed codes).
+  */
 class HashingEmbedder(val dim: Int = 64) extends Embedder {
-  require(dim == 64, "registered hashing-embedder dimension is 64")
   override def embed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    Kernels.hashEmbed64(Kernels.tokens(text))
+    Kernels.hashEmbed(Kernels.tokens(text), dim)
 }

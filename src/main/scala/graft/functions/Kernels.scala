@@ -31,6 +31,7 @@ object Kernels {
     "graft_minhash_32" -> (e => MinHashSig(e(0), 32)),
     "graft_embed_64"  -> (e => HashingEmbed(e(0), 64)),
     "graft_shingle3"  -> (e => Shingle3(e(0))),
+    "graft_embed_1024" -> (e => HashingEmbed(e(0), 1024)),
   )
 
   /** Idempotent per-session registration of all kernels. */
@@ -81,10 +82,16 @@ object Kernels {
   /** [[h60]] over every element of an `array<string>` in one pass. */
   def h60Array(c: Column): Column = call_function("graft_h60_array", c)
 
-  /** Q3 hashing embedder: tokens → L2-normalized `array<float>` of the
-    * registered dimension (64).
+  /** Q3 hashing embedder: tokens → L2-normalized `array<float>` of a
+    * registered dimension (64 or 1024 — the reference's native width).
     */
-  def hashEmbed64(tokens: Column): Column = call_function("graft_embed_64", tokens)
+  def hashEmbed(tokens: Column, dim: Int = 64): Column = {
+    require(dim == 64 || dim == 1024,
+      s"registered hashing-embedder dimensions are 64 and 1024, got $dim")
+    call_function(s"graft_embed_$dim", tokens)
+  }
+
+  def hashEmbed64(tokens: Column): Column = hashEmbed(tokens, 64)
 
   /** Whitespace tokens (the corpus is space-separated keyword text). */
   def tokens(text: Column): Column = split(text, " ")

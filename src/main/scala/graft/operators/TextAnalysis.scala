@@ -106,7 +106,32 @@ object TextAnalysis {
       .orderBy("doc_id")
       .select("doc_id", "fp")
 
+  /** T5: distribution statistics — exact interpolated percentiles of
+    * document length per language (Spark `percentile` and DuckDB
+    * `quantile_cont` share the (n−1)·p linear-interpolation definition).
+    */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 4).as("p99"),
+        round(stddev_samp(col("n_chars")), 4).as("sd"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
   val oracles: Map[String, String] = Map(
+    "t5_length_percentiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
+        |  round(stddev_samp(n_chars), 4) AS sd,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "t1_lang_profile" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(n_chars), 2) AS avg_chars,

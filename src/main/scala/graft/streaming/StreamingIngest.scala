@@ -63,6 +63,42 @@ object StreamingIngest {
     q
   }
 
+  /** Per-user event for the stateful path. */
+  case class UserEvent(user_id: Long, sec: Long)
+  /** Custom state carried across micro-batches. */
+  case class SessionState(nSessions: Long, nEvents: Long, lastSec: Long)
+  /** Emitted per user per micro-batch. */
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: per-user
+    * session counts with a 30-minute inactivity gap, state carried across
+    * micro-batches (the arbitrary-state API the windowed aggregations
+    * can't express). Batch-replay equivalence against
+    * [[graft.operators.Events.sessionize]] is asserted in StreamingSpec.
+    */
+  def statefulSessionCounts(events: DataFrame, gapSeconds: Long = 1800)
+      : org.apache.spark.sql.Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          val secs = it.map(_.sec).toArray.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          secs.foreach { s =>
+            val newSession = st.lastSec == Long.MinValue || s - st.lastSec > gapSeconds
+            st = SessionState(st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1, s)
+          }
+          state.update(st)
+          Iterator.single(UserSessions(uid, st.nSessions, st.nEvents))
+      }
+  }
+
   /** Streaming index maintenance: upsert each micro-batch of documents
     * (doc_id, text) into the VectorDB via foreachBatch.
     */

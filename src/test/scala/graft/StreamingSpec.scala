@@ -25,6 +25,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState session counts equal the batch sessionization") {
+    val dir = "/root/testdata/sf0.001"
+    val q = StreamingIngest.statefulSessionCounts(
+        StreamingIngest.eventsStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stateful_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    try {
+      // Keep each user's last emitted row (cumulative state).
+      val streamed = spark.table("stateful_sessions")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"),
+          org.apache.spark.sql.functions.max("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val batch = graft.operators.Events.sessionize(spark, dir)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("foreachBatch streaming upsert maintains the vector index") {
     val tmp = java.nio.file.Files.createTempDirectory("graftdbs").toFile
     tmp.delete()

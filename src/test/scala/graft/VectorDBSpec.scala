@@ -77,6 +77,20 @@ class VectorDBSpec extends AnyFunSuite {
     }
   }
 
+  test("1024-dim embedder: codes pack to 16 longs, search round-trips (reference native width)") {
+    val db = VectorDB.openOrCreate(spark, freshDir(), model = "graft-hash-1024", dim = 1024)
+    val emb = new graft.db.HashingEmbedder(1024)
+    db.addDocuments(Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "zeta eta theta iota kappa"),
+      (12L, "alpha beta gamma delta zeta")).toDF("doc_id", "text"), emb)
+    val width = db.codes.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("code"))).head().getInt(0)
+    assert(width == 16, s"1024 bits must pack to 16 longs, got $width")
+    val hit = db.search("alpha beta gamma delta epsilon", k = 1, embedder = emb).head()
+    assert(hit.getAs[Long]("doc_id") == 10L)
+  }
+
   test("config round-trips model and dim") {
     val dir = freshDir()
     VectorDB.openOrCreate(spark, dir, model = "my-model", dim = 64)
