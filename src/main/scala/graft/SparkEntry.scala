@@ -28,6 +28,8 @@ object SparkEntry {
     // MLlib k-means IVF (learned cells; rows-only check — iterative fit
     // has no closed-form SQL oracle; the deterministic twin is v6).
     "v7_ivf_kmeans" -> ((s, d) => MLSimilarity.kmeansIvfKnn(s, d)),
+    // Batched multi-query scan via the bounded top-k heap aggregate.
+    "v8_multiquery_topk" -> ((s, d) => Search.multiQueryHamming(s, d)),
     // E6: relational analytics over the TPC-H-ish tables.
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_top_orders" -> ((s, d) => Relational.q3TopOrders(s, d)),

@@ -32,6 +32,7 @@ object Kernels {
     "graft_embed_64"  -> (e => HashingEmbed(e(0), 64)),
     "graft_shingle3"  -> (e => Shingle3(e(0))),
     "graft_embed_1024" -> (e => HashingEmbed(e(0), 1024)),
+    "graft_topk_hamming_10" -> (e => HammingTopKAgg(e(0), e(1), 10)),
   )
 
   /** Idempotent per-session registration of all kernels. */
@@ -70,6 +71,13 @@ object Kernels {
 
   /** 60-bit SimHash over an array of token hashes. */
   def simHash(hashes: Column): Column = call_function("graft_simhash", hashes)
+
+  /** Bounded top-k aggregate over (int score, long id) pairs — smallest k
+    * by (score, id), as array<struct<vec_id,score>>. Map-side partial
+    * heaps mean a multi-query scan shuffles only Q×k states.
+    */
+  def hammingTopK10(score: Column, id: Column): Column =
+    call_function("graft_topk_hamming_10", score, id)
 
   // ---- deterministic text hashing (oracle-mirrorable) ---------------------
 

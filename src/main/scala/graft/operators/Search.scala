@@ -191,6 +191,38 @@ object Search {
       .select("vec_id", "label", "score")
   }
 
+  /** Batched multi-query Phase-I: score every (vector, query) pair in one
+    * scan and reduce with the [[graft.functions.HammingTopKAgg]] bounded
+    * heap — N×Q scored rows are consumed by map-side partial aggregation
+    * in the scan stage; only Q×k heap states shuffle. This is the serving
+    * shape at scale: one pass over the cached codes amortizes the scan
+    * across every in-flight query (the single-query path is
+    * [[hammingTopK]]).
+    */
+  def multiQueryHamming(spark: SparkSession, dir: String,
+                        queryVecIds: Seq[Long] = Seq(0L, 7L, 42L),
+                        k: Int = K): DataFrame = {
+    require(k == 10, "registered top-k aggregate arity is 10")
+    Kernels.install(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    import spark.implicits._
+    val queries = queryVecIds.map { qid =>
+      (qid, packQuery(queryVector(emb, qid)))
+    }.toDF("qid", "qcode")
+
+    emb
+      .withColumn("code", Kernels.packBits(col("embedding")))
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        Kernels.hamming(col("code"), col("qcode")).as("h"))
+      .groupBy("qid")
+      .agg(Kernels.hammingTopK10(col("h"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("vec_id"), col("col.score").as("score_hamming"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
   // Same semantics written against the raw parquet tables: hamming is
   // sign-disagreement count (≡ popcount(xor) of the packed codes by
@@ -269,6 +301,20 @@ object Search {
          |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
          |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
          |ORDER BY id_a ASC, id_b ASC""".stripMargin,
+
+    "v8_multiquery_topk" ->
+      s"""WITH qs AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id IN (0, 7, 42)),
+         |d AS (
+         |  SELECT qs.qid, v.vec_id,
+         |    (SELECT count(*) FROM range(1,65) t(i)
+         |       WHERE (v.embedding[i] > 0) <> (qs.qe[i] > 0))::INT h
+         |  FROM embeddings v, qs),
+         |r AS (
+         |  SELECT qid, vec_id, h,
+         |    row_number() OVER (PARTITION BY qid ORDER BY h ASC, vec_id ASC) rnk
+         |  FROM d)
+         |SELECT qid, rnk::INT AS rank, vec_id, h AS score_hamming
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
 
     "v6_ivf_knn" ->
       s"""WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),

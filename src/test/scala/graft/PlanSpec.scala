@@ -62,6 +62,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("multi-query top-k reduces via partial heaps before the shuffle") {
+    val p = plan(graft.operators.Search.multiQueryHamming(spark, dir))
+    // ObjectHashAggregate with a partial_ graft_topk phase: the N×Q scored
+    // rows are folded into Q heaps map-side; only heap states shuffle.
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_topk_hamming"), p)
+  }
+
   test("quality scoring is a shuffle-free per-row map (modulo output ordering)") {
     val base = spark.read.parquet(s"$dir/documents.parquet")
     // the feature computation itself — without the presentation orderBy
