@@ -66,6 +66,18 @@ class VectorDB private (
   /** O12: number of indexed documents. */
   def count(): Long = codes.count()
 
+  /** Typed view of the hot tier (SURVEY §1.3's `Dataset[DocRecord]` core). */
+  def typedCodes: org.apache.spark.sql.Dataset[VectorDB.CodeRecord] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[VectorDB.CodeRecord]
+    codes.as[VectorDB.CodeRecord]
+  }
+
+  /** Typed view of the cold tier. */
+  def typedDocs: org.apache.spark.sql.Dataset[VectorDB.DocRecord] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[VectorDB.DocRecord]
+    docs.as[VectorDB.DocRecord]
+  }
+
   /** O2: bulk upsert. `input` must have `doc_id:long` and `text:string`
     * columns (the `docs2text` extraction is any Column expression the
     * caller applies beforehand — the engine-side generalization of the
@@ -144,14 +156,28 @@ class VectorDB private (
       .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
       .orderBy(col("score_hamming").asc, col("doc_id").asc)
       .limit(math.min(k * binaryOversample, Int.MaxValue))
-    val phase2 = phase1
+    // Phase II runs on ≤ k·binaryOversample rows; materialize the ≤
+    // k·int8Oversample winners driver-side (the reference holds the same
+    // candidate list in a Python list, BinaryVectorDB.py:236).
+    val candidates = phase1
       .withColumn("score_binary", Kernels.signDot(qLit, col("code")))
       .orderBy(col("score_binary").desc, col("doc_id").asc)
       .limit(k * int8Oversample)
-    // Point-lookup batch: broadcast the tiny candidate set against the
-    // cold tier (replaces the reference's per-id RocksDB reads).
-    broadcast(phase2)
-      .join(docs, Seq("doc_id"))
+      .select("doc_id", "score_hamming", "score_binary")
+      .collect()
+    val ids = candidates.map(_.getLong(0)).toSeq
+
+    // Point-lookup batch against the cold tier: the id filter pushes into
+    // the parquet scan (min/max row-group pruning on the doc_id-sorted
+    // layout), so the per-query cold-tier read is proportional to the
+    // candidate set — the batch analogue of the reference's RocksDB point
+    // reads — NOT a full scan.
+    val scores = spark.createDataFrame(
+      candidates.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq)
+      .toDF("doc_id", "score_hamming", "score_binary")
+    docs
+      .filter(col("doc_id").isin(ids: _*))
+      .join(broadcast(scores), Seq("doc_id"))
       .withColumn("score_cossim",
         Kernels.dotInt8(qLit, col("emb_int8")) / Kernels.normInt8(col("emb_int8")))
       .orderBy(col("score_cossim").desc, col("doc_id").asc)
@@ -170,7 +196,9 @@ class VectorDB private (
     val tmpCodes = s"$codesPath.tmp"
     val tmpDocs = s"$docsPath.tmp"
     newCodes.write.mode("overwrite").parquet(tmpCodes)
-    newDocs.write.mode("overwrite").parquet(tmpDocs)
+    // Cold tier sorted by doc_id within partitions: candidate-id filters
+    // prune row groups via parquet min/max stats (the point-lookup path).
+    newDocs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmpDocs)
     codesCache.foreach(_.unpersist())
     codesCache = None
     fs.delete(new Path(codesPath), true)
@@ -181,6 +209,11 @@ class VectorDB private (
 }
 
 object VectorDB {
+
+  /** Typed row of the hot tier. */
+  case class CodeRecord(doc_id: Long, code: Seq[Long])
+  /** Typed row of the cold tier (doc payload + int8 embedding bytes). */
+  case class DocRecord(doc_id: Long, doc: String, emb_int8: Array[Byte])
 
   private val codesSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

@@ -168,10 +168,11 @@ object Search {
              k: Int = K, nprobe: Int = 2): DataFrame = {
     Kernels.install(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val q = typedlit(queryVector(emb, queryVecId))
+    val qv = queryVector(emb, queryVecId)
+    val q = typedlit(qv)
 
     // Centroids: per-label per-dim mean. Tiny (labels × dim) — driver-side.
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val dim = qv.length
     val cols = (0 until dim).map(i =>
       avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
     val centroids = emb.groupBy("label").agg(cols.head, cols.tail: _*)

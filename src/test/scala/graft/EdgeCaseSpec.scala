@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.Kernels
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge cases and kernel type guards: the failure modes a user hits
+  * first.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kernels reject wrong input types with a named analysis error") {
+    val df = Seq(("a", 1)).toDF("s", "i")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Kernels.hamming(col("s"), col("s"))).collect()
+    }
+    assert(e.getMessage.contains("graft_hamming"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Kernels.h60(col("i"))).collect()
+    }
+    assert(e2.getMessage.contains("graft_h60"))
+  }
+
+  test("shingles of short texts are empty, not an error") {
+    val out = Seq("one two", "a", "").toDF("text")
+      .select(Kernels.shingles3(col("text")).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("search with k larger than the index returns all docs, ranked") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftedge").toFile
+    tmp.delete()
+    val db = graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath)
+    db.addDocuments(Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text"))
+    assert(db.search("alpha beta", k = 50).count() == 2)
+  }
+
+  test("typed Dataset views expose the tiers with case-class rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftedge2").toFile
+    tmp.delete()
+    val db = graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath)
+    db.addDocuments(Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"))
+    val code = db.typedCodes.collect().head
+    assert(code.doc_id == 1L && code.code.length == 1)
+    val doc = db.typedDocs.collect().head
+    assert(doc.doc == "alpha beta gamma" && doc.emb_int8.length == 64)
+  }
+
+  test("empty-array embedding packs to empty code and zero hamming") {
+    val out = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .select(Kernels.hamming(Kernels.packBits(col("a")), Kernels.packBits(col("b"))))
+      .head().getInt(0)
+    assert(out == 0)
+  }
+}

@@ -52,7 +52,7 @@ class PlanSpec extends AnyFunSuite {
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
   }
 
-  test("VectorDB search joins candidates to the cold tier via broadcast") {
+  test("VectorDB search: cold tier read is a pushed-down point-lookup batch, not a scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graftplan").toFile
     tmp.delete()
     val db = graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath)
@@ -60,6 +60,9 @@ class PlanSpec extends AnyFunSuite {
     db.addDocuments(Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text"))
     val p = plan(db.searchVector(Seq.fill(64)(0.1)))
     assert(p.contains("BroadcastHashJoin"), p)
+    // The candidate-id filter must reach the parquet reader: per-query
+    // cold-tier IO is proportional to the candidate set.
+    assert(p.contains("PushedFilters: [In(doc_id"), s"id filter not pushed:\n$p")
   }
 
   test("multi-query top-k reduces via partial heaps before the shuffle") {
