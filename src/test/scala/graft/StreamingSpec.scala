@@ -51,6 +51,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode (controlled micro-batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val agg = StreamingIngest.hourlyCounts(events)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_data")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // Batch 1: events in hour 10; watermark (max ts − 10 min) still in hour 10.
+      input.addData((ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:50:00"), "a", 2.0))
+      q.processAllAvailable()
+      // Batch 2: jump to hour 13 — watermark passes end of hour 10+10min,
+      // so hour 10's window finalizes and is emitted.
+      input.addData((ts("2024-01-01 13:30:00"), "a", 3.0))
+      q.processAllAvailable()
+      val afterFinalize = spark.table("late_data").collect()
+      assert(afterFinalize.length == 1, afterFinalize.mkString(","))
+      assert(afterFinalize.head.getAs[Long]("n") == 2) // both hour-10 events
+
+      // Batch 3: a LATE hour-10 event far behind the watermark — dropped,
+      // the finalized window is never re-emitted or corrected.
+      input.addData((ts("2024-01-01 10:10:00"), "a", 99.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("late_data").collect()
+      assert(afterLate.length == 1, "late event must not reopen the finalized window")
+      assert(afterLate.head.getAs[Long]("n") == 2)
+    } finally q.stop()
+  }
+
   test("foreachBatch streaming upsert maintains the vector index") {
     val tmp = java.nio.file.Files.createTempDirectory("graftdbs").toFile
     tmp.delete()
