@@ -30,6 +30,8 @@ object SparkEntry {
     "v7_ivf_kmeans" -> ((s, d) => MLSimilarity.kmeansIvfKnn(s, d)),
     // Batched multi-query scan via the bounded top-k heap aggregate.
     "v8_multiquery_topk" -> ((s, d) => Search.multiQueryHamming(s, d)),
+    // Fused three-phase funnel for a query batch in one scan.
+    "v9_multiquery_funnel" -> ((s, d) => Search.multiQueryFunnel(s, d)),
     // E6: relational analytics over the TPC-H-ish tables.
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_top_orders" -> ((s, d) => Relational.q3TopOrders(s, d)),

@@ -33,6 +33,7 @@ object Kernels {
     "graft_shingle3"  -> (e => Shingle3(e(0))),
     "graft_embed_1024" -> (e => HashingEmbed(e(0), 1024)),
     "graft_topk_hamming_10" -> (e => HammingTopKAgg(e(0), e(1), 10)),
+    "graft_topk_hamming_100" -> (e => HammingTopKAgg(e(0), e(1), 100)),
   )
 
   /** Idempotent per-session registration of all kernels. */
@@ -78,6 +79,9 @@ object Kernels {
     */
   def hammingTopK10(score: Column, id: Column): Column =
     call_function("graft_topk_hamming_10", score, id)
+
+  def hammingTopK100(score: Column, id: Column): Column =
+    call_function("graft_topk_hamming_100", score, id)
 
   // ---- deterministic text hashing (oracle-mirrorable) ---------------------
 

@@ -224,6 +224,69 @@ object Search {
       .orderBy("qid", "rank")
   }
 
+  /** Fused batched funnel: the full three-phase search for a batch of
+    * queries in ONE pass over the codes. Phase I is the heap-aggregate
+    * scan of [[multiQueryHamming]] (k·binaryOversample per query); the
+    * surviving Q×100 candidates re-join the embeddings through a
+    * pushed-down id filter (point-lookup batch), and phases II/III run
+    * per query under window ranks. Per-query cost beyond the shared scan
+    * is O(k·oversample) — the serving shape that amortizes one scan
+    * across every in-flight query.
+    */
+  def multiQueryFunnel(spark: SparkSession, dir: String,
+                       queryVecIds: Seq[Long] = Seq(0L, 7L, 42L),
+                       k: Int = K, binaryOversample: Int = BinaryOversample,
+                       int8Oversample: Int = Int8Oversample): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k * binaryOversample == 100, "registered phase-I heap arity is 100")
+    Kernels.install(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    import spark.implicits._
+    val queries = queryVecIds.map { qid =>
+      val qv = queryVector(emb, qid)
+      (qid, qv, packQuery(qv))
+    }.toDF("qid", "qvec", "qcode")
+    val ma = lit(maxAbs(emb))
+
+    // Phase I — one scan, Q heaps, map-side partial aggregation.
+    val phase1 = emb
+      .withColumn("code", Kernels.packBits(col("embedding")))
+      .crossJoin(broadcast(queries.select("qid", "qcode")))
+      .select(col("qid"), col("vec_id"),
+        Kernels.hamming(col("code"), col("qcode")).as("h"))
+      .groupBy("qid")
+      .agg(Kernels.hammingTopK100(col("h"), col("vec_id")).as("topk"))
+      .select(col("qid"), explode(col("topk")).as("c"))
+      .select(col("qid"), col("c.vec_id").as("vec_id"), col("c.score").as("score_hamming"))
+
+    // Point-lookup batch: candidate ids collected driver-side (≤ Q×100),
+    // filter pushed into the embeddings re-read.
+    val candIds = phase1.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+    val candEmb = emb.filter(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"), col("embedding"))
+
+    val wB = Window.partitionBy("qid").orderBy(col("score_binary").desc, col("vec_id").asc)
+    val wC = Window.partitionBy("qid").orderBy(col("score_cossim").desc, col("vec_id").asc)
+    val int8 = Kernels.int8(col("embedding"), ma)
+
+    phase1
+      .join(candEmb, "vec_id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      // Phase II — ⟨float, ±1-binary⟩ per query, keep k·int8Oversample.
+      .withColumn("score_binary",
+        round(Kernels.signDot(col("qvec"), Kernels.packBits(col("embedding"))), 4))
+      .withColumn("r2", row_number().over(wB))
+      .filter(col("r2") <= k * int8Oversample)
+      // Phase III — ⟨float, int8⟩ per query, keep k.
+      .withColumn("score_cossim",
+        round(Kernels.dotInt8(col("qvec"), int8) / Kernels.normInt8(int8), 4))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("score_hamming"), col("score_binary"), col("score_cossim"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
   // Same semantics written against the raw parquet tables: hamming is
   // sign-disagreement count (≡ popcount(xor) of the packed codes by
@@ -302,6 +365,47 @@ object Search {
          |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
          |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
          |ORDER BY id_a ASC, id_b ASC""".stripMargin,
+
+    "v9_multiquery_funnel" ->
+      s"""WITH qs AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id IN (0, 7, 42)),
+         |s AS (SELECT max(abs(x))::DOUBLE ma FROM (SELECT unnest(embedding) x FROM embeddings)),
+         |d AS (
+         |  SELECT qs.qid, v.vec_id, v.embedding, qs.qe,
+         |    (SELECT count(*) FROM range(1,65) t(i)
+         |       WHERE (v.embedding[i] > 0) <> (qs.qe[i] > 0))::INT score_hamming
+         |  FROM embeddings v, qs),
+         |p1 AS (
+         |  SELECT * FROM (
+         |    SELECT d.*, row_number() OVER
+         |      (PARTITION BY qid ORDER BY score_hamming ASC, vec_id ASC) r1
+         |    FROM d) WHERE r1 <= 100),
+         |p2s AS (
+         |  SELECT qid, vec_id, embedding, qe, score_hamming,
+         |    round((SELECT sum(qe[i]::DOUBLE *
+         |        (CASE WHEN embedding[i] > 0 THEN 1 ELSE -1 END))
+         |       FROM range(1,65) t(i)), 4) score_binary
+         |  FROM p1),
+         |p2 AS (
+         |  SELECT * FROM (
+         |    SELECT p2s.*, row_number() OVER
+         |      (PARTITION BY qid ORDER BY score_binary DESC, vec_id ASC) r2
+         |    FROM p2s) WHERE r2 <= 30),
+         |p3s AS (
+         |  SELECT qid, vec_id, score_hamming, score_binary,
+         |    round((SELECT sum(qe[i]::DOUBLE *
+         |        least(127.0, greatest(-127.0, floor(embedding[i]::DOUBLE * 127.0 / s.ma + 0.5))))
+         |       FROM range(1,65) t(i)) /
+         |      sqrt((SELECT sum(power(least(127.0, greatest(-127.0,
+         |          floor(embedding[i]::DOUBLE * 127.0 / s.ma + 0.5))), 2))
+         |       FROM range(1,65) t(i))), 4) score_cossim
+         |  FROM p2, s),
+         |p3 AS (
+         |  SELECT * FROM (
+         |    SELECT p3s.*, row_number() OVER
+         |      (PARTITION BY qid ORDER BY score_cossim DESC, vec_id ASC) rnk
+         |    FROM p3s) WHERE rnk <= 10)
+         |SELECT qid, rnk::INT AS rank, vec_id, score_hamming, score_binary, score_cossim
+         |FROM p3 ORDER BY qid, rank""".stripMargin,
 
     "v8_multiquery_topk" ->
       s"""WITH qs AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id IN (0, 7, 42)),
