@@ -25,16 +25,19 @@ import org.apache.spark.storage.StorageLevel
   * k·oversample candidates (broadcast hash join = the point-lookup batch).
   *
   * Upserts are delete-then-insert (`BinaryVectorDB.py:92-101` semantics)
-  * implemented as anti-join + union + atomic overwrite. At 100 TB this
-  * rewrite-on-upsert becomes the divergence point — the production design
-  * would be merge-on-read with compaction (Delta/Iceberg-style); the
-  * facade isolates that behind `writeSnapshot` so only one method changes.
+  * with two storage modes behind the same API:
+  *  - `cow` (default): anti-join + union + atomic snapshot overwrite —
+  *    simple, O(table) per commit; right at fixture scale.
+  *  - `mor` ([[MorTable]]): append-only delta commits + tombstones with
+  *    last-writer-wins merge-on-read and explicit [[compact]] — O(batch)
+  *    per commit, the at-scale upsert path (Delta/Iceberg-style).
   */
 class VectorDB private (
     val spark: SparkSession,
     val folder: String,
     val model: String,
-    val dim: Int) {
+    val dim: Int,
+    val storage: String) {
 
   import VectorDB._
 
@@ -44,24 +47,32 @@ class VectorDB private (
   private def codesPath = s"$folder/codes.parquet"
   private def docsPath = s"$folder/docs.parquet"
 
+  private val isMor = storage == VectorDB.StorageMor
+  private lazy val codesMor = new MorTable(spark, s"$folder/codes.mor", "doc_id")
+  private lazy val docsMor = new MorTable(spark, s"$folder/docs.mor", "doc_id")
+
   @volatile private var codesCache: Option[DataFrame] = None
 
-  private def hasData: Boolean = fs.exists(new Path(codesPath))
+  private def hasData: Boolean =
+    if (isMor) codesMor.exists else fs.exists(new Path(codesPath))
 
   /** The hot tier: (doc_id, code), cached in memory across queries. */
   def codes: DataFrame = codesCache.getOrElse {
     val df =
-      if (hasData) spark.read.parquet(codesPath).persist(StorageLevel.MEMORY_AND_DISK)
-      else spark.createDataFrame(
+      if (!hasData) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema)
+      else if (isMor) codesMor.read().persist(StorageLevel.MEMORY_AND_DISK)
+      else spark.read.parquet(codesPath).persist(StorageLevel.MEMORY_AND_DISK)
     codesCache = Some(df)
     df
   }
 
   /** The cold tier: (doc_id, doc, emb_int8), read per query. */
   def docs: DataFrame =
-    if (hasData) spark.read.parquet(docsPath)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docsSchema)
+    if (!hasData) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docsSchema)
+    else if (isMor) docsMor.read()
+    else spark.read.parquet(docsPath)
 
   /** O12: number of indexed documents. */
   def count(): Long = codes.count()
@@ -111,10 +122,18 @@ class VectorDB private (
       val newDocs = embedded.select(col("doc_id"), col("doc"),
         Kernels.int8(col("embedding"), lit(if (ma > 0) ma else 1.0)).as("emb_int8"))
 
-      // Upsert = anti-join out the replaced ids, union, overwrite.
-      val keptCodes = codes.join(newCodes.select("doc_id"), Seq("doc_id"), "left_anti")
-      val keptDocs = docs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
-      writeSnapshot(keptCodes.unionByName(newCodes), keptDocs.unionByName(newDocs))
+      if (isMor) {
+        // O(batch): append delta files; last-writer-wins replaces old ids
+        // at read time. No table rewrite.
+        codesMor.upsert(newCodes)
+        docsMor.upsert(newDocs)
+        invalidateCache()
+      } else {
+        // Copy-on-write: anti-join out the replaced ids, union, overwrite.
+        val keptCodes = codes.join(newCodes.select("doc_id"), Seq("doc_id"), "left_anti")
+        val keptDocs = docs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+        writeSnapshot(keptCodes.unionByName(newCodes), keptDocs.unionByName(newDocs))
+      }
     } finally embedded.unpersist()
   }
 
@@ -124,9 +143,31 @@ class VectorDB private (
     val missing = idDf.join(codes, Seq("doc_id"), "left_anti").count()
     if (missing > 0)
       throw new IllegalArgumentException(s"$missing of ${ids.size} ids not in index")
-    writeSnapshot(
+    if (isMor) {
+      // O(batch): append tombstone markers only.
+      codesMor.delete(idDf, codes)
+      docsMor.delete(idDf, docs)
+      invalidateCache()
+    } else writeSnapshot(
       codes.join(idDf, Seq("doc_id"), "left_anti"),
       docs.join(idDf, Seq("doc_id"), "left_anti"))
+  }
+
+  /** MOR only: fold pending deltas into the base files (bounds read
+    * amplification; the amortized rewrite). No-op under copy-on-write.
+    */
+  def compact(): Unit = if (isMor) {
+    codesMor.compact()
+    docsMor.compact()
+    invalidateCache()
+  }
+
+  /** Pending delta commits on the hot tier (0 under copy-on-write). */
+  def pendingDeltas(): Int = if (isMor) codesMor.deltaCount() else 0
+
+  private def invalidateCache(): Unit = {
+    codesCache.foreach(_.unpersist())
+    codesCache = None
   }
 
   /** O11: the three-phase funnel over the stored tiers. Returns
@@ -199,8 +240,7 @@ class VectorDB private (
     // Cold tier sorted by doc_id within partitions: candidate-id filters
     // prune row groups via parquet min/max stats (the point-lookup path).
     newDocs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmpDocs)
-    codesCache.foreach(_.unpersist())
-    codesCache = None
+    invalidateCache()
     fs.delete(new Path(codesPath), true)
     fs.delete(new Path(docsPath), true)
     fs.rename(new Path(tmpCodes), new Path(codesPath))
@@ -227,8 +267,18 @@ object VectorDB {
     * folder is initialized with config.json; a folder with a config is
     * opened; a non-empty folder without a config is rejected.
     */
+  /** Storage modes: copy-on-write (default; snapshot rewrite per commit)
+    * and merge-on-read (append-only deltas + compaction — the at-scale
+    * upsert path).
+    */
+  val StorageCow = "cow"
+  val StorageMor = "mor"
+
   def openOrCreate(spark: SparkSession, folder: String,
-                   model: String = "graft-hash-64", dim: Int = 64): VectorDB = {
+                   model: String = "graft-hash-64", dim: Int = 64,
+                   storage: String = StorageCow): VectorDB = {
+    require(storage == StorageCow || storage == StorageMor,
+      s"storage must be '$StorageCow' or '$StorageMor', got '$storage'")
     val fs = FileSystem.get(new java.net.URI(folder), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(folder)
     val cfg = new Path(s"$folder/config.json")
@@ -239,7 +289,8 @@ object VectorDB {
         ("\"" + k + "\"\\s*:\\s*\"?([^\",}]+)\"?").r.findFirstMatchIn(txt).map(_.group(1))
       new VectorDB(spark, folder,
         field("model").getOrElse(model),
-        field("dim").map(_.trim.toInt).getOrElse(dim))
+        field("dim").map(_.trim.toInt).getOrElse(dim),
+        field("storage").getOrElse(VectorDB.StorageCow))
     } else {
       if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
         throw new IllegalStateException(
@@ -247,9 +298,10 @@ object VectorDB {
       fs.mkdirs(dir)
       val out = fs.create(cfg, true)
       try out.write(
-        s"""{"version": "1.0", "model": "$model", "dim": $dim}""".getBytes("UTF-8"))
+        s"""{"version": "1.0", "model": "$model", "dim": $dim, "storage": "$storage"}"""
+          .getBytes("UTF-8"))
       finally out.close()
-      new VectorDB(spark, folder, model, dim)
+      new VectorDB(spark, folder, model, dim, storage)
     }
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.db.VectorDB
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read storage mode: same CRUD semantics as copy-on-write, but
+  * commits append deltas (O(batch)) instead of rewriting the table, and
+  * compaction folds them back.
+  */
+class MorVectorDBSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftmor").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  test("MOR lifecycle: upsert/update/delete via deltas, compaction, reopen") {
+    val db = VectorDB.openOrCreate(spark, freshDir(), storage = VectorDB.StorageMor)
+    db.addDocuments(Seq(
+      (1L, "Berlin is the capital of Germany"),
+      (2L, "Paris is the capital of France")).toDF("doc_id", "text"))
+    assert(db.count() == 2)
+    assert(db.pendingDeltas() == 1)
+
+    // Update by re-add: a NEW delta, no rewrite of the old one.
+    db.addDocuments(Seq((2L, "Madrid is the capital of Spain")).toDF("doc_id", "text"))
+    assert(db.count() == 2)
+    assert(db.pendingDeltas() == 2)
+    val updated = db.search("Madrid capital Spain", k = 1).head()
+    assert(updated.getAs[Long]("doc_id") == 2L)
+    assert(updated.getAs[String]("doc").contains("Madrid"))
+
+    // Delete via tombstone.
+    db.removeDocs(Seq(1L))
+    assert(db.count() == 1)
+    assert(db.pendingDeltas() == 3)
+    intercept[IllegalArgumentException] { db.removeDocs(Seq(1L)) }
+
+    // Compaction folds deltas into the base; state unchanged.
+    db.compact()
+    assert(db.pendingDeltas() == 0)
+    assert(db.count() == 1)
+    assert(db.search("Madrid capital Spain", k = 1).head().getAs[Long]("doc_id") == 2L)
+
+    // Re-add after delete (tombstone must not shadow the newer row).
+    db.addDocuments(Seq((1L, "Rome is the capital of Italy")).toDF("doc_id", "text"))
+    assert(db.count() == 2)
+
+    // Reopen from disk: storage mode and state survive.
+    val db2 = VectorDB.openOrCreate(spark, db.folder)
+    assert(db2.storage == VectorDB.StorageMor)
+    assert(db2.count() == 2)
+  }
+
+  test("MOR upserts are O(batch): the base file is never touched by a commit") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    db.addDocuments((1L to 50L).map(i => (i, s"doc number $i words")).toDF("doc_id", "text"))
+    db.compact() // establish a base
+    val base = new java.io.File(s"$dir/codes.mor/base.parquet")
+    assert(base.exists)
+    val before = base.lastModified()
+
+    db.addDocuments(Seq((999L, "a new tiny batch")).toDF("doc_id", "text"))
+    db.removeDocs(Seq(1L))
+    assert(base.lastModified() == before, "commits must not rewrite the base")
+    assert(db.count() == 50) // 50 − 1 deleted + 1 added
+  }
+}
