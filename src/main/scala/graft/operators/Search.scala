@@ -158,11 +158,34 @@ object Search {
       .select("label", "id_a", "id_b", "sim")
   }
 
-  /** E3 scale path: IVF-style ANN. Coarse cells = per-label centroids
-    * (deterministic; k-means would be the unsupervised variant), the query
-    * probes the `nprobe` nearest centroids, and only those cells are
-    * scanned exactly. At 100 TB the table is partitioned by cell id, so a
-    * probe prunes all but `nprobe` partitions at the source.
+  /** Persisted IVF index: embeddings written partitioned by cell (label)
+    * plus a tiny centroid table — built once per (session, fixture dir)
+    * into a temp location; queries read centroids (labels × dim rows) and
+    * scan only the probed cells' partitions (source-level pruning,
+    * proven by the PartitionFilters assertion in PlanSpec/LayoutSpec).
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def ivfIndexDir(spark: SparkSession, dir: String): String =
+    ivfCache.getOrElseUpdate((spark, dir), {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      emb.write.partitionBy("label").mode("overwrite").parquet(s"$idx/cells")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val cols = (0 until dim).map(i =>
+        avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
+      emb.groupBy("label").agg(cols.head, cols.tail: _*)
+        .select(col("label"), array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
+      idx
+    })
+
+  /** E3 scale path: IVF-style ANN over the persisted cell layout. Coarse
+    * cells = per-label centroids (deterministic; [[MLSimilarity
+    * .kmeansIvfKnn]] is the learned variant); the query probes the
+    * `nprobe` nearest centroids driver-side and reads only those cells'
+    * partitions.
     */
   def ivfKnn(spark: SparkSession, dir: String, queryVecId: Long = 0,
              k: Int = K, nprobe: Int = 2): DataFrame = {
@@ -170,22 +193,20 @@ object Search {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val qv = queryVector(emb, queryVecId)
     val q = typedlit(qv)
+    val idx = ivfIndexDir(spark, dir)
 
-    // Centroids: per-label per-dim mean. Tiny (labels × dim) — driver-side.
-    val dim = qv.length
-    val cols = (0 until dim).map(i =>
-      avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
-    val centroids = emb.groupBy("label").agg(cols.head, cols.tail: _*)
-      .select(col("label"), array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"))
-
-    val probed = centroids
+    // Probe: tiny centroid table, resolved driver-side (like the query
+    // embed step — per-query input, not a join).
+    val probed = spark.read.parquet(s"$idx/centroids")
       .withColumn("cscore", Kernels.cosine(col("centroid"), q))
       .orderBy(col("cscore").desc, col("label").asc)
       .limit(nprobe)
-      .select(col("label"))
+      .select("label").collect().map(_.getInt(0)).toSeq
 
-    // Scan only the probed cells (broadcast semi-join = partition prune).
-    emb.join(broadcast(probed), Seq("label"), "left_semi")
+    // Scan ONLY the probed cells: the isin filter on the partition column
+    // prunes all other partitions at the file source.
+    spark.read.parquet(s"$idx/cells")
+      .filter(col("label").isin(probed: _*))
       .withColumn("score", round(Kernels.cosine(col("embedding").cast("array<double>"), q), 4))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)

@@ -65,6 +65,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [In(doc_id"), s"id filter not pushed:\n$p")
   }
 
+  test("IVF probe prunes non-probed cells at the file source") {
+    val p = plan(graft.operators.Search.ivfKnn(spark, dir))
+    assert(p.contains("PartitionFilters: [label"), s"cell prune missing:\n$p")
+  }
+
   test("multi-query top-k reduces via partial heaps before the shuffle") {
     val p = plan(graft.operators.Search.multiQueryHamming(spark, dir))
     // ObjectHashAggregate with a partial_ graft_topk phase: the N×Q scored
