@@ -171,7 +171,10 @@ object Search {
     ivfCache.getOrElseUpdate((spark, dir), {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-      emb.write.partitionBy("label").mode("overwrite").parquet(s"$idx/cells")
+      // One file per cell: co-locate each cell before the partitioned
+      // write (10 files instead of partitions × cells tiny files).
+      emb.repartition(col("label"))
+        .write.partitionBy("label").mode("overwrite").parquet(s"$idx/cells")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       val cols = (0 until dim).map(i =>
         avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))

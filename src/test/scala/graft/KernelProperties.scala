@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property suite (SURVEY §5.2 item 3) over the kernel
+  * expressions' eval paths — no SparkSession needed: inputs are built as
+  * `GenericArrayData` and evaluated directly, so hundreds of cases run in
+  * milliseconds.
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val dim = 64
+  private val vecGen: Gen[Array[Double]] =
+    Gen.containerOfN[Array, Double](dim, Gen.chooseNum(-1.0, 1.0))
+
+  private def arr(v: Array[Double]): ArrayData = new GenericArrayData(v)
+
+  private val packExpr = PackSignBits(Literal.create(null, ArrayType(DoubleType)))
+  private def pack(v: Array[Double]): ArrayData =
+    packExpr.nullSafeEval(arr(v)).asInstanceOf[ArrayData]
+
+  private val hammingExpr = HammingDistance(
+    Literal.create(null, ArrayType(LongType)), Literal.create(null, ArrayType(LongType)))
+  private def hamming(a: ArrayData, b: ArrayData): Int =
+    hammingExpr.nullSafeEval(a, b).asInstanceOf[Int]
+
+  property("hamming(a,a) == 0") = forAll(vecGen) { v =>
+    hamming(pack(v), pack(v)) == 0
+  }
+
+  property("hamming symmetry") = forAll(vecGen, vecGen) { (a, b) =>
+    hamming(pack(a), pack(b)) == hamming(pack(b), pack(a))
+  }
+
+  property("hamming bounds [0, dim]") = forAll(vecGen, vecGen) { (a, b) =>
+    val h = hamming(pack(a), pack(b))
+    h >= 0 && h <= dim
+  }
+
+  property("hamming triangle inequality") = forAll(vecGen, vecGen, vecGen) { (a, b, c) =>
+    hamming(pack(a), pack(c)) <= hamming(pack(a), pack(b)) + hamming(pack(b), pack(c))
+  }
+
+  property("popcount(pack(v)) == |{i : v_i > 0}|") = forAll(vecGen) { v =>
+    val code = pack(v)
+    val pop = (0 until code.numElements()).map(i =>
+      java.lang.Long.bitCount(code.getLong(i))).sum
+    pop == v.count(_ > 0.0)
+  }
+
+  property("signDot identity: q·(2b−1) == Σ_{v>0} q − Σ_{v≤0} q") =
+    forAll(vecGen, vecGen) { (v, q) =>
+      val e = SignDotPacked(
+        Literal.create(null, ArrayType(DoubleType)), Literal.create(null, ArrayType(LongType)))
+      val got = e.nullSafeEval(arr(q), pack(v)).asInstanceOf[Double]
+      val want = v.zip(q).map { case (x, qi) => if (x > 0) qi else -qi }.sum
+      math.abs(got - want) < 1e-9
+    }
+
+  property("int8 quantization stays in [-127, 127] and fixes maxAbs to ±127") =
+    forAll(vecGen.suchThat(_.exists(_ != 0.0))) { v =>
+      val ma = v.map(math.abs).max
+      val e = QuantizeInt8(
+        Literal.create(null, ArrayType(DoubleType)), Literal.create(null, DoubleType))
+      val bytes = e.nullSafeEval(arr(v), ma).asInstanceOf[Array[Byte]]
+      val inRange = bytes.forall(b => b >= -127 && b <= 127)
+      val maxIdx = v.indexWhere(x => math.abs(x) == ma)
+      inRange && math.abs(bytes(maxIdx).toInt) == 127
+    }
+
+  private val hashListGen: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 60) - 1))
+
+  property("minhash: sig(A ++ B) == elementwise min of sig(A), sig(B)") =
+    forAll(hashListGen, hashListGen) { (a, b) =>
+      val e = MinHashSig(Literal.create(null, ArrayType(LongType)), 16)
+      def sig(xs: List[Long]): Seq[Long] =
+        e.nullSafeEval(new GenericArrayData(xs.toArray))
+          .asInstanceOf[ArrayData].toLongArray.toSeq
+      sig(a ++ b) == sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+    }
+
+  property("minhash values in [0, 2^31)") = forAll(hashListGen) { xs =>
+    val e = MinHashSig(Literal.create(null, ArrayType(LongType)), 16)
+    e.nullSafeEval(new GenericArrayData(xs.toArray)).asInstanceOf[ArrayData]
+      .toLongArray.forall(v => v >= 0 && v < 2147483647L)
+  }
+
+  property("h60 matches the hex-string definition and is < 2^60") =
+    forAll(Gen.alphaNumStr) { s =>
+      val got = Md5Hash60.hash(s.getBytes("UTF-8"))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      got == java.lang.Long.parseLong(hex.take(15), 16) && got >= 0 && got < (1L << 60)
+    }
+
+  property("simhash of a single hash is its low 60 bits") =
+    forAll(Gen.chooseNum(0L, (1L << 60) - 1)) { h =>
+      val e = SimHash60(Literal.create(null, ArrayType(LongType)))
+      e.nullSafeEval(new GenericArrayData(Array(h))).asInstanceOf[Long] ==
+        (h & ((1L << 60) - 1))
+    }
+}
