@@ -41,6 +41,8 @@ object SparkEntry {
     "q_cube" -> ((s, d) => Relational.qCube(s, d)),
     "q_monthly_revenue" -> ((s, d) => Relational.qMonthlyRevenue(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(s, d)),
+    "q_set_ops" -> ((s, d) => Relational.qSetOps(s, d)),
+    "q_outer_join" -> ((s, d) => Relational.qOuterJoin(s, d)),
     // E1/E2: dedup family (exact, MinHash-LSH, SimHash-banded, n-gram).
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d2_dedup_minhash" -> ((s, d) => Dedup.minhashDedup(s, d)),

@@ -134,7 +134,65 @@ object Relational {
         round(avg(length(col("p_name"))), 4).as("avg_name_len"))
       .orderBy("type_prefix", "brand_num")
 
+  /** Set operations: customers active in 1996 but not 1997 (EXCEPT), and
+    * active in both (INTERSECT).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    def activeIn(year: Int) = ord
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val only96 = activeIn(1996).except(activeIn(1997))
+      .withColumn("cohort", lit("only_1996"))
+    val both = activeIn(1996).intersect(activeIn(1997))
+      .withColumn("cohort", lit("both_years"))
+    only96.unionByName(both)
+      .groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+      .orderBy("cohort")
+  }
+
+  /** Outer joins + null handling: per-customer order presence via a left
+    * outer join (unmatched side nulls counted explicitly).
+    */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(when(col("o_orderkey").isNull, col("c_custkey"))).as("n_inactive"),
+        count(col("o_orderkey")).as("n_recent_orders"))
+      .orderBy("c_mktsegment")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_set_ops" ->
+      """WITH a96 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |a97 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |cohorts AS (
+        |  SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT * FROM a96 EXCEPT SELECT * FROM a97)
+        |  UNION ALL
+        |  SELECT o_custkey, 'both_years' AS cohort FROM (SELECT * FROM a96 INTERSECT SELECT * FROM a97))
+        |SELECT cohort, count(*) AS n_customers FROM cohorts
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  count(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_inactive,
+        |  count(o_orderkey) AS n_recent_orders
+        |FROM customer LEFT OUTER JOIN (
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_string_funcs" ->
       """SELECT substr(p_type, 1, 3) AS type_prefix,
         |  replace(p_brand, 'Brand#', '')::INT AS brand_num,
