@@ -37,7 +37,8 @@ class VectorDB private (
     val folder: String,
     val model: String,
     val dim: Int,
-    val storage: String) {
+    val storage: String,
+    val layout: String) {
 
   import VectorDB._
 
@@ -48,19 +49,28 @@ class VectorDB private (
   private def docsPath = s"$folder/docs.parquet"
 
   private val isMor = storage == VectorDB.StorageMor
+  private val isFlat = layout == VectorDB.LayoutFlat
+  /** Code words per vector (64 bits each). */
+  private val nWords = (dim + 63) / 64
   private lazy val codesMor = new MorTable(spark, s"$folder/codes.mor", "doc_id")
   private lazy val docsMor = new MorTable(spark, s"$folder/docs.mor", "doc_id")
 
   @volatile private var codesCache: Option[DataFrame] = None
+  @volatile private var countCache: Long = -1L
 
   private def hasData: Boolean =
     if (isMor) codesMor.exists else fs.exists(new Path(codesPath))
 
-  /** The hot tier: (doc_id, code), cached in memory across queries. */
+  private def emptyCodesSchema: StructType =
+    if (isFlat) StructType(StructField("doc_id", LongType, nullable = false) +:
+      (0 until nWords).map(i => StructField(s"c$i", LongType, nullable = false)))
+    else codesSchema
+
+  /** The hot tier: (doc_id, code…), cached in memory across queries. */
   def codes: DataFrame = codesCache.getOrElse {
     val df =
       if (!hasData) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptyCodesSchema)
       else if (isMor) codesMor.read().persist(StorageLevel.MEMORY_AND_DISK)
       else spark.read.parquet(codesPath).persist(StorageLevel.MEMORY_AND_DISK)
     codesCache = Some(df)
@@ -74,11 +84,19 @@ class VectorDB private (
     else if (isMor) docsMor.read()
     else spark.read.parquet(docsPath)
 
-  /** O12: number of indexed documents. */
-  def count(): Long = codes.count()
+  /** O12: number of indexed documents (cached until the next commit —
+    * the per-search empty-index guard must not cost a job).
+    */
+  def count(): Long = {
+    if (countCache < 0) countCache = codes.count()
+    countCache
+  }
 
-  /** Typed view of the hot tier (SURVEY §1.3's `Dataset[DocRecord]` core). */
+  /** Typed view of the hot tier (SURVEY §1.3's `Dataset[DocRecord]` core;
+    * array layout only — the flat layout is by definition untyped-wide).
+    */
   def typedCodes: org.apache.spark.sql.Dataset[VectorDB.CodeRecord] = {
+    require(!isFlat, "typedCodes requires the array code layout")
     implicit val enc = org.apache.spark.sql.Encoders.product[VectorDB.CodeRecord]
     codes.as[VectorDB.CodeRecord]
   }
@@ -118,7 +136,14 @@ class VectorDB private (
       val ma = embedded
         .select(max(array_max(transform(col("embedding"), x => abs(x)))).cast("double"))
         .head().getDouble(0)
-      val newCodes = embedded.select(col("doc_id"), Kernels.packBits(col("embedding")).as("code"))
+      val packed = Kernels.packBits(col("embedding"))
+      // Flat layout: one primitive long column per 64-bit word — the
+      // cached columnar scan stays fully primitive (measured ~15% faster
+      // at 1M x 1024 bits, graft.ScanBench).
+      val newCodes =
+        if (isFlat) embedded.select(col("doc_id") +:
+          (0 until nWords).map(i => element_at(packed, i + 1).as(s"c$i")): _*)
+        else embedded.select(col("doc_id"), packed.as("code"))
       val newDocs = embedded.select(col("doc_id"), col("doc"),
         Kernels.int8(col("embedding"), lit(if (ma > 0) ma else 1.0)).as("emb_int8"))
 
@@ -168,6 +193,7 @@ class VectorDB private (
   private def invalidateCache(): Unit = {
     codesCache.foreach(_.unpersist())
     codesCache = None
+    countCache = -1L
   }
 
   /** O11: the three-phase funnel over the stored tiers. Returns
@@ -191,10 +217,21 @@ class VectorDB private (
     Kernels.install(spark)
     require(count() > 0, "search on empty index")
     val qLit = typedlit(q)
-    val qCode = typedlit(graft.operators.Search.packQuery(q))
+    val qWords = graft.operators.Search.packQuery(q)
+    val qCode = typedlit(qWords)
 
-    val phase1 = codes
-      .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
+    // Flat layout: hamming as a codegen'd sum of builtin bit_count(xor)
+    // terms over primitive columns; the code array is reassembled only
+    // for the <=100 phase-II candidates.
+    val hammingCol =
+      if (isFlat) (0 until nWords).map(i =>
+        expr(s"bit_count(c$i ^ ${qWords(i)}L)")).reduce(_ + _).cast("int")
+      else Kernels.hamming(col("code"), qCode)
+    val withCode =
+      if (isFlat) codes.withColumn("score_hamming", hammingCol)
+        .withColumn("code", array((0 until nWords).map(i => col(s"c$i")): _*))
+      else codes.withColumn("score_hamming", hammingCol)
+    val phase1 = withCode
       .orderBy(col("score_hamming").asc, col("doc_id").asc)
       .limit(math.min(k * binaryOversample, Int.MaxValue))
     // Phase II runs on ≤ k·binaryOversample rows; materialize the ≤
@@ -274,11 +311,20 @@ object VectorDB {
   val StorageCow = "cow"
   val StorageMor = "mor"
 
+  /** Code layouts: `array` (array<long> column, default) and `flat`
+    * (one primitive long column per 64-bit word — faster cached scans).
+    */
+  val LayoutArray = "array"
+  val LayoutFlat = "flat"
+
   def openOrCreate(spark: SparkSession, folder: String,
                    model: String = "graft-hash-64", dim: Int = 64,
-                   storage: String = StorageCow): VectorDB = {
+                   storage: String = StorageCow,
+                   layout: String = LayoutArray): VectorDB = {
     require(storage == StorageCow || storage == StorageMor,
       s"storage must be '$StorageCow' or '$StorageMor', got '$storage'")
+    require(layout == LayoutArray || layout == LayoutFlat,
+      s"layout must be '$LayoutArray' or '$LayoutFlat', got '$layout'")
     val fs = FileSystem.get(new java.net.URI(folder), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(folder)
     val cfg = new Path(s"$folder/config.json")
@@ -290,7 +336,8 @@ object VectorDB {
       new VectorDB(spark, folder,
         field("model").getOrElse(model),
         field("dim").map(_.trim.toInt).getOrElse(dim),
-        field("storage").getOrElse(VectorDB.StorageCow))
+        field("storage").getOrElse(VectorDB.StorageCow),
+        field("layout").getOrElse(VectorDB.LayoutArray))
     } else {
       if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
         throw new IllegalStateException(
@@ -298,10 +345,10 @@ object VectorDB {
       fs.mkdirs(dir)
       val out = fs.create(cfg, true)
       try out.write(
-        s"""{"version": "1.0", "model": "$model", "dim": $dim, "storage": "$storage"}"""
-          .getBytes("UTF-8"))
+        (s"""{"version": "1.0", "model": "$model", "dim": $dim, """ +
+          s""""storage": "$storage", "layout": "$layout"}""").getBytes("UTF-8"))
       finally out.close()
-      new VectorDB(spark, folder, model, dim, storage)
+      new VectorDB(spark, folder, model, dim, storage, layout)
     }
   }
 }

@@ -55,6 +55,28 @@ class MorVectorDBSpec extends AnyFunSuite {
     assert(db2.count() == 2)
   }
 
+  test("flat code layout: identical search results to the array layout") {
+    val corpus = (1L to 100L).map(i =>
+      (i, s"word${i % 13} word${i % 7} word${i % 29} word${i % 5}")).toDF("doc_id", "text")
+    val dbA = VectorDB.openOrCreate(spark, freshDir())
+    val dbF = VectorDB.openOrCreate(spark, freshDir(), layout = VectorDB.LayoutFlat)
+    dbA.addDocuments(corpus)
+    dbF.addDocuments(corpus)
+
+    // flat tier really is primitive columns
+    assert(dbF.codes.columns.toSet == Set("doc_id", "c0"))
+    assert(dbA.codes.columns.toSet == Set("doc_id", "code"))
+
+    val qs = Seq("word1 word3 word7", "word12 word2", "word4 word4 word9")
+    qs.foreach { q =>
+      val a = dbA.search(q, k = 5).collect().map(_.toSeq).toSeq
+      val f = dbF.search(q, k = 5).collect().map(_.toSeq).toSeq
+      assert(a == f, s"layouts disagree for '$q'")
+    }
+    // reopen keeps the layout
+    assert(VectorDB.openOrCreate(spark, dbF.folder).layout == VectorDB.LayoutFlat)
+  }
+
   test("MOR upserts are O(batch): the base file is never touched by a commit") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
