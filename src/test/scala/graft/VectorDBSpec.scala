@@ -77,6 +77,25 @@ class VectorDBSpec extends AnyFunSuite {
     }
   }
 
+  test("docs2text as a Column expression: JSON payload, title+text extraction (create_new_db.py shape)") {
+    import org.apache.spark.sql.functions._
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    // The reference example stores {'title','text'} dicts and extracts
+    // docs2text = title + ' ' + text (examples/create_new_db.py:42).
+    // Here the payload is a JSON column and docs2text is any Column expr.
+    val input = Seq(
+      (0L, """{"title": "Berlin", "text": "capital of Germany"}"""),
+      (1L, """{"title": "Paris", "text": "capital of France"}"""))
+      .toDF("doc_id", "doc")
+      .withColumn("text", concat_ws(" ",
+        get_json_object($"doc", "$.title"), get_json_object($"doc", "$.text")))
+    db.addDocuments(input)
+    val hit = db.search("Paris capital France", k = 1).head()
+    assert(hit.getAs[Long]("doc_id") == 1L)
+    // the stored payload is the original JSON object, not the text
+    assert(hit.getAs[String]("doc").contains("\"title\": \"Paris\""))
+  }
+
   test("1024-dim embedder: codes pack to 16 longs, search round-trips (reference native width)") {
     val db = VectorDB.openOrCreate(spark, freshDir(), model = "graft-hash-1024", dim = 1024)
     val emb = new graft.db.HashingEmbedder(1024)
