@@ -263,6 +263,72 @@ class VectorDB private (
       .select("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
   }
 
+  /** Batched multi-query funnel over the stored tiers: one scan of the
+    * hot tier serves every query (Phase I via the bounded-heap aggregate,
+    * Q heaps built map-side), then phases II/III run per query under
+    * window ranks on the ≤ Q×(k·binaryOversample) candidates. The serving
+    * shape — per-query cost beyond the shared scan is O(k·oversample).
+    * Returns (qid, rank, doc_id, score_hamming, score_binary,
+    * score_cossim, doc).
+    */
+  def searchMany(queries: Seq[(Long, Seq[Double])], k: Int = 10,
+                 binaryOversample: Int = 10, int8Oversample: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Kernels.install(spark)
+    require(count() > 0, "search on empty index")
+    require(k * binaryOversample == 100,
+      "registered phase-I heap arity is 100 (k * binaryOversample must be 100)")
+    import spark.implicits._
+    val qdf = queries.map { case (qid, qv) =>
+      (qid, qv, graft.operators.Search.packQuery(qv))
+    }.toDF("qid", "qvec", "qcode")
+
+    val codeArr =
+      if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*)
+      else col("code")
+    val phase1 = codes
+      .withColumn("__code", codeArr)
+      .crossJoin(broadcast(qdf.select("qid", "qcode")))
+      .select(col("qid"), col("doc_id"),
+        Kernels.hamming(col("__code"), col("qcode")).as("h"))
+      .groupBy("qid")
+      .agg(Kernels.hammingTopK100(col("h"), col("doc_id")).as("topk"))
+      .select(col("qid"), explode(col("topk")).as("c"))
+      .select(col("qid"), col("c.vec_id").as("doc_id"), col("c.score").as("score_hamming"))
+
+    // Re-attach codes for phase II: candidates ≤ Q×100, scanned from the
+    // in-memory hot tier.
+    val candCodes = codes.withColumn("__code", codeArr).select(col("doc_id"), col("__code"))
+    val wB = Window.partitionBy("qid").orderBy(col("score_binary").desc, col("doc_id").asc)
+    // Materialize the ≤ Q×(k·int8Oversample) survivors driver-side (the
+    // reference holds the same candidate lists in Python lists).
+    val candidates = phase1
+      .join(candCodes, "doc_id")
+      .join(broadcast(qdf.select("qid", "qvec")), "qid")
+      .withColumn("score_binary", Kernels.signDot(col("qvec"), col("__code")))
+      .withColumn("r2", row_number().over(wB))
+      .filter(col("r2") <= k * int8Oversample)
+      .select("qid", "doc_id", "score_hamming", "score_binary")
+      .collect()
+    val ids = candidates.map(_.getLong(1)).distinct.toSeq
+    val scores = spark.createDataFrame(candidates.map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq)
+      .toDF("qid", "doc_id", "score_hamming", "score_binary")
+
+    // Point-lookup batch against the cold tier (pushed-down id filter).
+    val wC = Window.partitionBy("qid").orderBy(col("score_cossim").desc, col("doc_id").asc)
+    docs.filter(col("doc_id").isin(ids: _*))
+      .join(broadcast(scores), "doc_id")
+      .join(broadcast(qdf.select("qid", "qvec")), "qid")
+      .withColumn("score_cossim",
+        Kernels.dotInt8(col("qvec"), col("emb_int8")) / Kernels.normInt8(col("emb_int8")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score_hamming", "score_binary",
+        "score_cossim", "doc")
+      .orderBy("qid", "rank")
+  }
+
   /** O6: the parquet snapshots are durable as written; kept for API
     * parity with the reference's explicit `save()` (`BinaryVectorDB.py:168`).
     */

@@ -15,34 +15,52 @@ import org.apache.spark.sql.functions._
   */
 object MLSimilarity {
 
+  /** Fitted index: cell-partitioned layout on disk + centers driver-side,
+    * built once per (session, dir, k) — queries only probe and scan.
+    */
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (String, Array[Array[Double]])]
+
+  private def kmeansIndex(spark: SparkSession, dir: String, numCells: Int)
+      : (String, Array[Array[Double]]) =
+    kmCache.getOrElseUpdate((spark, dir, numCells), {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")))
+      // A coarse quantizer converges in a few iterations; capping maxIter
+      // keeps the one-time fit cheap relative to the scans it prunes.
+      val model = new KMeans().setK(numCells).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features")
+        .fit(emb)
+      val idx = java.nio.file.Files.createTempDirectory("graft-kmivf").toString
+      model.transform(emb).withColumnRenamed("prediction", "cell")
+        .select("vec_id", "embedding", "cell")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$idx/cells")
+      (idx, model.clusterCenters.map(_.toArray))
+    })
+
   /** IVF with learned cells: k-means (fixed seed) fits the coarse
-    * quantizer, the query probes the `nprobe` nearest centers, and only
-    * those cells are scanned exactly. At scale the table is written
-    * partitioned by `cell` so probing prunes partitions at the source.
+    * quantizer once into a persisted cell-partitioned layout; a query
+    * probes the `nprobe` nearest centers driver-side and scans only the
+    * probed cells' partitions (source-level pruning, like the
+    * deterministic twin `Search.ivfKnn`).
     */
   def kmeansIvfKnn(spark: SparkSession, dir: String, queryVecId: Long = 0,
                    k: Int = 10, numCells: Int = 10, nprobe: Int = 2): DataFrame = {
     Kernels.install(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
-        col("embedding").cast("array<double>")))
-    // A coarse quantizer converges in a few iterations; capping maxIter
-    // keeps the (driver-side) fit cheap relative to the scan it prunes.
-    val model = new KMeans().setK(numCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features")
-      .fit(emb)
-    val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
+    val (idx, centers) = kmeansIndex(spark, dir, numCells)
 
     val q = Search.queryVector(emb, queryVecId)
-    val centers = model.clusterCenters.zipWithIndex
     def cos(a: Array[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
-    val probed = centers.sortBy { case (c, i) => (-cos(c.toArray, q), i) }
+    val probed = centers.zipWithIndex.sortBy { case (c, i) => (-cos(c, q), i) }
       .take(nprobe).map(_._2).toSeq
 
-    assigned
+    spark.read.parquet(s"$idx/cells")
       .filter(col("cell").isin(probed: _*))
       .withColumn("score", round(Kernels.cosine(
         col("embedding").cast("array<double>"), typedlit(q)), 4))

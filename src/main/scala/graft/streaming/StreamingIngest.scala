@@ -100,14 +100,21 @@ object StreamingIngest {
   }
 
   /** Streaming index maintenance: upsert each micro-batch of documents
-    * (doc_id, text) into the VectorDB via foreachBatch.
+    * (doc_id, text) into the VectorDB via foreachBatch. Under the MOR
+    * storage mode each micro-batch is one O(batch) delta commit, and the
+    * sink compacts whenever `compactEvery` deltas accumulate — bounded
+    * read amplification under continuous ingest.
     */
-  def indexUpsert(db: VectorDB, docsStream: DataFrame): StreamingQuery = {
+  def indexUpsert(db: VectorDB, docsStream: DataFrame,
+                  compactEvery: Int = 16): StreamingQuery = {
     val q = docsStream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) db.addDocuments(batch)
+        if (!batch.isEmpty) {
+          db.addDocuments(batch)
+          if (db.pendingDeltas() >= compactEvery) db.compact()
+        }
       }
       .start()
     q.awaitTermination()

@@ -55,6 +55,29 @@ class MorVectorDBSpec extends AnyFunSuite {
     assert(db2.count() == 2)
   }
 
+  test("searchMany: batched funnel equals per-query searchVector for every query") {
+    import org.apache.spark.sql.functions._
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments((1L to 120L).map(i =>
+      (i, s"word${i % 17} word${i % 7} word${i % 23} word${i % 5}")).toDF("doc_id", "text"))
+
+    val emb = new graft.db.HashingEmbedder()
+    val queries = Seq("word1 word4 word9", "word16 word2 word3").zipWithIndex.map {
+      case (t, i) =>
+        (i.toLong, spark.range(1).select(emb.embed(lit(t)).cast("array<double>"))
+          .head().getSeq[Double](0))
+    }
+    val many = db.searchMany(queries).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    queries.foreach { case (qid, qv) =>
+      val batched = many(qid).sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score_cossim"))).toSeq
+      val single = db.searchVector(qv).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score_cossim"))).toSeq
+      assert(batched == single, s"query $qid")
+    }
+  }
+
   test("flat code layout: identical search results to the array layout") {
     val corpus = (1L to 100L).map(i =>
       (i, s"word${i % 13} word${i % 7} word${i % 29} word${i % 5}")).toDF("doc_id", "text")

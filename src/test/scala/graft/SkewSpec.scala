@@ -10,6 +10,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class SkewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("salting spreads a hot join key across partitions (quantified)") {
+    import spark.implicits._
+    // 95% of fact rows share one key — the hash-partitioned join lands
+    // them all in a single task without mitigation.
+    val fact = spark.range(100000).select(col("id"),
+      when(pmod(col("id"), lit(20)) < 19, 0L).otherwise(pmod(col("id"), lit(97))).as("key"))
+    val dim = spark.range(97).select(col("id").as("key"),
+      concat(lit("v"), col("id")).as("v"))
+
+    def maxPartitionShare(df: org.apache.spark.sql.DataFrame): Double = {
+      val counts = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").count().collect().map(_.getLong(1))
+      counts.max.toDouble / counts.sum
+    }
+
+    val plain = fact.hint("merge").join(dim.hint("merge"), "key")
+    val salted = Skew.saltedJoin(fact, dim, "key", saltCol = col("id"), saltFactor = 8)
+
+    val plainShare = maxPartitionShare(plain)
+    val saltedShare = maxPartitionShare(salted)
+    info(f"hot-partition share: plain $plainShare%.2f -> salted $saltedShare%.2f")
+    assert(plainShare > 0.9, s"fixture should be skewed, got $plainShare")
+    assert(saltedShare < plainShare / 3,
+      s"salting should spread the hot key: $plainShare -> $saltedShare")
+    assert(plain.count() == salted.count())
+  }
+
   test("salted join equals plain join on a skewed fact table") {
     val dir = "/root/testdata/sf0.001"
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -104,4 +104,27 @@ class StreamingSpec extends AnyFunSuite {
     // and the index is queryable
     assert(db.search("the fast key order sort table", k = 3).count() == 3)
   }
+
+  test("streaming upsert into MOR storage: delta commits with bounded compaction") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftmors").toFile
+    tmp.delete()
+    val db = VectorDB.openOrCreate(spark, tmp.getAbsolutePath,
+      storage = VectorDB.StorageMor)
+
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    // maxFilesPerTrigger is irrelevant for one fixture file; drive three
+    // batches by restarting AvailableNow over overlapping selections.
+    val base = spark.readStream.schema(schema).parquet(s"$dir/documents.*")
+    StreamingIngest.indexUpsert(db, base.select($"doc_id", $"text"), compactEvery = 1).stop()
+    assert(db.pendingDeltas() == 0, "compaction threshold 1 must fold immediately")
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(db.count() == n)
+
+    // Second replay = full upsert of the same ids: still n docs (idempotent).
+    StreamingIngest.indexUpsert(db, base.select($"doc_id", $"text"), compactEvery = 100).stop()
+    assert(db.count() == n)
+    assert(db.pendingDeltas() == 1, "below threshold: delta left pending")
+    assert(db.search("the fast key order sort table", k = 3).count() == 3)
+  }
 }
