@@ -43,6 +43,8 @@ object SparkEntry {
     "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(s, d)),
     "q_set_ops" -> ((s, d) => Relational.qSetOps(s, d)),
     "q_outer_join" -> ((s, d) => Relational.qOuterJoin(s, d)),
+    "q_semi_anti" -> ((s, d) => Relational.qSemiAnti(s, d)),
+    "q_pivot_conditional" -> ((s, d) => Relational.qPivotConditional(s, d)),
     // E1/E2: dedup family (exact, MinHash-LSH, SimHash-banded, n-gram).
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d2_dedup_minhash" -> ((s, d) => Dedup.minhashDedup(s, d)),

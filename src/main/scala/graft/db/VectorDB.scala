@@ -286,24 +286,24 @@ class VectorDB private (
     val codeArr =
       if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*)
       else col("code")
+    // The heap carries each candidate's packed code as payload
+    // (HammingTopKCodeAgg), so phase II reads codes straight out of the
+    // aggregate output — the hot tier is scanned exactly once.
     val phase1 = codes
       .withColumn("__code", codeArr)
       .crossJoin(broadcast(qdf.select("qid", "qcode")))
-      .select(col("qid"), col("doc_id"),
+      .select(col("qid"), col("doc_id"), col("__code"),
         Kernels.hamming(col("__code"), col("qcode")).as("h"))
       .groupBy("qid")
-      .agg(Kernels.hammingTopK100(col("h"), col("doc_id")).as("topk"))
+      .agg(Kernels.hammingTopKWithCode100(col("h"), col("doc_id"), col("__code")).as("topk"))
       .select(col("qid"), explode(col("topk")).as("c"))
-      .select(col("qid"), col("c.vec_id").as("doc_id"), col("c.score").as("score_hamming"))
+      .select(col("qid"), col("c.vec_id").as("doc_id"),
+        col("c.score").as("score_hamming"), col("c.code").as("__code"))
 
-    // Re-attach codes for phase II: candidates ≤ Q×100, scanned from the
-    // in-memory hot tier.
-    val candCodes = codes.withColumn("__code", codeArr).select(col("doc_id"), col("__code"))
     val wB = Window.partitionBy("qid").orderBy(col("score_binary").desc, col("doc_id").asc)
     // Materialize the ≤ Q×(k·int8Oversample) survivors driver-side (the
     // reference holds the same candidate lists in Python lists).
     val candidates = phase1
-      .join(candCodes, "doc_id")
       .join(broadcast(qdf.select("qid", "qvec")), "qid")
       .withColumn("score_binary", Kernels.signDot(col("qvec"), col("__code")))
       .withColumn("r2", row_number().over(wB))

@@ -34,6 +34,7 @@ object Kernels {
     "graft_embed_1024" -> (e => HashingEmbed(e(0), 1024)),
     "graft_topk_hamming_10" -> (e => HammingTopKAgg(e(0), e(1), 10)),
     "graft_topk_hamming_100" -> (e => HammingTopKAgg(e(0), e(1), 100)),
+    "graft_topk_code_100" -> (e => HammingTopKCodeAgg(e(0), e(1), e(2), 100)),
   )
 
   /** Idempotent per-session registration of all kernels. */
@@ -82,6 +83,12 @@ object Kernels {
 
   def hammingTopK100(score: Column, id: Column): Column =
     call_function("graft_topk_hamming_100", score, id)
+
+  /** Top-k heap carrying the packed code as payload — phase II of the
+    * fused funnel reads candidate codes from the aggregate output.
+    */
+  def hammingTopKWithCode100(score: Column, id: Column, code: Column): Column =
+    call_function("graft_topk_code_100", score, id, code)
 
   // ---- deterministic text hashing (oracle-mirrorable) ---------------------
 

@@ -104,3 +104,112 @@ case class HammingTopKAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(score = newChildren(0), id = newChildren(1))
 }
+
+/** [[HammingTopKAgg]] with the packed code carried as heap payload:
+  * `array<struct<vec_id:long, score:int, code:array<long>>>`. Phase II of
+  * a batched funnel reads the candidate codes straight out of the
+  * aggregate's output — no join back to the codes relation, so the fused
+  * multi-query funnel touches the hot tier exactly once.
+  */
+case class HammingTopKCodeAgg(
+    score: Expression,
+    id: Expression,
+    code: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])]] {
+
+  require(k > 0, "k must be positive")
+
+  private implicit val ord: Ordering[(Int, Long, Array[Long])] =
+    Ordering.by(t => (t._1, t._2))
+
+  override def children: Seq[Expression] = Seq(score, id, code)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("score", IntegerType, nullable = false),
+    StructField("code", ArrayType(LongType, containsNull = false), nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_topk_code"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == IntegerType && id.dataType == LongType &&
+        code.dataType.isInstanceOf[ArrayType] &&
+        code.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (int, long, array<long>), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])] =
+    scala.collection.mutable.PriorityQueue.empty[(Int, Long, Array[Long])]
+
+  private def offer(
+      buf: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])],
+      t: (Int, Long, Array[Long])): Unit = {
+    if (buf.size < k) buf.enqueue(t)
+    else if (t._1 < buf.head._1 || (t._1 == buf.head._1 && t._2 < buf.head._2)) {
+      buf.dequeue(); buf.enqueue(t)
+    }
+  }
+
+  override def update(
+      buf: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])],
+      input: InternalRow): scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    val c = code.eval(input)
+    if (s != null && i != null && c != null) {
+      // copy the code: the incoming ArrayData may be a reused buffer row
+      offer(buf, (s.asInstanceOf[Int], i.asInstanceOf[Long],
+        c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()))
+    }
+    buf
+  }
+
+  override def merge(
+      a: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])],
+      b: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])])
+      : scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])] = {
+    b.foreach(offer(a, _))
+    a
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])]): Any = {
+    val sorted = buf.toArray.sortBy(t => (t._1, t._2))
+    new GenericArrayData(sorted.map { case (s, i, c) =>
+      InternalRow(i, s, new GenericArrayData(c)).asInstanceOf[Any]
+    })
+  }
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])]): Array[Byte] = {
+    val words = buf.iterator.map(_._3.length).sum
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16 + words * 8)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i, c) =>
+      bb.putInt(s); bb.putLong(i); bb.putInt(c.length)
+      c.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val heap = createAggregationBuffer()
+    (0 until n).foreach { _ =>
+      val s = bb.getInt; val i = bb.getLong; val w = bb.getInt
+      heap.enqueue((s, i, Array.fill(w)(bb.getLong)))
+    }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HammingTopKCodeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HammingTopKCodeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1), code = newChildren(2))
+}

@@ -168,7 +168,67 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Semi/anti joins as first-class results: per nation, suppliers with
+    * at least one 1996 shipment (EXISTS ≡ left_semi) and with none
+    * (NOT EXISTS ≡ left_anti).
+    */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+    val nat = t(spark, dir, "nation")
+    val shipped = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_suppkey").as("s_suppkey")).distinct()
+    val active = supp.join(shipped, Seq("s_suppkey"), "left_semi")
+      .withColumn("status", lit("active_1996"))
+    val inactive = supp.join(shipped, Seq("s_suppkey"), "left_anti")
+      .withColumn("status", lit("inactive_1996"))
+    active.unionByName(inactive)
+      .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
+      .groupBy("n_name", "status").agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("n_name", "status")
+  }
+
+  /** Pivot via conditional aggregation (dialect-portable): revenue per
+    * ship-year split across return flags as columns.
+    */
+  def qPivotConditional(spark: SparkSession, dir: String): DataFrame = {
+    def flagSum(f: String) = round(sum(
+      when(col("l_returnflag") === f, col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .otherwise(lit(0.0))), 2)
+    t(spark, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("y"))
+      .agg(flagSum("A").as("rev_a"), flagSum("N").as("rev_n"), flagSum("R").as("rev_r"),
+        count(lit(1)).as("n"))
+      .orderBy("y")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_semi_anti" ->
+      """WITH shipped AS (
+        |  SELECT DISTINCT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |tagged AS (
+        |  SELECT s_nationkey, 'active_1996' AS status FROM supplier s
+        |  WHERE EXISTS (SELECT 1 FROM shipped WHERE l_suppkey = s.s_suppkey)
+        |  UNION ALL
+        |  SELECT s_nationkey, 'inactive_1996' AS status FROM supplier s
+        |  WHERE NOT EXISTS (SELECT 1 FROM shipped WHERE l_suppkey = s.s_suppkey))
+        |SELECT n_name, status, count(*) AS n_suppliers
+        |FROM tagged JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, status ORDER BY n_name, status""".stripMargin,
+
+    "q_pivot_conditional" ->
+      """SELECT year(l_shipdate)::INT AS y,
+        |  round(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS rev_a,
+        |  round(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS rev_n,
+        |  round(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS rev_r,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_set_ops" ->
       """WITH a96 AS (
         |  SELECT DISTINCT o_custkey FROM orders
