@@ -66,8 +66,10 @@ object Dedup {
     * shingle-set Jaccard ≥ 0.5. Signature computation is per-row (HOFs,
     * no shuffle); only band keys and candidate ids shuffle.
     */
+  /* Verified-pair threshold is fixed at Jaccard ≥ 1/2, applied as the
+   * exact integer test 2·|A∩B| ≥ |A∪B|. */
   def minhashDedup(spark: SparkSession, dir: String, numHashes: Int = 16,
-                   rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+                   rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val sh = shingled(spark, dir)
     val sig = sh.withColumn("sig", Kernels.minhashSignature(col("hs"), numHashes))
@@ -89,14 +91,17 @@ object Dedup {
 
     val sa = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    // Jaccard as exact integer basis points (i/u is a small rational —
+    // float rounding of those diverges between engines at .5 boundaries);
+    // threshold 0.5 becomes the exact integer test 2i >= u.
     candidates
       .join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 4))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("u", size(array_union(col("sa"), col("sb"))))
+      .filter(col("i") * 2 >= col("u"))
+      .withColumn("jaccard_bp", expr("int((20000 * i + u) div (2 * u))"))
       .orderBy("doc_a", "doc_b")
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b", "jaccard_bp")
   }
 
   /** E2b: SimHash near-dedup. 60-bit simhash over shingle hashes
@@ -137,7 +142,7 @@ object Dedup {
     * mirrored df cap), no signatures involved.
     */
   def ngramJaccardDedup(spark: SparkSession, dir: String,
-                        threshold: Double = 0.5, dfCap: Int = 200): DataFrame = {
+                        dfCap: Int = 200): DataFrame = {
     // The df-capped postings list is read three times (both join sides +
     // per-doc counts) — persist it once per (session, dir, cap).
     val filtered = postingsCache.getOrElseUpdate((spark, dir, dfCap), {
@@ -154,14 +159,15 @@ object Dedup {
     val shared = a.join(b, "sg").filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
 
+    // Same integer-exact form as minhashDedup: u = na + nb − shared.
     shared
       .join(nPerDoc.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(nPerDoc.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard", round(
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("u", col("na") + col("nb") - col("shared"))
+      .filter(col("shared") * 2 >= col("u"))
+      .withColumn("jaccard_bp", expr("int((20000 * shared + u) div (2 * u))"))
       .orderBy("doc_a", "doc_b")
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b", "jaccard_bp")
   }
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -200,11 +206,11 @@ object Dedup {
          |    AND a.doc_id < b.doc_id),
          |jac AS (
          |  SELECT doc_a, doc_b,
-         |    round(len(list_intersect(x.s, y.s)) /
-         |      cast(len(list_distinct(list_concat(x.s, y.s))) as double), 4) jaccard
+         |    len(list_intersect(x.s, y.s)) i,
+         |    len(list_distinct(list_concat(x.s, y.s))) u
          |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
-         |SELECT doc_a, doc_b, jaccard FROM jac
-         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+         |SELECT doc_a, doc_b, ((20000 * i + u) // (2 * u))::INT AS jaccard_bp
+         |FROM jac WHERE 2 * i >= u ORDER BY doc_a, doc_b""".stripMargin,
 
     "d3_dedup_simhash" ->
       s"""$shinglePrefix,
@@ -230,9 +236,9 @@ object Dedup {
          |  FROM exf a JOIN exf b ON a.sg = b.sg AND a.doc_id < b.doc_id
          |  GROUP BY doc_a, doc_b)
          |SELECT doc_a, doc_b,
-         |  round(c / cast(na.n + nb.n - c as double), 4) AS jaccard
+         |  ((20000 * c + (na.n + nb.n - c)) // (2 * (na.n + nb.n - c)))::INT AS jaccard_bp
          |FROM shared JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-         |WHERE c / cast(na.n + nb.n - c as double) >= 0.5
+         |WHERE 2 * c >= na.n + nb.n - c
          |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -58,8 +58,12 @@ object Events {
       .agg(
         count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events"),
-        round(avg(col("n_events").cast("double")), 4).as("avg_session_events"),
         max("dur_secs").as("max_session_secs"))
+      // integer mean in exact basis points (events/session · 10^4)
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        expr("int((20000 * n_events + n_sessions) div (2 * n_sessions))")
+          .as("avg_session_events_bp"),
+        col("max_session_secs"))
       .orderBy("user_id")
   }
 
@@ -68,8 +72,12 @@ object Events {
     events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
-        round(avg("k"), 4).as("avg_k"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(col("k")).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+        sum("k").as("ksum"), round(sum("value"), 2).as("sum_value"))
+      // integer mean in exact basis points
+      .select(col("event_type"), col("n"), col("min_k"), col("max_k"),
+        expr("int((20000 * ksum + n) div (2 * n))").as("avg_k_bp"),
+        col("sum_value"))
       .orderBy("event_type")
 
   val oracles: Map[String, String] = Map(
@@ -97,15 +105,16 @@ object Events {
         |  SELECT user_id, sess_id, count(*) n_events, max(sec) - min(sec) dur_secs
         |  FROM numbered GROUP BY user_id, sess_id)
         |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-        |  round(avg(n_events), 4) AS avg_session_events,
+        |  ((20000 * sum(n_events) + count(*)) // (2 * count(*)))::INT AS avg_session_events_bp,
         |  max(dur_secs) AS max_session_secs
         |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e3_json_stats" ->
-      """SELECT event_type, count(*) AS n,
+      """SELECT event_type, count(json_extract_string(props, '$.k')) AS n,
         |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
         |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
-        |  round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+        |  ((20000 * sum(json_extract_string(props, '$.k')::BIGINT) + count(json_extract_string(props, '$.k')))
+        |    // (2 * count(json_extract_string(props, '$.k'))))::INT AS avg_k_bp,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )

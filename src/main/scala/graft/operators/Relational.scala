@@ -31,9 +31,19 @@ object Relational {
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        // quantities are integer-valued and discounts 2-decimal: their
+        // means are exact small rationals, which hit .00005 rounding
+        // boundaries where Spark and DuckDB round() disagree — so the
+        // means are emitted as integer basis points via exact int64
+        // arithmetic (round-half-up(10^4·sum/n) = (2·10^4·sum+n) div 2n).
+        sum(col("l_quantity")).cast("long").as("qsum"),
+        sum(round(col("l_discount") * 100).cast("long")).as("dsum"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"),
+        expr("int((20000 * qsum + count_order) div (2 * count_order))").as("avg_qty_bp"),
+        expr("int((20000 * dsum + count_order) div (2 * count_order))").as("avg_disc_cbp"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3-style: top-10 order revenue for one market segment.
@@ -131,7 +141,11 @@ object Relational {
         count(lit(1)).as("n"),
         countDistinct(upper(col("p_name"))).as("n_names"),
         max(concat(col("p_brand"), lit(":"), col("p_type"))).as("max_tag"),
-        round(avg(length(col("p_name"))), 4).as("avg_name_len"))
+        sum(length(col("p_name"))).as("lsum"))
+      // integer mean in exact basis points (see q1Agg note)
+      .select(col("type_prefix"), col("brand_num"), col("n"), col("n_names"),
+        col("max_tag"),
+        expr("int((20000 * lsum + n) div (2 * n))").as("avg_name_len_bp"))
       .orderBy("type_prefix", "brand_num")
 
   /** Set operations: customers active in 1996 but not 1997 (EXCEPT), and
@@ -259,7 +273,7 @@ object Relational {
         |  count(*) AS n,
         |  count(DISTINCT upper(p_name)) AS n_names,
         |  max(concat(p_brand, ':', p_type)) AS max_tag,
-        |  round(avg(length(p_name)), 4) AS avg_name_len
+        |  ((20000 * sum(length(p_name)) + count(*)) // (2 * count(*)))::INT AS avg_name_len_bp
         |FROM part
         |WHERE p_name LIKE '%e%'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -284,8 +298,8 @@ object Relational {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  ((20000 * sum(l_quantity)::BIGINT + count(*)) // (2 * count(*)))::INT AS avg_qty_bp,
+        |  ((20000 * sum(round(l_discount * 100)::BIGINT) + count(*)) // (2 * count(*)))::INT AS avg_disc_cbp,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'

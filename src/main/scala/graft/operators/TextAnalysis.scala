@@ -32,9 +32,14 @@ object TextAnalysis {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg("n_chars"), 2).as("avg_chars"),
-        round(avg("n_tokens"), 2).as("avg_tokens"),
+        // integer means as exact centi units (see qualityScore note)
+        sum("n_chars").as("csum"),
+        sum("n_tokens").as("tsum"),
         countDistinct("source").as("n_sources"))
+      .select(col("lang"), col("n_docs"),
+        expr("int((200 * csum + n_docs) div (2 * n_docs))").as("avg_chars_centi"),
+        expr("int((200 * tsum + n_docs) div (2 * n_docs))").as("avg_tokens_centi"),
+        col("n_sources"))
       .orderBy("lang")
 
   /** T2: per-document quality features + a composite score — length,
@@ -43,22 +48,33 @@ object TextAnalysis {
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val w = Kernels.tokens(col("text"))
-    val nTok = size(w)
-    val stopRatio = size(filter(w, t => t.isin(StopWords: _*))).cast("double") / nTok
-    val ttr = size(array_distinct(w)).cast("double") / nTok
-    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    // All features are small rationals (k/n with n ≤ ~100), which land
+    // EXACTLY on .00005 rounding boundaries where Spark (BigDecimal
+    // HALF_UP on the exact binary value) and DuckDB (float-multiply
+    // round) disagree by one final-digit ulp. So every ratio is emitted
+    // as integer BASIS POINTS computed with pure int64 arithmetic —
+    // round-half-up(10000·k/n) = (20000k + n) div (2n) — identical in
+    // both engines by construction, no floating rounding anywhere.
     docs(spark, dir)
-      .withColumn("n_tokens", nTok)
+      .withColumn("n", size(w))
+      .withColumn("k", size(filter(w, t => t.isin(StopWords: _*))))
+      .withColumn("d", size(array_distinct(w)))
+      .withColumn("c", length(regexp_replace(col("text"), " ", "")))
       .withColumn("n_regex_tokens", size(expr("regexp_extract_all(text, '[a-z]+', 0)")))
-      .withColumn("stop_ratio", round(stopRatio, 4))
-      .withColumn("ttr", round(ttr, 4))
-      .withColumn("avg_token_len", round(avgTokLen, 4))
-      .withColumn("quality", round(
-        lit(0.4) * least(lit(1.0), nTok.cast("double") / 50.0) +
-          lit(0.3) * (lit(1.0) - stopRatio) + lit(0.3) * ttr, 4))
+      // quality = 0.4·min(50,n)/50 + 0.3·(n−k)/n + 0.3·d/n
+      //         = (2·min(50,n)·n + 75·(n−k) + 75·d) / (250·n)
+      .withColumn("qnum",
+        lit(2) * least(lit(50), col("n")) * col("n") +
+          lit(75) * (col("n") - col("k")) + lit(75) * col("d"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        col("n_regex_tokens"),
+        expr("int((20000 * k + n) div (2 * n))").as("stop_ratio_bp"),
+        expr("int((20000 * d + n) div (2 * n))").as("ttr_bp"),
+        expr("int((20000 * c + n) div (2 * n))").as("avg_token_len_bp"),
+        expr("int((20000 * qnum + 250 * n) div (500 * n))").as("quality_bp"))
       .orderBy("doc_id")
-      .select("doc_id", "n_tokens", "n_regex_tokens", "stop_ratio", "ttr",
-        "avg_token_len", "quality")
   }
 
   /** T3: heuristic language ID. Markers = the top-5 most frequent tokens
@@ -134,31 +150,27 @@ object TextAnalysis {
 
     "t1_lang_profile" ->
       """SELECT lang, count(*) AS n_docs,
-        |  round(avg(n_chars), 2) AS avg_chars,
-        |  round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+        |  ((200 * sum(n_chars) + count(*)) // (2 * count(*)))::INT AS avg_chars_centi,
+        |  ((200 * sum(len(string_split(text, ' '))) + count(*)) // (2 * count(*)))::INT AS avg_tokens_centi,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t2_quality_score" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    string_split(text, ' ') w,
-        |    len(string_split(text, ' ')) n_tokens,
-        |    len(regexp_extract_all(text, '[a-z]+')) n_regex_tokens,
-        |    length(replace(text, ' ', '')) n_nospace,
-        |    text
+        |    len(string_split(text, ' ')) n,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) k,
+        |    len(list_distinct(string_split(text, ' '))) d,
+        |    length(replace(text, ' ', '')) c,
+        |    len(regexp_extract_all(text, '[a-z]+')) n_regex_tokens
         |  FROM documents),
         |g AS (
-        |  SELECT doc_id, n_tokens, n_regex_tokens,
-        |    len(list_filter(w, t -> t IN ('the','a'))) / cast(n_tokens as double) stop_ratio,
-        |    len(list_distinct(w)) / cast(n_tokens as double) ttr,
-        |    n_nospace / cast(n_tokens as double) avg_token_len
-        |  FROM f)
-        |SELECT doc_id, n_tokens::INT AS n_tokens, n_regex_tokens::INT AS n_regex_tokens,
-        |  round(stop_ratio, 4) AS stop_ratio, round(ttr, 4) AS ttr,
-        |  round(avg_token_len, 4) AS avg_token_len,
-        |  round(0.4 * least(1.0, n_tokens / 50.0) +
-        |        0.3 * (1.0 - stop_ratio) + 0.3 * ttr, 4) AS quality
+        |  SELECT f.*, 2 * least(50, n) * n + 75 * (n - k) + 75 * d AS qnum FROM f)
+        |SELECT doc_id, n::INT AS n_tokens, n_regex_tokens::INT AS n_regex_tokens,
+        |  ((20000 * k + n) // (2 * n))::INT AS stop_ratio_bp,
+        |  ((20000 * d + n) // (2 * n))::INT AS ttr_bp,
+        |  ((20000 * c + n) // (2 * n))::INT AS avg_token_len_bp,
+        |  ((20000 * qnum + 250 * n) // (500 * n))::INT AS quality_bp
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "t3_lang_id" ->
