@@ -117,6 +117,9 @@ class VectorDB private (
     */
   def addDocuments(input: DataFrame, embedder: Embedder = new HashingEmbedder()): Unit = {
     Kernels.install(spark)
+    require(embedder.dim == dim,
+      s"embedder dim ${embedder.dim} != index dim $dim — a mismatch would " +
+        "silently truncate scores or fail at pack time")
     require(input.columns.contains("doc_id"), "input must have a doc_id column")
     require(input.columns.contains("text"), "input must have a text column")
     val withDoc = if (input.columns.contains("doc")) input
@@ -125,8 +128,14 @@ class VectorDB private (
       col("doc_id").cast("long").as("doc_id"),
       col("doc").cast("string").as("doc"),
       col("text").cast("string").as("text"))
-    val nNullIds = typed.filter(col("doc_id").isNull).count()
+    val F = org.apache.spark.sql.functions
+    val Array(nRows, nIds, nNullIds) = typed.select(
+      F.count(lit(1)), countDistinct(col("doc_id")), F.count(lit(1)) - F.count(col("doc_id")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
     require(nNullIds == 0, s"$nNullIds rows have null/non-integer doc_id")
+    require(nIds == nRows,
+      s"batch has ${nRows - nIds} duplicate doc_id rows — upsert semantics " +
+        "need unique ids per batch (MorTable last-writer-wins would be ambiguous)")
 
     val embedded = typed
       .withColumn("embedding", embedder.embed(col("text")))
@@ -204,6 +213,7 @@ class VectorDB private (
              int8Oversample: Int = 3,
              embedder: Embedder = new HashingEmbedder()): DataFrame = {
     Kernels.install(spark)
+    require(embedder.dim == dim, s"embedder dim ${embedder.dim} != index dim $dim")
     require(count() > 0, "search on empty index (BinaryVectorDB.py:190-191 guard)")
     val qRow = spark.range(1).select(
       embedder.embed(lit(text)).cast("array<double>").as("q"))
@@ -399,11 +409,19 @@ object VectorDB {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       def field(k: String): Option[String] =
         ("\"" + k + "\"\\s*:\\s*\"?([^\",}]+)\"?").r.findFirstMatchIn(txt).map(_.group(1))
+      val storedDim = field("dim").map(_.trim.toInt).getOrElse(dim)
+      val storedStorage = field("storage").getOrElse(VectorDB.StorageCow)
+      val storedLayout = field("layout").getOrElse(VectorDB.LayoutArray)
+      // An explicitly-requested non-default parameter that contradicts the
+      // stored config is a caller error, not something to silently ignore.
+      require(dim == 64 || dim == storedDim,
+        s"requested dim $dim but $folder is a dim-$storedDim index")
+      require(storage == StorageCow || storage == storedStorage,
+        s"requested storage '$storage' but $folder uses '$storedStorage'")
+      require(layout == LayoutArray || layout == storedLayout,
+        s"requested layout '$layout' but $folder uses '$storedLayout'")
       new VectorDB(spark, folder,
-        field("model").getOrElse(model),
-        field("dim").map(_.trim.toInt).getOrElse(dim),
-        field("storage").getOrElse(VectorDB.StorageCow),
-        field("layout").getOrElse(VectorDB.LayoutArray))
+        field("model").getOrElse(model), storedDim, storedStorage, storedLayout)
     } else {
       if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
         throw new IllegalStateException(

@@ -57,6 +57,11 @@ object Dedup {
     shingleCache.getOrElseUpdate((spark, dir),
       docs(spark, dir)
         .select(col("doc_id"), Kernels.shingles3(col("text")).as("s"))
+        // docs with <3 tokens have no shingles: drop them here, exactly
+        // as the oracle's unnest does — otherwise their sentinel MinHash
+        // (all Long.MaxValue) and zero SimHash would pair every short doc
+        // with every other and divide by u=0 in the Jaccard.
+        .filter(size(col("s")) > 0)
         .withColumn("hs", Kernels.h60Array(col("s")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

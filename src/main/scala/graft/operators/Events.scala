@@ -71,6 +71,9 @@ object Events {
   def jsonStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // rows without a numeric k are excluded in BOTH engines — otherwise
+      // a group of only such rows divides by zero in the integer mean
+      .filter(col("k").isNotNull)
       .groupBy("event_type")
       .agg(count(col("k")).as("n"), min("k").as("min_k"), max("k").as("max_k"),
         sum("k").as("ksum"), round(sum("value"), 2).as("sum_value"))
@@ -110,12 +113,14 @@ object Events {
         |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e3_json_stats" ->
-      """SELECT event_type, count(json_extract_string(props, '$.k')) AS n,
-        |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
-        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
-        |  ((20000 * sum(json_extract_string(props, '$.k')::BIGINT) + count(json_extract_string(props, '$.k')))
-        |    // (2 * count(json_extract_string(props, '$.k'))))::INT AS avg_k_bp,
+      """WITH e AS (
+        |  SELECT event_type, value, json_extract_string(props, '$.k')::BIGINT k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  ((20000 * sum(k) + count(*)) // (2 * count(*)))::INT AS avg_k_bp,
         |  round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM e WHERE k IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -272,8 +272,11 @@ object Search {
     }.toDF("qid", "qvec", "qcode")
     val ma = lit(maxAbs(emb))
 
-    // Phase I — one scan, Q heaps, map-side partial aggregation.
-    val phase1 = emb
+    // Phase I — one scan, Q heaps, map-side partial aggregation. The
+    // ≤ Q×100 winners are materialized driver-side in the SAME action
+    // that computes them (a second reference to the lineage would re-run
+    // the whole scan — caught in review), then rebuilt as a local DF.
+    val phase1Rows = emb
       .withColumn("code", Kernels.packBits(col("embedding")))
       .crossJoin(broadcast(queries.select("qid", "qcode")))
       .select(col("qid"), col("vec_id"),
@@ -282,10 +285,14 @@ object Search {
       .agg(Kernels.hammingTopK100(col("h"), col("vec_id")).as("topk"))
       .select(col("qid"), explode(col("topk")).as("c"))
       .select(col("qid"), col("c.vec_id").as("vec_id"), col("c.score").as("score_hamming"))
+      .collect()
+    val phase1 = spark.createDataFrame(phase1Rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+      .toDF("qid", "vec_id", "score_hamming")
 
-    // Point-lookup batch: candidate ids collected driver-side (≤ Q×100),
-    // filter pushed into the embeddings re-read.
-    val candIds = phase1.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+    // Point-lookup batch: candidate ids filter pushed into the
+    // embeddings re-read (phases II/III need the float vectors).
+    val candIds = phase1Rows.map(_.getLong(1)).distinct.toSeq
     val candEmb = emb.filter(col("vec_id").isin(candIds: _*))
       .select(col("vec_id"), col("embedding"))
 
