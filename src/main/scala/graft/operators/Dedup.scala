@@ -53,6 +53,17 @@ object Dedup {
   private val postingsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
+  /** Drop this session's persisted shingle/postings relations (call after
+    * the underlying documents change — the caches assume immutable
+    * fixture dirs).
+    */
+  def clearCaches(spark: SparkSession): Unit = {
+    shingleCache.filterInPlace { case ((s, _), df) =>
+      if (s == spark) { df.unpersist(); false } else true }
+    postingsCache.filterInPlace { case ((s, _, _), df) =>
+      if (s == spark) { df.unpersist(); false } else true }
+  }
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir),
       docs(spark, dir)

@@ -49,6 +49,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(doc.doc == "alpha beta gamma" && doc.emb_int8.length == 64)
   }
 
+  test("guard: embedder/index dim mismatch is rejected, not silently truncated") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdim").toFile
+    tmp.delete()
+    val db = graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath, dim = 1024)
+    intercept[IllegalArgumentException] {
+      db.addDocuments(Seq((1L, "alpha beta")).toDF("doc_id", "text")) // default 64-dim embedder
+    }
+  }
+
+  test("guard: duplicate doc_ids within one batch are rejected") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdup").toFile
+    tmp.delete()
+    val db = graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath)
+    intercept[IllegalArgumentException] {
+      db.addDocuments(Seq((1L, "a b c"), (1L, "d e f")).toDF("doc_id", "text"))
+    }
+  }
+
+  test("guard: reopening with contradicting explicit config errors instead of ignoring it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftconf").toFile
+    tmp.delete()
+    graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath) // cow, array, 64
+    intercept[IllegalArgumentException] {
+      graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath,
+        storage = graft.db.VectorDB.StorageMor)
+    }
+    intercept[IllegalArgumentException] {
+      graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath, dim = 1024)
+    }
+    // re-opening with defaults (or matching values) is fine
+    assert(graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath).dim == 64)
+  }
+
   test("empty-array embedding packs to empty code and zero hamming") {
     val out = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
       .select(Kernels.hamming(Kernels.packBits(col("a")), Kernels.packBits(col("b"))))
