@@ -100,6 +100,28 @@ class MorVectorDBSpec extends AnyFunSuite {
     assert(VectorDB.openOrCreate(spark, dbF.folder).layout == VectorDB.LayoutFlat)
   }
 
+  test("flat layout + MOR storage compose: deltas, update, compaction, search") {
+    val db = VectorDB.openOrCreate(spark, freshDir(),
+      storage = VectorDB.StorageMor, layout = VectorDB.LayoutFlat)
+    db.addDocuments(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text"))
+    assert(db.codes.columns.toSet == Set("doc_id", "c0"), "flat tier through MOR")
+    db.addDocuments(Seq((2L, "iota kappa lambda mu")).toDF("doc_id", "text"))
+    assert(db.count() == 2 && db.pendingDeltas() == 2)
+    val hit = db.search("iota kappa lambda", k = 1).head()
+    assert(hit.getAs[Long]("doc_id") == 2L)
+    db.compact()
+    assert(db.pendingDeltas() == 0 && db.count() == 2)
+    assert(db.search("alpha beta gamma", k = 1).head().getAs[Long]("doc_id") == 1L)
+    // batched search over the flat+MOR tiers
+    val emb = new graft.db.HashingEmbedder()
+    val qv = spark.range(1).select(emb.embed(
+      org.apache.spark.sql.functions.lit("alpha beta gamma delta")).cast("array<double>"))
+      .head().getSeq[Double](0)
+    assert(db.searchMany(Seq((0L, qv))).head().getAs[Long]("doc_id") == 1L)
+  }
+
   test("MOR upserts are O(batch): the base file is never touched by a commit") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
