@@ -25,9 +25,10 @@ object SparkEntry {
     "v4_knn_per_label" -> ((s, d) => Search.knnPerLabel(s, d)),
     "v5_neardup_embedding" -> ((s, d) => Search.nearDupEmbeddings(s, d)),
     "v6_ivf_knn" -> ((s, d) => Search.ivfKnn(s, d)),
-    // MLlib k-means IVF (learned cells; rows-only check — iterative fit
-    // has no closed-form SQL oracle; the deterministic twin is v6).
-    "v7_ivf_kmeans" -> ((s, d) => MLSimilarity.kmeansIvfKnn(s, d)),
+    // MLlib k-means IVF (learned cells) at full probe: exact top-k by
+    // construction, so the iterative fit gets a real DuckDB oracle (the
+    // cell-pruned serving config is spec-checked in MLSimilaritySpec).
+    "v7_ivf_kmeans" -> ((s, d) => MLSimilarity.kmeansIvfKnnExact(s, d)),
     // Batched multi-query scan via the bounded top-k heap aggregate.
     "v8_multiquery_topk" -> ((s, d) => Search.multiQueryHamming(s, d)),
     // Fused three-phase funnel for a query batch in one scan.
@@ -68,6 +69,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Search.oracles ++ Relational.oracles ++ Dedup.oracles ++
+    Search.oracles ++ MLSimilarity.oracles ++ Relational.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Events.oracles ++ graft.multimodal.Multimodal.oracles
 }

@@ -286,8 +286,6 @@ class VectorDB private (
     import org.apache.spark.sql.expressions.Window
     Kernels.install(spark)
     require(count() > 0, "search on empty index")
-    require(k * binaryOversample == 100,
-      "registered phase-I heap arity is 100 (k * binaryOversample must be 100)")
     import spark.implicits._
     val qdf = queries.map { case (qid, qv) =>
       (qid, qv, graft.operators.Search.packQuery(qv))
@@ -305,7 +303,8 @@ class VectorDB private (
       .select(col("qid"), col("doc_id"), col("__code"),
         Kernels.hamming(col("__code"), col("qcode")).as("h"))
       .groupBy("qid")
-      .agg(Kernels.hammingTopKWithCode100(col("h"), col("doc_id"), col("__code")).as("topk"))
+      .agg(Kernels.hammingTopKWithCode(col("h"), col("doc_id"), col("__code"),
+        k * binaryOversample).as("topk"))
       .select(col("qid"), explode(col("topk")).as("c"))
       .select(col("qid"), col("c.vec_id").as("doc_id"),
         col("c.score").as("score_hamming"), col("c.code").as("__code"))

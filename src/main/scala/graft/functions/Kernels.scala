@@ -32,10 +32,26 @@ object Kernels {
     "graft_embed_64"  -> (e => HashingEmbed(e(0), 64)),
     "graft_shingle3"  -> (e => Shingle3(e(0))),
     "graft_embed_1024" -> (e => HashingEmbed(e(0), 1024)),
-    "graft_topk_hamming_10" -> (e => HammingTopKAgg(e(0), e(1), 10)),
-    "graft_topk_hamming_100" -> (e => HammingTopKAgg(e(0), e(1), 100)),
-    "graft_topk_code_100" -> (e => HammingTopKCodeAgg(e(0), e(1), e(2), 100)),
+    // k arrives as a literal expression argument, parsed at build time
+    // (the reference accepts any k/oversample, BinaryVectorDB.py:174).
+    "graft_topk_hamming" -> (e => HammingTopKAgg(e(0), e(1), litInt(e(2), "graft_topk_hamming"))),
+    "graft_topk_code" -> (e => HammingTopKCodeAgg(e(0), e(1), e(2), litInt(e(3), "graft_topk_code"))),
   )
+
+  /** Fold a constant integer argument at function-build time (the heap
+    * arity must be fixed before execution — it sizes the agg buffer).
+    */
+  private def litInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: k must be a literal, got ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an integer literal, got $other")
+    }
+  }
 
   /** Idempotent per-session registration of all kernels. */
   def install(spark: SparkSession): Unit = registrations.foreach { case (name, builder) =>
@@ -76,19 +92,17 @@ object Kernels {
 
   /** Bounded top-k aggregate over (int score, long id) pairs — smallest k
     * by (score, id), as array<struct<vec_id,score>>. Map-side partial
-    * heaps mean a multi-query scan shuffles only Q×k states.
+    * heaps mean a multi-query scan shuffles only Q×k states. Any k ≥ 1
+    * (passed as a literal, folded at function-build time).
     */
-  def hammingTopK10(score: Column, id: Column): Column =
-    call_function("graft_topk_hamming_10", score, id)
-
-  def hammingTopK100(score: Column, id: Column): Column =
-    call_function("graft_topk_hamming_100", score, id)
+  def hammingTopK(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk_hamming", score, id, lit(k))
 
   /** Top-k heap carrying the packed code as payload — phase II of the
     * fused funnel reads candidate codes from the aggregate output.
     */
-  def hammingTopKWithCode100(score: Column, id: Column, code: Column): Column =
-    call_function("graft_topk_code_100", score, id, code)
+  def hammingTopKWithCode(score: Column, id: Column, code: Column, k: Int): Column =
+    call_function("graft_topk_code", score, id, code, lit(k))
 
   // ---- deterministic text hashing (oracle-mirrorable) ---------------------
 

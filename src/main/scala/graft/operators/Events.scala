@@ -107,7 +107,7 @@ object Events {
         |sessions AS (
         |  SELECT user_id, sess_id, count(*) n_events, max(sec) - min(sec) dur_secs
         |  FROM numbered GROUP BY user_id, sess_id)
-        |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+        |SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
         |  ((20000 * sum(n_events) + count(*)) // (2 * count(*)))::INT AS avg_session_events_bp,
         |  max(dur_secs) AS max_session_secs
         |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,

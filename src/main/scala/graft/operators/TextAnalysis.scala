@@ -192,7 +192,7 @@ object TextAnalysis {
         |      row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, marker_lang ASC) rnk
         |    FROM hits) WHERE rnk = 1)
         |SELECT d.lang, count(*) AS n_docs,
-        |  sum(CASE WHEN coalesce(p.predicted, 'unknown') = d.lang THEN 1 ELSE 0 END) AS n_correct
+        |  sum(CASE WHEN coalesce(p.predicted, 'unknown') = d.lang THEN 1 ELSE 0 END)::BIGINT AS n_correct
         |FROM documents d LEFT JOIN pred p USING (doc_id)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 

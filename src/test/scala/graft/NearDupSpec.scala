@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E4 embedding near-dup (v5): the banded blocking must be provably
+  * lossless — the load-bearing claim is that 8 bands × 8 bits over the
+  * 64-bit sign code is pigeonhole-EXACT for hamming ≤ 7, so the blocked
+  * join equals the unblocked all-pairs join.
+  */
+class NearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("fixture corpus has no natural near-dups (min pairwise sign-hamming is 13)") {
+    val base = graft.operators.Search.packedEmb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    assert(graft.operators.Search.nearDupPairs(base).count() == 0)
+  }
+
+  test("injected-duplicate evaluation: finds exactly the planted clone pairs") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val rows = graft.operators.Search.nearDupEmbeddings(spark, dir).collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000L)
+      assert(r.getAs[Int]("hamming") == 0)
+      assert(r.getAs[Double]("sim") >= 0.99)
+    }
+  }
+
+  test("banded blocking equals the unblocked all-pairs join (pigeonhole exactness)") {
+    import graft.functions.Kernels
+    // Same augmented relation as the registered query, restricted to 80
+    // vectors so the O(n²) brute force stays cheap.
+    val base = graft.operators.Search.packedEmb(spark, dir)
+      .filter(col("vec_id") < 80)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val clones = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"),
+        (x, i) => x * (lit(1.0) + ((i % 5) + 1).cast("double") * lit(0.01))).as("v"))
+    val all = base.unionByName(clones)
+
+    val blocked = graft.operators.Search.nearDupPairs(all)
+      .select("id_a", "id_b", "hamming", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    val coded = all.select(col("vec_id"), col("v"), Kernels.packBits(col("v")).as("code"))
+    val a = coded.select(col("vec_id").as("id_a"), col("v").as("va"), col("code").as("ca"))
+    val b = coded.select(col("vec_id").as("id_b"), col("v").as("vb"), col("code").as("cb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", Kernels.hamming(col("ca"), col("cb")))
+      .filter(col("hamming") <= 7)
+      .withColumn("sim", round(Kernels.cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= 0.99)
+      .select("id_a", "id_b", "hamming", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    assert(brute.nonEmpty)
+    assert(blocked == brute)
+  }
+}

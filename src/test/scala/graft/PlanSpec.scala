@@ -78,6 +78,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_graft_topk_hamming"), p)
   }
 
+  test("near-dup pair enumeration joins on SimHash band keys, never on label") {
+    val p = plan(graft.operators.Search.nearDupEmbeddings(spark, dir))
+    assert(p.contains("bkey"), s"band-key join missing:\n$p")
+    // Round 1 blocked on `label` (10 fixed values — O(n²/10) pairs at
+    // scale); no join may key on it anymore.
+    assert(!"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\\n]*label"
+      .r.findFirstIn(p).isDefined, s"label blocking resurfaced:\n$p")
+  }
+
   test("quality scoring is a shuffle-free per-row map (modulo output ordering)") {
     val base = spark.read.parquet(s"$dir/documents.parquet")
     // the feature computation itself — without the presentation orderBy
