@@ -38,7 +38,8 @@ class VectorDB private (
     val model: String,
     val dim: Int,
     val storage: String,
-    val layout: String) {
+    val layout: String,
+    val index: String) {
 
   import VectorDB._
 
@@ -50,6 +51,7 @@ class VectorDB private (
 
   private val isMor = storage == VectorDB.StorageMor
   private val isFlat = layout == VectorDB.LayoutFlat
+  private val isIvf = index == VectorDB.IndexIvf
   /** Code words per vector (64 bits each). */
   private val nWords = (dim + 63) / 64
   private lazy val codesMor = new MorTable(spark, s"$folder/codes.mor", "doc_id")
@@ -61,10 +63,24 @@ class VectorDB private (
   private def hasData: Boolean =
     if (isMor) codesMor.exists else fs.exists(new Path(codesPath))
 
-  private def emptyCodesSchema: StructType =
-    if (isFlat) StructType(StructField("doc_id", LongType, nullable = false) +:
-      (0 until nWords).map(i => StructField(s"c$i", LongType, nullable = false)))
-    else codesSchema
+  private def emptyCodesSchema: StructType = {
+    val base =
+      if (isFlat) StructType(StructField("doc_id", LongType, nullable = false) +:
+        (0 until nWords).map(i => StructField(s"c$i", LongType, nullable = false)))
+      else codesSchema
+    if (isIvf) StructType(base.fields :+ StructField("cell", IntegerType, nullable = true))
+    else base
+  }
+
+  /** IVF coarse quantizer: cell = the top [[VectorDB.IvfPrefixBits]] bits
+    * of the first code word (a deterministic hamming-space prefix
+    * quantizer — two codes in the same cell agree on those bits). The
+    * snapshot is partitioned by cell, so a probe-limited search prunes
+    * non-probed cells at the file source.
+    */
+  private def cellOf(firstWord: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftrightunsigned(firstWord, 64 - VectorDB.IvfPrefixBits)
+      .bitwiseAND(lit(VectorDB.IvfCells - 1)).cast("int")
 
   /** The hot tier: (doc_id, code…), cached in memory across queries. */
   def codes: DataFrame = codesCache.getOrElse {
@@ -149,10 +165,14 @@ class VectorDB private (
       // Flat layout: one primitive long column per 64-bit word — the
       // cached columnar scan stays fully primitive (measured ~15% faster
       // at 1M x 1024 bits, graft.ScanBench).
-      val newCodes =
+      val newCodesBase =
         if (isFlat) embedded.select(col("doc_id") +:
           (0 until nWords).map(i => element_at(packed, i + 1).as(s"c$i")): _*)
         else embedded.select(col("doc_id"), packed.as("code"))
+      val newCodes =
+        if (isIvf) newCodesBase.withColumn("cell",
+          cellOf(if (isFlat) col("c0") else element_at(col("code"), 1)))
+        else newCodesBase
       val newDocs = embedded.select(col("doc_id"), col("doc"),
         Kernels.int8(col("embedding"), lit(if (ma > 0) ma else 1.0)).as("emb_int8"))
 
@@ -211,24 +231,43 @@ class VectorDB private (
     */
   def search(text: String, k: Int = 10, binaryOversample: Int = 10,
              int8Oversample: Int = 3,
-             embedder: Embedder = new HashingEmbedder()): DataFrame = {
+             embedder: Embedder = new HashingEmbedder(),
+             nprobe: Int = Int.MaxValue): DataFrame = {
     Kernels.install(spark)
     require(embedder.dim == dim, s"embedder dim ${embedder.dim} != index dim $dim")
     require(count() > 0, "search on empty index (BinaryVectorDB.py:190-191 guard)")
     val qRow = spark.range(1).select(
       embedder.embed(lit(text)).cast("array<double>").as("q"))
       .head().getSeq[Double](0)
-    searchVector(qRow, k, binaryOversample, int8Oversample)
+    searchVector(qRow, k, binaryOversample, int8Oversample, nprobe)
   }
 
-  /** O8–O10 with a caller-supplied query vector. */
+  /** O8–O10 with a caller-supplied query vector. Under the `ivf` index
+    * strategy, `nprobe` limits the Phase-I scan to the nprobe cells
+    * nearest the query's code prefix (cells probed in hamming order);
+    * the default probes every cell — identical results to `flat`, the
+    * spec-pinned parity property. Partition pruning happens at the file
+    * source for uncached snapshots and at the in-memory partition filter
+    * for the cached hot tier.
+    */
   def searchVector(q: Seq[Double], k: Int = 10, binaryOversample: Int = 10,
-                   int8Oversample: Int = 3): DataFrame = {
+                   int8Oversample: Int = 3, nprobe: Int = Int.MaxValue): DataFrame = {
     Kernels.install(spark)
     require(count() > 0, "search on empty index")
+    require(isIvf || nprobe == Int.MaxValue,
+      s"nprobe is an '${VectorDB.IndexIvf}' index parameter; this DB uses '$index'")
     val qLit = typedlit(q)
     val qWords = graft.operators.Search.packQuery(q)
     val qCode = typedlit(qWords)
+
+    val scanned =
+      if (isIvf && nprobe < VectorDB.IvfCells) {
+        val qPrefix = (qWords(0) >>> (64 - VectorDB.IvfPrefixBits)).toInt & (VectorDB.IvfCells - 1)
+        val probed = (0 until VectorDB.IvfCells)
+          .sortBy(c => (java.lang.Integer.bitCount(c ^ qPrefix), c))
+          .take(nprobe)
+        codes.filter(col("cell").isin(probed: _*))
+      } else codes
 
     // Flat layout: hamming as a codegen'd sum of builtin bit_count(xor)
     // terms over primitive columns; the code array is reassembled only
@@ -238,9 +277,9 @@ class VectorDB private (
         expr(s"bit_count(c$i ^ ${qWords(i)}L)")).reduce(_ + _).cast("int")
       else Kernels.hamming(col("code"), qCode)
     val withCode =
-      if (isFlat) codes.withColumn("score_hamming", hammingCol)
+      if (isFlat) scanned.withColumn("score_hamming", hammingCol)
         .withColumn("code", array((0 until nWords).map(i => col(s"c$i")): _*))
-      else codes.withColumn("score_hamming", hammingCol)
+      else scanned.withColumn("score_hamming", hammingCol)
     val phase1 = withCode
       .orderBy(col("score_hamming").asc, col("doc_id").asc)
       .limit(math.min(k * binaryOversample, Int.MaxValue))
@@ -348,7 +387,12 @@ class VectorDB private (
     // live dirs, so an in-place overwrite would corrupt its own source.
     val tmpCodes = s"$codesPath.tmp"
     val tmpDocs = s"$docsPath.tmp"
-    newCodes.write.mode("overwrite").parquet(tmpCodes)
+    // IVF: cell-partitioned hot tier (co-located per cell first so each
+    // cell gets one file, not partitions × cells fragments).
+    if (isIvf)
+      newCodes.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(tmpCodes)
+    else newCodes.write.mode("overwrite").parquet(tmpCodes)
     // Cold tier sorted by doc_id within partitions: candidate-id filters
     // prune row groups via parquet min/max stats (the point-lookup path).
     newDocs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmpDocs)
@@ -392,14 +436,30 @@ object VectorDB {
   val LayoutArray = "array"
   val LayoutFlat = "flat"
 
+  /** Index strategies — the facade-level mirror of the reference's
+    * `index_type` constructor knob (`BinaryVectorDB.py:17`):
+    * `flat` (default, the reference's own default: exhaustive Phase-I
+    * scan) and `ivf` (cell-partitioned hot tier keyed by a deterministic
+    * sign-code-prefix quantizer; `search(nprobe = …)` limits the scan to
+    * the nearest cells, nprobe = all cells reproduces `flat` exactly).
+    */
+  val IndexFlat = "flat"
+  val IndexIvf = "ivf"
+  /** IVF cell count = 2^IvfPrefixBits. */
+  val IvfPrefixBits = 4
+  val IvfCells: Int = 1 << IvfPrefixBits
+
   def openOrCreate(spark: SparkSession, folder: String,
                    model: String = "graft-hash-64", dim: Int = 64,
                    storage: String = StorageCow,
-                   layout: String = LayoutArray): VectorDB = {
+                   layout: String = LayoutArray,
+                   index: String = IndexFlat): VectorDB = {
     require(storage == StorageCow || storage == StorageMor,
       s"storage must be '$StorageCow' or '$StorageMor', got '$storage'")
     require(layout == LayoutArray || layout == LayoutFlat,
       s"layout must be '$LayoutArray' or '$LayoutFlat', got '$layout'")
+    require(index == IndexFlat || index == IndexIvf,
+      s"index must be '$IndexFlat' or '$IndexIvf', got '$index'")
     val fs = FileSystem.get(new java.net.URI(folder), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(folder)
     val cfg = new Path(s"$folder/config.json")
@@ -411,6 +471,7 @@ object VectorDB {
       val storedDim = field("dim").map(_.trim.toInt).getOrElse(dim)
       val storedStorage = field("storage").getOrElse(VectorDB.StorageCow)
       val storedLayout = field("layout").getOrElse(VectorDB.LayoutArray)
+      val storedIndex = field("index").getOrElse(VectorDB.IndexFlat)
       // An explicitly-requested non-default parameter that contradicts the
       // stored config is a caller error, not something to silently ignore.
       require(dim == 64 || dim == storedDim,
@@ -419,8 +480,11 @@ object VectorDB {
         s"requested storage '$storage' but $folder uses '$storedStorage'")
       require(layout == LayoutArray || layout == storedLayout,
         s"requested layout '$layout' but $folder uses '$storedLayout'")
+      require(index == IndexFlat || index == storedIndex,
+        s"requested index '$index' but $folder uses '$storedIndex'")
       new VectorDB(spark, folder,
-        field("model").getOrElse(model), storedDim, storedStorage, storedLayout)
+        field("model").getOrElse(model), storedDim, storedStorage, storedLayout,
+        storedIndex)
     } else {
       if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
         throw new IllegalStateException(
@@ -429,9 +493,9 @@ object VectorDB {
       val out = fs.create(cfg, true)
       try out.write(
         (s"""{"version": "1.0", "model": "$model", "dim": $dim, """ +
-          s""""storage": "$storage", "layout": "$layout"}""").getBytes("UTF-8"))
+          s""""storage": "$storage", "layout": "$layout", "index": "$index"}""").getBytes("UTF-8"))
       finally out.close()
-      new VectorDB(spark, folder, model, dim, storage, layout)
+      new VectorDB(spark, folder, model, dim, storage, layout, index)
     }
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.db.VectorDB
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Facade-level index strategy (the reference's `index_type` knob,
+  * `BinaryVectorDB.py:17`): the same corpus under `flat` and `ivf` must
+  * return identical search results at full probe, and the ivf snapshot
+  * must actually be cell-partitioned on disk.
+  */
+class IndexStrategySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftidx").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private val corpus = (1L to 200L).map(i =>
+    (i, s"tok${i % 13} tok${i % 7} tok${i % 31} tok${i % 3}")).toSeq
+
+  test("flat and ivf strategies return identical results on the same corpus") {
+    val flat = VectorDB.openOrCreate(spark, freshDir())
+    val ivf = VectorDB.openOrCreate(spark, freshDir(), index = VectorDB.IndexIvf)
+    flat.addDocuments(corpus.toDF("doc_id", "text"))
+    ivf.addDocuments(corpus.toDF("doc_id", "text"))
+
+    Seq("tok1 tok5", "tok12 tok2 tok30").foreach { q =>
+      val a = flat.search(q, k = 5).collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Double]("score_cossim"))).toSeq
+      val b = ivf.search(q, k = 5).collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Double]("score_cossim"))).toSeq
+      assert(a == b, s"query '$q'")
+    }
+
+    // The ivf hot tier is physically cell-partitioned.
+    val cellDirs = new java.io.File(s"${ivf.folder}/codes.parquet")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+
+    // Strategy survives reopen; probing is rejected on a flat index.
+    assert(VectorDB.openOrCreate(spark, ivf.folder).index == VectorDB.IndexIvf)
+    intercept[IllegalArgumentException] { flat.search("tok1", nprobe = 2) }
+  }
+
+  test("probe-limited ivf search returns k results from the probed cells only") {
+    val ivf = VectorDB.openOrCreate(spark, freshDir(), index = VectorDB.IndexIvf)
+    ivf.addDocuments(corpus.toDF("doc_id", "text"))
+    val full = ivf.search("tok4 tok9", k = 5).collect().map(_.getAs[Long]("doc_id")).toSet
+    val pruned = ivf.search("tok4 tok9", k = 5, nprobe = 4).collect()
+    assert(pruned.length == 5)
+    // Probing the nearest cells first keeps most of the exact top-k.
+    assert(pruned.map(_.getAs[Long]("doc_id")).count(full) >= 3)
+  }
+}
