@@ -63,6 +63,11 @@ object SparkEntry {
     "e3_json_stats" -> ((s, d) => Events.jsonStats(s, d)),
     // Multimodal: opaque binary payloads + partition-wise decode stub.
     "m1_media_features" -> ((s, d) => graft.multimodal.Multimodal.mediaFeatures(s, d)),
+    // P: pipeline-composition operators (post-dedup corpus build steps).
+    "p1_dedup_clusters" -> ((s, d) => Pipeline.dedupClusters(s, d)),
+    "p2_hash_split" -> ((s, d) => Pipeline.hashSplit(s, d)),
+    "p3_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
+    "p4_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,5 +75,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Search.oracles ++ MLSimilarity.oracles ++ Relational.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Events.oracles ++ graft.multimodal.Multimodal.oracles
+      TextAnalysis.oracles ++ Events.oracles ++ graft.multimodal.Multimodal.oracles ++
+      Pipeline.oracles
 }

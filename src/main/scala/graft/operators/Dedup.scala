@@ -64,7 +64,7 @@ object Dedup {
       if (s == spark) { df.unpersist(); false } else true }
   }
 
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir),
       docs(spark, dir)
         .select(col("doc_id"), Kernels.shingles3(col("text")).as("s"))

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.functions.Kernels
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline composition operators — the steps a large-scale
+  * corpus build runs AFTER per-document analysis and pair-level dedup:
+  * duplicate clustering (connected components over near-dup pairs, so one
+  * representative per group survives), leakage-proof train/val/test
+  * splitting, context-window sequence packing, and benchmark
+  * decontamination. All deterministic arithmetic over the shared hashing
+  * scheme, so every operator is DuckDB-oracle-checkable.
+  */
+object Pipeline {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    Kernels.install(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+  }
+
+  /** P1: duplicate clusters = connected components over the SimHash
+    * near-dup pairs of [[Dedup.simhashDedup]] (a dedup pipeline keeps
+    * min(doc_id) per cluster and drops the rest — the cluster_id IS the
+    * kept representative). Min-label propagation to fixpoint: each
+    * iteration is one join + min-aggregate — the same alternating-join
+    * shape GraphX's connectedComponents runs; iterations are bounded by
+    * the cluster diameter (near-dup clusters are shallow; at 100 TB
+    * checkpoint the label relation every few iterations to cut lineage).
+    * Output: (cluster_id, n_docs) for every cluster of size ≥ 2.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashDedup(spark, dir).select("doc_a", "doc_b")
+    val edgesWide = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The pair graph is orders of magnitude smaller than the corpus (only
+    // near-dup docs appear). Below ~1M edges the iteration cost is pure
+    // task-scheduling overhead, so collapse to one partition; above, keep
+    // the cluster-wide layout (the joins then shuffle on node id).
+    val edges =
+      if (edgesWide.count() < 1000000) edgesWide.coalesce(1)
+      else edgesWide
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // Labels only ever decrease, so the label-sum is strictly monotone
+      // until the fixpoint: convergence = unchanged sum — one cheap
+      // aggregate per iteration instead of a join-and-compare.
+      def labelSum(): Long =
+        labels.agg(sum("label")).head().getLong(0)
+      var prevSum = Long.MaxValue
+      var curSum = labelSum()
+      var iter = 0
+      while (curSum != prevSum && iter < 50) {
+        // label(n) ← min(label(n), min over neighbors m of label(m))
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(min("label").as("nl"))
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        labels.unpersist()
+        labels = next
+        prevSum = curSum
+        curSum = labelSum()
+        iter += 1
+      }
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("cluster_id")
+    } finally edgesWide.unpersist()
+  }
+
+  /** P2: leakage-proof train/val/test split — the assignment hashes the
+    * CONTENT (same 60-bit md5 scheme as the dedup family), so exact
+    * duplicates land in the same split by construction and re-runs are
+    * reproducible with no stored state. 80/10/10 buckets; pure per-row
+    * map + hash-aggregate.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("b", Kernels.h60(col("text")) % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .withColumn("n_tokens", size(Kernels.tokens(col("text"))))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+      .orderBy("lang", "split")
+
+  /** P3: context-window sequence packing — concatenate documents in
+    * deterministic (doc_id) order inside each language shard and cut the
+    * stream every `ctxTokens` tokens; a document belongs to the bin where
+    * it starts. One window partitioned by lang (shard-parallel — a corpus
+    * build packs within shards, never one global stream), then a
+    * hash-aggregate. Output: per (lang, bin) document and token counts.
+    */
+  def packSequences(spark: SparkSession, dir: String, ctxTokens: Int = 512): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .withColumn("n_tokens", size(Kernels.tokens(col("text"))))
+      .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin", expr(s"int(start div $ctxTokens)"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  /** P4: benchmark decontamination — flag training documents sharing any
+    * word 3-gram shingle with the held-out set (here: `source = 'src0'`
+    * as the eval proxy). The eval shingle set is distinct-projected (tiny
+    * vs the corpus — broadcast at real scale); the train side joins it by
+    * shingle, the standard n-gram-overlap decontamination pass. Output:
+    * per language, training docs and how many are contaminated.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+                    evalSource: String = "src0"): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "lang", "source")
+    val ex = Dedup.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("s")).as("sg"))
+      .join(d, "doc_id")
+    val evalSh = ex.filter(col("source") === evalSource).select("sg").distinct()
+    val contaminated = ex.filter(col("source") =!= evalSource)
+      .join(evalSh, "sg")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1L))
+
+    d.filter(col("source") =!= evalSource)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train"), sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .orderBy("lang")
+  }
+
+  // ---- DuckDB oracles -----------------------------------------------------
+
+  /** Shingle CTE chain shared with [[Dedup]]'s oracles. */
+  private val shingle =
+    """tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
+      |  FROM tok),
+      |ex AS (SELECT sh.doc_id, u.sg,
+      |  cast(concat('0x', substr(md5(u.sg), 1, 15)) as bigint) h
+      |  FROM sh, unnest(sh.s) u(sg))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Connected components in SQL: reachability closure via a recursive
+    // CTE (UNION dedups, guaranteeing termination), then min reachable
+    // label per node. Mirrors the d3 pair derivation verbatim.
+    "p1_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingle,
+         |votes AS (
+         |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) v
+         |  FROM ex, range(0,60) r(j) GROUP BY doc_id, j),
+         |sim AS (
+         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) sh60
+         |  FROM votes GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh60, b.sh60)) <= 10),
+         |nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges AS (SELECT doc_a src, doc_b dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |walk(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, walk.label FROM edges e JOIN walk ON e.src = walk.node),
+         |comp AS (SELECT node, min(label) lbl FROM walk GROUP BY node)
+         |SELECT lbl AS cluster_id, count(*) AS n_docs
+         |FROM comp GROUP BY lbl ORDER BY cluster_id""".stripMargin,
+
+    "p2_hash_split" ->
+      """WITH f AS (
+        |  SELECT lang, len(string_split(text,' ')) n_tokens,
+        |    cast(concat('0x', substr(md5(text), 1, 15)) as bigint) % 100 b
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS tok_sum
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p3_pack_sequences" ->
+      """WITH f AS (
+        |  SELECT lang, doc_id, len(string_split(text,' ')) n_tokens FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+        |  FROM f)
+        |SELECT lang, (start // 512)::INT AS bin, count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p4_decontaminate" ->
+      s"""WITH $shingle,
+         |eval_sh AS (SELECT DISTINCT ex.sg FROM ex JOIN documents d USING (doc_id)
+         |            WHERE d.source = 'src0'),
+         |contaminated AS (
+         |  SELECT DISTINCT ex.doc_id FROM ex JOIN eval_sh USING (sg)
+         |  JOIN documents d ON d.doc_id = ex.doc_id WHERE d.source <> 'src0')
+         |SELECT d.lang, count(*) AS n_train,
+         |  (count(*) FILTER (WHERE c.doc_id IS NOT NULL))::BIGINT AS n_contaminated
+         |FROM documents d LEFT JOIN contaminated c USING (doc_id)
+         |WHERE d.source <> 'src0'
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-composition operators (P1–P4): the distributed
+  * connected-components result is checked against an independent
+  * driver-side union-find, and the split/pack/decontaminate operators
+  * against their conservation invariants.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedupClusters equals a driver-side union-find over the same pairs") {
+    val pairs = graft.operators.Dedup.simhashDedup(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find).map { case (_, m) =>
+      (m.min, m.size.toLong)
+    }.toSet
+
+    val got = graft.operators.Pipeline.dedupClusters(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"))).toSet
+    assert(got == expected)
+  }
+
+  test("hashSplit partitions every document exactly once (counts conserve)") {
+    val split = graft.operators.Pipeline.hashSplit(spark, dir).collect()
+    val perLang = split.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(perLang == truth)
+    // Content-hash split: the train bucket dominates (80% expected).
+    val train = split.filter(_.getAs[String]("split") == "train").map(_.getAs[Long]("n_docs")).sum
+    assert(train * 10 > split.map(_.getAs[Long]("n_docs")).sum * 6)
+  }
+
+  test("packSequences conserves tokens and fills bins contiguously per lang") {
+    val packed = graft.operators.Pipeline.packSequences(spark, dir).collect()
+    val totTokens = packed.map(_.getAs[Long]("tokens")).sum
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("sum(size(split(text, ' ')))").head().getLong(0)
+    assert(totTokens == truth)
+    packed.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val bins = rows.map(_.getAs[Int]("bin")).sorted.toSeq
+      assert(bins == (0 until bins.length), s"lang $lang bins: $bins")
+    }
+  }
+
+  test("decontaminate: contaminated is bounded by train, eval source excluded") {
+    val rows = graft.operators.Pipeline.decontaminate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_train"))
+    }
+    val nTrain = rows.map(_.getAs[Long]("n_train")).sum
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val nEval = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("source") === "src0").count()
+    assert(nTrain == total - nEval)
+  }
+}
