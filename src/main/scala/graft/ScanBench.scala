@@ -69,6 +69,23 @@ object ScanBench {
     val fmedian = ftimes.sorted.apply(ftimes.size / 2)
     println(f"flat_layout_runs_ms=${ftimes.map(t => f"$t%.1f").mkString(",")}")
 
+    // Prepared-plan execution floor: scanFlat re-analyzes/optimizes the
+    // query each call; a serving layer reuses the resolved plan and pays
+    // only execution (collect() re-runs the cached physical plan). The
+    // gap between this and the numbers above is pure per-call planning.
+    val preparedDf = flat.select(col("doc_id"), hammingFlat.as("d"))
+      .orderBy(col("d").asc, col("doc_id").asc)
+      .limit(100)
+    preparedDf.collect()
+    def scanPrepared(): Double = {
+      val t0 = System.nanoTime()
+      preparedDf.collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    val ptimes = (1 to 7).map(_ => scanPrepared())
+    val pmedian = ptimes.sorted.apply(ptimes.size / 2)
+    println(f"prepared_flat_runs_ms=${ptimes.map(t => f"$t%.1f").mkString(",")}")
+
     // Concurrent queries: the engine's serving model amortizes fixed
     // job-scheduling overhead across in-flight queries (the reference
     // serves one query per 24 ms; Spark overlaps them).
@@ -83,7 +100,7 @@ object ScanBench {
     pool.shutdown()
     println(f"concurrent_per_query_ms=$concPerQuery%.1f")
 
-    println(f"""{"metric":"phase1_scan_1m_ms","value":$fmedian%.1f,"unit":"ms","n":$n,"array_layout_ms":$median%.1f,"concurrent_per_query_ms":$concPerQuery%.1f,"baseline_ms":24,"note":"reference README.md:14 - 1M x 1024-bit exhaustive hamming"}""")
+    println(f"""{"metric":"phase1_scan_1m_ms","value":$fmedian%.1f,"unit":"ms","n":$n,"array_layout_ms":$median%.1f,"prepared_flat_ms":$pmedian%.1f,"concurrent_per_query_ms":$concPerQuery%.1f,"baseline_ms":24,"note":"reference README.md:14 - 1M x 1024-bit exhaustive hamming"}""")
     spark.stop()
   }
 }
