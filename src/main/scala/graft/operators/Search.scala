@@ -353,42 +353,48 @@ object Search {
     }.toDF("qid", "qvec", "qcode")
     val ma = lit(maxAbs(spark, dir))
 
-    // Phase I — one scan, Q heaps, map-side partial aggregation. The
-    // ≤ Q×100 winners are materialized driver-side in the SAME action
-    // that computes them (a second reference to the lineage would re-run
-    // the whole scan — caught in review), then rebuilt as a local DF.
-    val phase1Rows = emb
+    // Phases I+II fused into ONE pass over the hot tier: the heap carries
+    // each candidate's packed code as payload (HammingTopKCodeAgg), so
+    // the ⟨float, ±1-binary⟩ rescore reads codes straight out of the
+    // aggregate output — no join back to the embeddings and nothing
+    // re-scanned. The ≤ Q×(k·int8Oversample) phase-II winners are
+    // materialized driver-side in the SAME action (a second reference to
+    // the lineage would re-run the whole scan), then only THEY join the
+    // embeddings for the int8 rescore — a point-lookup batch of 30×Q ids
+    // instead of the pre-fusion 100×Q.
+    val wB = Window.partitionBy("qid").orderBy(col("score_binary").desc, col("vec_id").asc)
+    val phase2Rows = emb
       .crossJoin(broadcast(queries.select("qid", "qcode")))
-      .select(col("qid"), col("vec_id"),
+      .select(col("qid"), col("vec_id"), col("code"),
         Kernels.hamming(col("code"), col("qcode")).as("h"))
       .groupBy("qid")
-      .agg(Kernels.hammingTopK(col("h"), col("vec_id"), k * binaryOversample).as("topk"))
+      .agg(Kernels.hammingTopKWithCode(col("h"), col("vec_id"), col("code"),
+        k * binaryOversample).as("topk"))
       .select(col("qid"), explode(col("topk")).as("c"))
-      .select(col("qid"), col("c.vec_id").as("vec_id"), col("c.score").as("score_hamming"))
+      .select(col("qid"), col("c.vec_id").as("vec_id"),
+        col("c.score").as("score_hamming"), col("c.code").as("qcodecand"))
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .withColumn("score_binary", round(Kernels.signDot(col("qvec"), col("qcodecand")), 4))
+      .withColumn("r2", row_number().over(wB))
+      .filter(col("r2") <= k * int8Oversample)
+      .select("qid", "vec_id", "score_hamming", "score_binary")
       .collect()
-    val phase1 = spark.createDataFrame(phase1Rows.map(r =>
-        (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
-      .toDF("qid", "vec_id", "score_hamming")
+    val scores = spark.createDataFrame(phase2Rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq)
+      .toDF("qid", "vec_id", "score_hamming", "score_binary")
 
-    // Point-lookup batch: candidate ids filter pushed into the
-    // embeddings re-read (phases II/III need the float vectors).
-    val candIds = phase1Rows.map(_.getLong(1)).distinct.toSeq
+    // Phase III — ⟨float, int8⟩ per query on the pushed-down point-lookup
+    // batch of surviving candidate ids.
+    val candIds = phase2Rows.map(_.getLong(1)).distinct.toSeq
     val candEmb = emb.filter(col("vec_id").isin(candIds: _*))
       .select(col("vec_id"), col("embedding"))
 
-    val wB = Window.partitionBy("qid").orderBy(col("score_binary").desc, col("vec_id").asc)
     val wC = Window.partitionBy("qid").orderBy(col("score_cossim").desc, col("vec_id").asc)
     val int8 = Kernels.int8(col("embedding"), ma)
 
-    phase1
+    scores
       .join(candEmb, "vec_id")
       .join(broadcast(queries.select("qid", "qvec")), "qid")
-      // Phase II — ⟨float, ±1-binary⟩ per query, keep k·int8Oversample.
-      .withColumn("score_binary",
-        round(Kernels.signDot(col("qvec"), Kernels.packBits(col("embedding"))), 4))
-      .withColumn("r2", row_number().over(wB))
-      .filter(col("r2") <= k * int8Oversample)
-      // Phase III — ⟨float, int8⟩ per query, keep k.
       .withColumn("score_cossim",
         round(Kernels.dotInt8(col("qvec"), int8) / Kernels.normInt8(int8), 4))
       .withColumn("rank", row_number().over(wC))
