@@ -63,6 +63,8 @@ object SparkEntry {
     "e3_json_stats" -> ((s, d) => Events.jsonStats(s, d)),
     // Multimodal: opaque binary payloads + partition-wise decode stub.
     "m1_media_features" -> ((s, d) => graft.multimodal.Multimodal.mediaFeatures(s, d)),
+    // Frame sampling: the 1→N decode fan-out over video payloads.
+    "m2_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     // P: pipeline-composition operators (post-dedup corpus build steps).
     "p1_dedup_clusters" -> ((s, d) => Pipeline.dedupClusters(s, d)),
     "p2_hash_split" -> ((s, d) => Pipeline.hashSplit(s, d)),

@@ -85,7 +85,52 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
         col("height"), col("est_frames"), col("checksum"))
 
+  /** One sampled frame (the 1→N decode output contract). */
+  case class Frame(media_id: Long, frame_idx: Int, f_bytes: Int, f_checksum: Long)
+
+  /** Frame sampling — the 1→N multimodal shape (one video payload yields
+    * many frames): a typed `flatMap` over the partition, emitting every
+    * `every`-th fixed-size frame of each video payload with its checksum.
+    * In the stub model a "frame" is a `frameBytes` chunk; a real codec
+    * yields decoded frames at the same seam with the same fan-out
+    * semantics. No shuffle — the generator runs data-local, and output
+    * size is payload/(frameBytes·every), bounded per partition by
+    * `maxPartitionBytes`.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+                   every: Int = 4): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].filter(_.kind == "video").flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, i) if i % every == 0 =>
+          var sum = 0L
+          chunk.foreach(b => sum = (sum + (b & 0xff)) % 1000003L)
+          Frame(r.media_id, i, chunk.length, sum)
+      }
+    }
+  }
+
+  /** The oracle-checked frame-sampling query over the documents-derived
+    * media relation (video payloads only).
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(spark, dir))
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+      .select("media_id", "frame_idx", "f_bytes", "f_checksum")
+
   val oracles: Map[String, String] = Map(
+    "m2_frame_sample" ->
+      """WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, u.i, substr(text, (u.i * 64 + 1)::INT, 64) chunk
+        |      FROM v, unnest(range(0, (length(text) + 63) // 64)) u(i) WHERE u.i % 4 = 0)
+        |SELECT doc_id AS media_id, i::INT AS frame_idx, length(chunk)::INT AS f_bytes,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      [ascii(x)::BIGINT for x in string_split_regex(chunk, '')]),
+        |    (a, b) -> (a + b) % 1000003) AS f_checksum
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
     "m1_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

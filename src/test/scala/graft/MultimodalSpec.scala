@@ -38,4 +38,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.width == (payload(0) & 0xff) + 1)
     assert(f.height == (payload(1) & 0xff) + 1)
   }
+
+  test("frame sampling: 1-to-N fan-out over video payloads, shuffle-free, deterministic") {
+    val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty)
+    // Only video payloads fan out; sampled indices are the every-4th frames.
+    val videoIds = media.filter(org.apache.spark.sql.functions.col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(frames.map(_.media_id).toSet == videoIds)
+    assert(frames.forall(_.frame_idx % 4 == 0))
+    assert(frames.forall(f => f.f_bytes > 0 && f.f_bytes <= 64))
+    // Fan-out count per payload: ceil(bytes/64) frames, every 4th kept.
+    val byId = frames.groupBy(_.media_id).view.mapValues(_.length).toMap
+    media.filter(org.apache.spark.sql.functions.col("kind") === "video").collect().foreach { r =>
+      val n = (r.getAs[Array[Byte]]("payload").length + 63) / 64
+      assert(byId(r.getAs[Long]("media_id")) == (n + 3) / 4)
+    }
+    // Generator runs data-local: no Exchange in the plan.
+    val plan = Multimodal.sampleFrames(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must be shuffle-free:\n$plan")
+  }
 }
