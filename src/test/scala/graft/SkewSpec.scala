@@ -56,4 +56,32 @@ class SkewSpec extends AnyFunSuite {
     assert(plain == salted)
     assert(plain.nonEmpty)
   }
+
+  test("AQE splits the hot partition automatically (skew=true in the adaptive plan)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      // Fixture-scale skew is kilobytes, not the 256MB production default —
+      // scale the thresholds down so the splitter can see it.
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val fact = spark.range(200000).select(col("id"),
+        when(pmod(col("id"), lit(20)) < 19, 0L).otherwise(pmod(col("id"), lit(97))).as("key"))
+      val dim = spark.range(97).select(col("id").as("key"),
+        concat(lit("v"), col("id")).as("v"))
+      val joined = fact.join(dim, "key")
+      // Execute THIS frame's own QueryExecution (a count() plans a
+      // different query and leaves joined's adaptive plan unfinalized).
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split missing:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
