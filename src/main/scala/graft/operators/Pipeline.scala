@@ -30,8 +30,13 @@ object Pipeline {
     * checkpoint the label relation every few iterations to cut lineage).
     * Output: (cluster_id, n_docs) for every cluster of size ≥ 2.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.simhashDedup(spark, dir).select("doc_a", "doc_b")
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(Dedup.simhashDedup(spark, dir).select("doc_a", "doc_b"))
+
+  /** Connected components over an arbitrary (doc_a, doc_b) pair relation
+    * (see [[dedupClusters]] for the algorithm notes).
+    */
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
     val edgesWide = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -51,7 +56,7 @@ object Pipeline {
       // until the fixpoint: convergence = unchanged sum — one cheap
       // aggregate per iteration instead of a join-and-compare.
       def labelSum(): Long =
-        labels.agg(sum("label")).head().getLong(0)
+        labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
       var prevSum = Long.MaxValue
       var curSum = labelSum()
       var iter = 0

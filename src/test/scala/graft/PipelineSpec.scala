@@ -72,4 +72,18 @@ class PipelineSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("source") === "src0").count()
     assert(nTrain == total - nEval)
   }
+
+  test("clustersFromPairs: chains, triangles, disjoint components, empty input") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Pipeline.clustersFromPairs(pairs).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"))).toSet
+    assert(got == Set((1L, 4L), (10L, 3L), (20L, 2L)))
+
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.Pipeline.clustersFromPairs(empty).count() == 0)
+  }
 }
