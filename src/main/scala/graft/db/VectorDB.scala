@@ -321,14 +321,34 @@ class VectorDB private (
     * score_cossim, doc).
     */
   def searchMany(queries: Seq[(Long, Seq[Double])], k: Int = 10,
-                 binaryOversample: Int = 10, int8Oversample: Int = 3): DataFrame = {
+                 binaryOversample: Int = 10, int8Oversample: Int = 3,
+                 nprobe: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Kernels.install(spark)
     require(count() > 0, "search on empty index")
+    require(isIvf || nprobe == Int.MaxValue,
+      s"nprobe is an '${VectorDB.IndexIvf}' index parameter; this DB uses '$index'")
     import spark.implicits._
     val qdf = queries.map { case (qid, qv) =>
       (qid, qv, graft.operators.Search.packQuery(qv))
     }.toDF("qid", "qvec", "qcode")
+
+    // IVF probe-union: one shared scan covers the cells probed by ANY
+    // in-flight query (each query may see candidates from another's
+    // cells — a recall superset of per-query probing, identical at
+    // nprobe = all cells).
+    val scanned =
+      if (isIvf && nprobe < VectorDB.IvfCells) {
+        val probed = queries.flatMap { case (_, qv) =>
+          val qw = graft.operators.Search.packQuery(qv)
+          val qPrefix = (qw(0) >>> (64 - VectorDB.IvfPrefixBits)).toInt &
+            (VectorDB.IvfCells - 1)
+          (0 until VectorDB.IvfCells)
+            .sortBy(c => (java.lang.Integer.bitCount(c ^ qPrefix), c))
+            .take(nprobe)
+        }.distinct
+        codes.filter(col("cell").isin(probed: _*))
+      } else codes
 
     val codeArr =
       if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*)
@@ -336,7 +356,7 @@ class VectorDB private (
     // The heap carries each candidate's packed code as payload
     // (HammingTopKCodeAgg), so phase II reads codes straight out of the
     // aggregate output — the hot tier is scanned exactly once.
-    val phase1 = codes
+    val phase1 = scanned
       .withColumn("__code", codeArr)
       .crossJoin(broadcast(qdf.select("qid", "qcode")))
       .select(col("qid"), col("doc_id"), col("__code"),

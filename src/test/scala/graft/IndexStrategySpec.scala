@@ -54,4 +54,27 @@ class IndexStrategySpec extends AnyFunSuite {
     // Probing the nearest cells first keeps most of the exact top-k.
     assert(pruned.map(_.getAs[Long]("doc_id")).count(full) >= 3)
   }
+
+  test("batched searchMany on ivf: full probe equals flat; probe-union prunes") {
+    val flat = VectorDB.openOrCreate(spark, freshDir())
+    val ivf = VectorDB.openOrCreate(spark, freshDir(), index = VectorDB.IndexIvf)
+    flat.addDocuments(corpus.toDF("doc_id", "text"))
+    ivf.addDocuments(corpus.toDF("doc_id", "text"))
+
+    val emb = new graft.db.HashingEmbedder()
+    val queries = Seq("tok1 tok5", "tok12 tok2").zipWithIndex.map { case (t, i) =>
+      (i.toLong, spark.range(1).select(
+        emb.embed(org.apache.spark.sql.functions.lit(t)).cast("array<double>"))
+        .head().getSeq[Double](0))
+    }
+    def rows(db: VectorDB, np: Int) =
+      db.searchMany(queries, k = 5, nprobe = np).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("doc_id"))).toSeq
+
+    assert(rows(ivf, Int.MaxValue) == rows(flat, Int.MaxValue))
+    // Probe-limited batch still returns k results per query.
+    val pruned = rows(ivf, 4)
+    assert(pruned.length == queries.size * 5)
+    intercept[IllegalArgumentException] { flat.searchMany(queries, nprobe = 2) }
+  }
 }
