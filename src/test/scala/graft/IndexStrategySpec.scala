@@ -77,4 +77,30 @@ class IndexStrategySpec extends AnyFunSuite {
     assert(pruned.length == queries.size * 5)
     intercept[IllegalArgumentException] { flat.searchMany(queries, nprobe = 2) }
   }
+
+  test("ivf composes with the flat code layout and with MOR storage") {
+    // ivf + flat layout: cell derives from the c0 primitive column.
+    val a = VectorDB.openOrCreate(spark, freshDir(),
+      index = VectorDB.IndexIvf, layout = VectorDB.LayoutFlat)
+    a.addDocuments(corpus.toDF("doc_id", "text"))
+    val hitsA = a.search("tok3 tok11", k = 3).collect()
+    assert(hitsA.length == 3)
+    assert(new java.io.File(s"${a.folder}/codes.parquet")
+      .listFiles().exists(_.getName.startsWith("cell=")))
+
+    // ivf + MOR storage: the cell column rides through delta commits;
+    // probing filters it as an ordinary column (file-level pruning is the
+    // cow-snapshot property).
+    val b = VectorDB.openOrCreate(spark, freshDir(),
+      index = VectorDB.IndexIvf, storage = VectorDB.StorageMor)
+    b.addDocuments(corpus.take(100).toDF("doc_id", "text"))
+    b.addDocuments(corpus.drop(100).toDF("doc_id", "text"))
+    assert(b.pendingDeltas() == 2)
+    val full = b.search("tok3 tok11", k = 3).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(full.length == 3)
+    b.compact()
+    assert(b.search("tok3 tok11", k = 3).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == full)
+    assert(b.search("tok3 tok11", k = 3, nprobe = 4).collect().length == 3)
+  }
 }
