@@ -105,4 +105,38 @@ object KernelProperties extends Properties("graft.kernels") {
       e.nullSafeEval(new GenericArrayData(Array(h))).asInstanceOf[Long] ==
         (h & ((1L << 60) - 1))
     }
+
+  // Parameterized bounded top-k heap: for any k and any (score, id)
+  // multiset, merging arbitrary partition splits equals the smallest k of
+  // the globally sorted input — the partial/final reduction invariant the
+  // batched search paths rely on.
+  private val topkInputGen = for {
+    n <- Gen.chooseNum(0, 60)
+    k <- Gen.chooseNum(1, 20)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 64), Gen.chooseNum(0L, 50L)))
+    split <- Gen.chooseNum(0, n)
+  } yield (k, rows, split)
+
+  property("HammingTopKAgg(k): split-merge equals global sort-take(k)") =
+    forAll(topkInputGen) { case (k, rows, split) =>
+      val agg = HammingTopKAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0, IntegerType, nullable = false),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(1, LongType, nullable = false),
+        k)
+      def heapOf(part: Seq[(Int, Long)]) = {
+        val h = agg.createAggregationBuffer()
+        part.foreach { case (s, i) =>
+          agg.update(h, org.apache.spark.sql.catalyst.InternalRow(s, i)) }
+        h
+      }
+      val (l, r) = rows.splitAt(split)
+      val merged = agg.merge(heapOf(l), heapOf(r))
+      val got = agg.eval(merged).asInstanceOf[ArrayData]
+      val gotPairs = (0 until got.numElements()).map { i =>
+        val row = got.getStruct(i, 2)
+        (row.getInt(1), row.getLong(0))
+      }
+      val expected = rows.sorted.take(k).map { case (s, i) => (s, i) }
+      gotPairs == expected
+    }
 }
