@@ -256,6 +256,7 @@ class VectorDB private (
     require(count() > 0, "search on empty index")
     require(isIvf || nprobe == Int.MaxValue,
       s"nprobe is an '${VectorDB.IndexIvf}' index parameter; this DB uses '$index'")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val qLit = typedlit(q)
     val qWords = graft.operators.Search.packQuery(q)
     val qCode = typedlit(qWords)
@@ -328,6 +329,7 @@ class VectorDB private (
     require(count() > 0, "search on empty index")
     require(isIvf || nprobe == Int.MaxValue,
       s"nprobe is an '${VectorDB.IndexIvf}' index parameter; this DB uses '$index'")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     import spark.implicits._
     val qdf = queries.map { case (qid, qv) =>
       (qid, qv, graft.operators.Search.packQuery(qv))

@@ -57,10 +57,11 @@ object Pipeline {
       // aggregate per iteration instead of a join-and-compare.
       def labelSum(): Long =
         labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+      val maxIter = 100
       var prevSum = Long.MaxValue
       var curSum = labelSum()
       var iter = 0
-      while (curSum != prevSum && iter < 50) {
+      while (curSum != prevSum && iter < maxIter) {
         // label(n) ← min(label(n), min over neighbors m of label(m))
         val neighborMin = edges
           .join(labels.withColumnRenamed("node", "src"), "src")
@@ -74,9 +75,23 @@ object Pipeline {
         curSum = labelSum()
         iter += 1
       }
-      labels.groupBy(col("label").as("cluster_id"))
+      // A silent non-converged exit would return one logical cluster split
+      // into several ids — fail loudly instead (propagation advances one
+      // hop per round, so maxIter bounds the admissible component
+      // diameter).
+      if (curSum != prevSum) throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds " +
+          "(component diameter exceeds the iteration cap)")
+      // Materialize the (small) cluster relation, then release the
+      // iteration state — the returned DataFrame must not depend on the
+      // unpersisted loop lineage.
+      val out = labels.groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("cluster_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      labels.unpersist()
+      out
     } finally edgesWide.unpersist()
   }
 

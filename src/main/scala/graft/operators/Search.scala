@@ -43,9 +43,11 @@ object Search {
   /** Drop this session's persisted code relations (fixture dirs are
     * immutable, so this is only for test hygiene).
     */
-  def clearCaches(spark: SparkSession): Unit =
+  def clearCaches(spark: SparkSession): Unit = {
     packedCache.filterInPlace { case ((s, _), df) =>
       if (s == spark) { df.unpersist(); false } else true }
+    maxAbsCache.filterInPlace { case ((s, _), _) => s != spark }
+  }
 
   def packedEmb(spark: SparkSession, dir: String): DataFrame =
     packedCache.getOrElseUpdate((spark, dir), {
