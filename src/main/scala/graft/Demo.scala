@@ -35,6 +35,31 @@ object Demo {
     println(s"search: '$query'")
     db.search(query, k = 5).show(5, 60)
 
+    // Batched serving: one scan of the hot tier answers a query batch
+    // (any k/oversample) via the bounded-heap aggregate.
+    val emb = new graft.db.HashingEmbedder()
+    val batch = Seq("spark data rows", "stream window count").zipWithIndex.map {
+      case (t, i) => (i.toLong, spark.range(1)
+        .select(emb.embed(org.apache.spark.sql.functions.lit(t)).cast("array<double>"))
+        .head().getSeq[Double](0))
+    }
+    println("batched searchMany (k=3):")
+    db.searchMany(batch, k = 3).show(6, 40)
+
+    // IVF strategy: same API, cell-partitioned hot tier; nprobe trades
+    // scan fraction for recall (all cells ≡ flat, exactly).
+    val ivf = VectorDB.openOrCreate(spark, s"$dbDir-ivf", index = VectorDB.IndexIvf)
+    ivf.addDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"))
+    println("ivf strategy, nprobe=4:")
+    ivf.search(query, k = 3, nprobe = 4).show(3, 60)
+
+    // Pipeline composition: near-dup clusters + leakage-proof split.
+    println("duplicate clusters (connected components over SimHash pairs):")
+    graft.operators.Pipeline.dedupClusters(spark, sfDir).show(5)
+    println("content-hash train/val/test split:")
+    graft.operators.Pipeline.hashSplit(spark, sfDir).show(6)
+
     // Streaming: replay events into hourly windows.
     val q = StreamingIngest.runHourlyToMemory(spark, sfDir, "demo_hourly")
     println("first 5 streamed hourly windows:")
