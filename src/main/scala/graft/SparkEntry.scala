@@ -40,6 +40,7 @@ object SparkEntry {
     "q_window_customer_orders" -> ((s, d) => Relational.qWindowCustomerOrders(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_cube" -> ((s, d) => Relational.qCube(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(s, d)),
     "q_monthly_revenue" -> ((s, d) => Relational.qMonthlyRevenue(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(s, d)),
     "q_set_ops" -> ((s, d) => Relational.qSetOps(s, d)),
