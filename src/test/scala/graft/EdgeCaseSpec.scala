@@ -88,4 +88,27 @@ class EdgeCaseSpec extends AnyFunSuite {
       .head().getInt(0)
     assert(out == 0)
   }
+
+  test("guards: banded near-dup hamming cap, non-literal heap arity, index mismatch") {
+    // Banding is pigeonhole-exact only up to numBands - 1 = 7.
+    val vecs = Seq((1L, Seq.fill(64)(0.1))).toDF("vec_id", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Search.nearDupPairs(vecs, maxHamming = 8)
+    }
+    // The heap arity must be a foldable literal (it sizes the agg buffer).
+    intercept[Exception] {
+      Seq((1, 1L)).toDF("s", "i")
+        .selectExpr("graft_topk_hamming(s, i, s)").collect()
+    }
+    // The index strategy round-trips through config, and a probe count
+    // below 1 is a caller error, not an empty result.
+    val tmp = java.nio.file.Files.createTempDirectory("graftguard").toFile
+    tmp.delete()
+    val ivf = graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath,
+      index = graft.db.VectorDB.IndexIvf)
+    ivf.addDocuments(Seq((1L, "alpha beta")).toDF("doc_id", "text"))
+    assert(graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath).index ==
+      graft.db.VectorDB.IndexIvf)
+    intercept[IllegalArgumentException] { ivf.search("alpha", nprobe = 0) }
+  }
 }
