@@ -168,11 +168,41 @@ object Search {
       .select("label", "rnk", "vec_id", "score")
   }
 
+  /** Per-(band, word) bit masks for banding a `words`-long packed code
+    * into `numBands` contiguous, disjoint, covering bit ranges. Band `b`
+    * owns global bit positions `[⌊b·T/numBands⌋, ⌊(b+1)·T/numBands⌋)`
+    * where `T = words·64`, in [[packQuery]]'s MSB-first layout (dim `d` ↔
+    * word `d>>6`, bit `63−(d&63)`). Every code bit belongs to exactly one
+    * band (unit-tested coverage + disjointness), so the pigeonhole
+    * argument holds at ANY code width: band width scales as `T/numBands`
+    * instead of a hard-coded 8 bits — at the reference's native dim 1024
+    * each of the 8 bands is 128 bits (collision rate 2⁻¹²⁸) rather than
+    * the first word's 8 bits.
+    */
+  def bandMasks(words: Int, numBands: Int): IndexedSeq[IndexedSeq[Long]] = {
+    require(words >= 1 && numBands >= 1)
+    val total = words.toLong * 64
+    (0 until numBands).map { b =>
+      val lo = b * total / numBands
+      val hi = (b + 1) * total / numBands
+      (0 until words).map { w =>
+        var m = 0L
+        var d = math.max(lo, w.toLong * 64)
+        val end = math.min(hi, (w + 1).toLong * 64)
+        while (d < end) { m |= (1L << (63 - (d & 63))); d += 1 }
+        m
+      }
+    }
+  }
+
   /** E4: all-pairs embedding near-duplicates over any (vec_id, v) relation,
-    * blocked EXACTLY by SimHash bands of the packed sign code — the
-    * pigeonhole shape of [[Dedup.simhashDedup]]: 8 bands × 8 bits over the
-    * 64-bit code, so any pair with sign-hamming ≤ numBands−1 = 7 shares at
-    * least one exact band and the blocked join provably loses nothing.
+    * blocked EXACTLY by bands of the packed sign code — the pigeonhole
+    * shape of [[Dedup.simhashDedup]], with band geometry derived from the
+    * input's code width ([[bandMasks]]): `numBands` bands of `T/numBands`
+    * bits over ALL `T = words·64` code bits, so any pair with sign-hamming
+    * ≤ numBands−1 shares at least one exact band and the blocked join
+    * provably loses nothing — at dim 64 AND at dim 1024 (NearDupSpec
+    * proves blocked ≡ unblocked at both widths).
     *
     * Near-dup definition: sign-hamming ≤ `maxHamming` AND cosine ≥
     * `minCosine`. True near-duplicate embeddings sit at tiny angles, where
@@ -183,24 +213,36 @@ object Search {
     * width at ~4 bits. The round-1 label blocking was the symptom.)
     *
     * Scale shape: banding is a per-row map; only (band, bkey, id, code)
-    * shuffles; the hamming filter runs on the codegen'd join output BEFORE
-    * the candidate distinct; cosine verification joins the tiny surviving
-    * pair set back to the vectors (broadcast-ably small).
+    * shuffles, and the band keys total one code-width per row across all
+    * bands (each key is the band's masked word slice); the hamming filter
+    * runs on the codegen'd join output BEFORE the candidate distinct;
+    * cosine verification joins the tiny surviving pair set back to the
+    * vectors (broadcast-ably small).
     */
   def nearDupPairs(vectors: DataFrame, maxHamming: Int = 7,
-                   minCosine: Double = 0.99): DataFrame = {
-    val numBands = 8
-    val bandBits = 8 // 8 × 8 = 64; pigeonhole-exact for hamming ≤ 7
+                   minCosine: Double = 0.99, numBands: Int = 8): DataFrame = {
     require(maxHamming < numBands,
       s"banded blocking is exact only for maxHamming ≤ ${numBands - 1}, got $maxHamming")
+    // Code width from the data (one limit-1 probe): dims → 64-bit words.
+    val dim = vectors.select(size(col("v"))).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => 64 // empty input — geometry is irrelevant, result is empty
+    }
+    val words = (dim + 63) / 64
+    val masks = bandMasks(words, numBands)
     val coded = vectors.select(col("vec_id"), col("v"),
       Kernels.packBits(col("v")).as("code"))
 
+    // Band key for band b = the band's masked word slice (array<bigint>,
+    // only words the band touches) — all masks are driver-side literals,
+    // so the whole banding stage is a codegen'd per-row projection.
+    val bandKey: Int => Column = b => array(
+      masks(b).zipWithIndex.collect { case (m, w) if m != 0L =>
+        element_at(col("code"), w + 1).bitwiseAND(lit(m))
+      }: _*)
     val banded = coded.select(col("vec_id"), col("code"),
-        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-      .withColumn("bkey", expr(
-        s"shiftright(element_at(code, int(band * $bandBits / 64) + 1)," +
-          s" (band * $bandBits) % 64) & ${(1L << bandBits) - 1}"))
+        posexplode(array((0 until numBands).map(bandKey): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
       .select("vec_id", "code", "band", "bkey")
 
     val a = banded.select(col("vec_id").as("id_a"), col("code").as("code_a"),
