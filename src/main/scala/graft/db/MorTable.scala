@@ -34,6 +34,28 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
   private def basePath = new Path(s"$dir/base.parquet")
+  private def oldPath = new Path(s"$dir/base.parquet.old")
+  private def tmpPath = new Path(s"$dir/base.parquet.compacting")
+
+  /** Heal an interrupted [[compact]] swap. The swap renames the live base
+    * ASIDE (never deletes it) before renaming the fresh snapshot in, so
+    * every crash point leaves a recoverable state:
+    *  - `base.old` + no `base` → swap interrupted mid-rename: restore the
+    *    aside copy (deltas are untouched, so nothing is lost).
+    *  - `base.old` + `base`    → swap completed but cleanup didn't: the
+    *    aside copy is stale, drop it.
+    *  - leftover `*.compacting` → incomplete snapshot write: drop it (the
+    *    deltas it would have folded are still present).
+    * Re-merging deltas already folded into a fresh base is idempotent
+    * (last-writer-wins on `_v`), so a crash before delta cleanup is safe.
+    */
+  private def recover(): Unit = {
+    if (fs.exists(oldPath)) {
+      if (fs.exists(basePath)) fs.delete(oldPath, true)
+      else fs.rename(oldPath, basePath)
+    }
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+  }
 
   private def deltaPaths(): Seq[(Int, Path)] = {
     val d = new Path(dir)
@@ -46,10 +68,14 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
 
   private def nextVersion(): Int = deltaPaths().lastOption.map(_._1 + 1).getOrElse(1)
 
-  def exists: Boolean = fs.exists(basePath) || deltaPaths().nonEmpty
+  def exists: Boolean = {
+    recover()
+    fs.exists(basePath) || deltaPaths().nonEmpty
+  }
 
   /** The merged current snapshot (no `_v`/`_deleted` internals). */
   def read(): DataFrame = {
+    recover()
     val parts =
       (if (fs.exists(basePath))
         Seq(spark.read.parquet(basePath.toString)
@@ -91,15 +117,18 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
 
   /** Fold base + deltas into a fresh base (bounds read amplification).
     * The merged snapshot is materialized to a temp dir first, then
-    * swapped in and the deltas removed.
+    * swapped in via rename-aside (base → base.old, tmp → base, delete
+    * old + deltas) so no crash point can make version-0 rows
+    * unreachable — [[recover]] heals every intermediate state.
     */
   def compact(): Unit = {
+    recover()
     val deltas = deltaPaths()
     if (deltas.isEmpty) return
-    val tmp = new Path(s"$dir/base.parquet.compacting")
-    read().sortWithinPartitions(keyCol).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(basePath, true)
-    fs.rename(tmp, basePath)
+    read().sortWithinPartitions(keyCol).write.mode("overwrite").parquet(tmpPath.toString)
+    if (fs.exists(basePath)) fs.rename(basePath, oldPath)
+    fs.rename(tmpPath, basePath)
+    fs.delete(oldPath, true)
     deltas.foreach { case (_, p) => fs.delete(p, true) }
   }
 

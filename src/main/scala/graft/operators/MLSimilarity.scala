@@ -32,7 +32,9 @@ object MLSimilarity {
       val model = new KMeans().setK(numCells).setSeed(42L).setMaxIter(5)
         .setFeaturesCol("features")
         .fit(emb)
-      val idx = java.nio.file.Files.createTempDirectory("graft-kmivf").toString
+      // Shared-FS location (never driver /tmp): executors must be able to
+      // read the cell layout on a real cluster.
+      val idx = graft.db.IndexStore.dirFor(spark, s"kmivf$numCells", dir)
       model.transform(emb).withColumnRenamed("prediction", "cell")
         .select("vec_id", "embedding", "cell")
         .repartition(col("cell"))

@@ -288,9 +288,12 @@ object Search {
 
   /** Persisted IVF index: embeddings written partitioned by cell (label)
     * plus a tiny centroid table — built once per (session, fixture dir)
-    * into a temp location; queries read centroids (labels × dim rows) and
-    * scan only the probed cells' partitions (source-level pruning,
-    * proven by the PartitionFilters assertion in PlanSpec/LayoutSpec).
+    * into a shared-filesystem location ([[graft.db.IndexStore]]: under the
+    * session warehouse, resolved via the Hadoop FS API so executors on a
+    * real cluster can read it — never the driver's /tmp); queries read
+    * centroids (labels × dim rows) and scan only the probed cells'
+    * partitions (source-level pruning, proven by the PartitionFilters
+    * assertion in PlanSpec/LayoutSpec).
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
@@ -298,7 +301,7 @@ object Search {
   private def ivfIndexDir(spark: SparkSession, dir: String): String =
     ivfCache.getOrElseUpdate((spark, dir), {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val idx = graft.db.IndexStore.dirFor(spark, "ivf", dir)
       // One file per cell: co-locate each cell before the partitioned
       // write (10 files instead of partitions × cells tiny files).
       emb.repartition(col("label"))

@@ -23,6 +23,17 @@ class MLSimilaritySpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("index layouts resolve under the session warehouse via the Hadoop FS API") {
+    val d = graft.db.IndexStore.dirFor(spark, "spec", "/some/source")
+    assert(d.contains("graft-indexes/spec-"))
+    // fully qualified through FileSystem.makeQualified — a real cluster
+    // gets hdfs:///s3a:// here, never a driver-local java.nio path
+    assert(new java.net.URI(d).getScheme == "file")
+    assert(d == graft.db.IndexStore.dirFor(spark, "spec", "/some/source"),
+      "same (kind, source) must be deterministic")
+    assert(d != graft.db.IndexStore.dirFor(spark, "spec", "/other/source"))
+  }
+
   test("MLlib MinHashLSH candidates cover the exact near-dup pairs (recall >= 0.8)") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")

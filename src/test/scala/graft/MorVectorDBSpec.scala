@@ -122,6 +122,37 @@ class MorVectorDBSpec extends AnyFunSuite {
     assert(db.searchMany(Seq((0L, qv))).head().getAs[Long]("doc_id") == 1L)
   }
 
+  test("interrupted compaction swap cannot lose version-0 rows") {
+    import org.apache.hadoop.fs.Path
+    val dir = freshDir() + "/mor"
+    val t = new graft.db.MorTable(spark, dir, "id")
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.compact() // establish a base: rows 1,2 live only at version 0
+    t.upsert(Seq((3L, "c")).toDF("id", "v"))
+
+    // Simulate a crash inside the swap at the worst point: the fresh
+    // snapshot is fully written and the live base is already moved out
+    // of place (the pre-fix code hard-DELETED it here), process dies
+    // before the rename-in. Version-0 rows exist only in base.old.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    t.read().write.mode("overwrite").parquet(s"$dir/base.parquet.compacting")
+    assert(fs.rename(new Path(s"$dir/base.parquet"), new Path(s"$dir/base.parquet.old")))
+
+    // A fresh handle (post-restart) must recover and see every row.
+    val t2 = new graft.db.MorTable(spark, dir, "id")
+    assert(t2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    t2.compact()
+    assert(t2.deltaCount() == 0)
+    assert(t2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // Crash-after-swap leftovers (stale base.old) are also healed.
+    t2.read().write.mode("overwrite").parquet(s"$dir/base.parquet.old")
+    val t3 = new graft.db.MorTable(spark, dir, "id")
+    assert(t3.read().count() == 3)
+    assert(!fs.exists(new Path(s"$dir/base.parquet.old")))
+  }
+
   test("MOR upserts are O(batch): the base file is never touched by a commit") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
