@@ -39,7 +39,8 @@ class VectorDB private (
     val dim: Int,
     val storage: String,
     val layout: String,
-    val index: String) {
+    val index: String,
+    val ivfCells: Int) {
 
   import VectorDB._
 
@@ -54,6 +55,8 @@ class VectorDB private (
   private val isIvf = index == VectorDB.IndexIvf
   /** Code words per vector (64 bits each). */
   private val nWords = (dim + 63) / 64
+  /** log2(ivfCells) — the sign-code prefix width of the cell quantizer. */
+  private val ivfPrefixBits = java.lang.Integer.numberOfTrailingZeros(ivfCells)
   private lazy val codesMor = new MorTable(spark, s"$folder/codes.mor", "doc_id")
   private lazy val docsMor = new MorTable(spark, s"$folder/docs.mor", "doc_id")
 
@@ -72,15 +75,24 @@ class VectorDB private (
     else base
   }
 
-  /** IVF coarse quantizer: cell = the top [[VectorDB.IvfPrefixBits]] bits
-    * of the first code word (a deterministic hamming-space prefix
-    * quantizer — two codes in the same cell agree on those bits). The
-    * snapshot is partitioned by cell, so a probe-limited search prunes
-    * non-probed cells at the file source.
+  /** IVF coarse quantizer: cell = the top log2([[ivfCells]]) bits of the
+    * first code word (a deterministic hamming-space prefix quantizer —
+    * two codes in the same cell agree on those bits). The snapshot is
+    * partitioned by cell, so a probe-limited search prunes non-probed
+    * cells at the file source. Geometry is an [[VectorDB.openOrCreate]]
+    * parameter persisted in config.json (the reference's `index_args`,
+    * `BinaryVectorDB.py:17`): size cells ~√N — even 10¹² vectors need
+    * only 2²⁰ cells, well inside one 64-bit word's prefix.
     */
   private def cellOf(firstWord: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    shiftrightunsigned(firstWord, 64 - VectorDB.IvfPrefixBits)
-      .bitwiseAND(lit(VectorDB.IvfCells - 1)).cast("int")
+    shiftrightunsigned(firstWord, 64 - ivfPrefixBits)
+      .bitwiseAND(lit(ivfCells - 1)).cast("int")
+
+  /** Cells in hamming-of-prefix order around a query code (probe order). */
+  private def probeOrder(qWords: Seq[Long]): IndexedSeq[Int] = {
+    val qPrefix = (qWords(0) >>> (64 - ivfPrefixBits)).toInt & (ivfCells - 1)
+    (0 until ivfCells).sortBy(c => (java.lang.Integer.bitCount(c ^ qPrefix), c))
+  }
 
   /** The hot tier: (doc_id, code…), cached in memory across queries. */
   def codes: DataFrame = codesCache.getOrElse {
@@ -219,6 +231,20 @@ class VectorDB private (
   /** Pending delta commits on the hot tier (0 under copy-on-write). */
   def pendingDeltas(): Int = if (isMor) codesMor.deltaCount() else 0
 
+  /** Funnel sizing guards: positive stages, and the heap arities the
+    * stages multiply into must stay inside Int (the aggregate buffer is
+    * sized by them — overflow would wrap to a tiny/negative heap).
+    */
+  private def validateFunnelParams(k: Int, binaryOversample: Int, int8Oversample: Int): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(binaryOversample >= 1, s"binaryOversample must be >= 1, got $binaryOversample")
+    require(int8Oversample >= 1, s"int8Oversample must be >= 1, got $int8Oversample")
+    require(k.toLong * binaryOversample <= Int.MaxValue &&
+      k.toLong * int8Oversample <= Int.MaxValue,
+      s"k * oversample overflows Int: k=$k, binaryOversample=$binaryOversample, " +
+        s"int8Oversample=$int8Oversample")
+  }
+
   private def invalidateCache(): Unit = {
     codesCache.foreach(_.unpersist())
     codesCache = None
@@ -257,16 +283,14 @@ class VectorDB private (
     require(isIvf || nprobe == Int.MaxValue,
       s"nprobe is an '${VectorDB.IndexIvf}' index parameter; this DB uses '$index'")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    validateFunnelParams(k, binaryOversample, int8Oversample)
     val qLit = typedlit(q)
     val qWords = graft.operators.Search.packQuery(q)
     val qCode = typedlit(qWords)
 
     val scanned =
-      if (isIvf && nprobe < VectorDB.IvfCells) {
-        val qPrefix = (qWords(0) >>> (64 - VectorDB.IvfPrefixBits)).toInt & (VectorDB.IvfCells - 1)
-        val probed = (0 until VectorDB.IvfCells)
-          .sortBy(c => (java.lang.Integer.bitCount(c ^ qPrefix), c))
-          .take(nprobe)
+      if (isIvf && nprobe < ivfCells) {
+        val probed = probeOrder(qWords).take(nprobe)
         codes.filter(col("cell").isin(probed: _*))
       } else codes
 
@@ -320,6 +344,14 @@ class VectorDB private (
     * shape — per-query cost beyond the shared scan is O(k·oversample).
     * Returns (qid, rank, doc_id, score_hamming, score_binary,
     * score_cossim, doc).
+    *
+    * Probe-union caveat (`ivf` index, `nprobe` < all cells): the shared
+    * scan covers the UNION of every in-flight query's probed cells, so a
+    * query may draw candidates from cells it would not probe alone — a
+    * recall SUPERSET of [[searchVector]] with the same `nprobe`, but the
+    * exact result list can differ with the batch composition. Callers
+    * needing per-query reproducibility should use full probe (default) or
+    * [[searchVector]].
     */
   def searchMany(queries: Seq[(Long, Seq[Double])], k: Int = 10,
                  binaryOversample: Int = 10, int8Oversample: Int = 3,
@@ -330,6 +362,8 @@ class VectorDB private (
     require(isIvf || nprobe == Int.MaxValue,
       s"nprobe is an '${VectorDB.IndexIvf}' index parameter; this DB uses '$index'")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    validateFunnelParams(k, binaryOversample, int8Oversample)
+    require(queries.nonEmpty, "searchMany needs at least one query")
     import spark.implicits._
     val qdf = queries.map { case (qid, qv) =>
       (qid, qv, graft.operators.Search.packQuery(qv))
@@ -340,14 +374,9 @@ class VectorDB private (
     // cells — a recall superset of per-query probing, identical at
     // nprobe = all cells).
     val scanned =
-      if (isIvf && nprobe < VectorDB.IvfCells) {
+      if (isIvf && nprobe < ivfCells) {
         val probed = queries.flatMap { case (_, qv) =>
-          val qw = graft.operators.Search.packQuery(qv)
-          val qPrefix = (qw(0) >>> (64 - VectorDB.IvfPrefixBits)).toInt &
-            (VectorDB.IvfCells - 1)
-          (0 until VectorDB.IvfCells)
-            .sortBy(c => (java.lang.Integer.bitCount(c ^ qPrefix), c))
-            .take(nprobe)
+          probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe)
         }.distinct
         codes.filter(col("cell").isin(probed: _*))
       } else codes
@@ -467,21 +496,34 @@ object VectorDB {
     */
   val IndexFlat = "flat"
   val IndexIvf = "ivf"
-  /** IVF cell count = 2^IvfPrefixBits. */
+  /** Default IVF cell count = 2^IvfPrefixBits (overridable per index via
+    * `openOrCreate(ivfCells = …)` — the reference's `index_args` mirror).
+    */
   val IvfPrefixBits = 4
   val IvfCells: Int = 1 << IvfPrefixBits
+  /** Hard cap on configurable cells: 2^16 prefix bits cover ~4G vectors
+    * at the √N sizing rule; the quantizer reads one word's prefix.
+    */
+  val MaxIvfCells: Int = 1 << 16
 
   def openOrCreate(spark: SparkSession, folder: String,
                    model: String = "graft-hash-64", dim: Int = 64,
                    storage: String = StorageCow,
                    layout: String = LayoutArray,
-                   index: String = IndexFlat): VectorDB = {
+                   index: String = IndexFlat,
+                   ivfCells: Int = IvfCells): VectorDB = {
     require(storage == StorageCow || storage == StorageMor,
       s"storage must be '$StorageCow' or '$StorageMor', got '$storage'")
     require(layout == LayoutArray || layout == LayoutFlat,
       s"layout must be '$LayoutArray' or '$LayoutFlat', got '$layout'")
     require(index == IndexFlat || index == IndexIvf,
       s"index must be '$IndexFlat' or '$IndexIvf', got '$index'")
+    require(ivfCells >= 2 && ivfCells <= MaxIvfCells &&
+      java.lang.Integer.bitCount(ivfCells) == 1,
+      s"ivfCells must be a power of two in [2, $MaxIvfCells], got $ivfCells")
+    require(java.lang.Integer.numberOfTrailingZeros(ivfCells) <= dim,
+      s"ivfCells=$ivfCells needs ${java.lang.Integer.numberOfTrailingZeros(ivfCells)} " +
+        s"prefix bits but the code has only $dim")
     val fs = FileSystem.get(new java.net.URI(folder), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(folder)
     val cfg = new Path(s"$folder/config.json")
@@ -494,6 +536,7 @@ object VectorDB {
       val storedStorage = field("storage").getOrElse(VectorDB.StorageCow)
       val storedLayout = field("layout").getOrElse(VectorDB.LayoutArray)
       val storedIndex = field("index").getOrElse(VectorDB.IndexFlat)
+      val storedCells = field("ivf_cells").map(_.trim.toInt).getOrElse(VectorDB.IvfCells)
       // An explicitly-requested non-default parameter that contradicts the
       // stored config is a caller error, not something to silently ignore.
       require(dim == 64 || dim == storedDim,
@@ -504,9 +547,12 @@ object VectorDB {
         s"requested layout '$layout' but $folder uses '$storedLayout'")
       require(index == IndexFlat || index == storedIndex,
         s"requested index '$index' but $folder uses '$storedIndex'")
+      require(ivfCells == IvfCells || ivfCells == storedCells,
+        s"requested ivfCells $ivfCells but $folder is partitioned into $storedCells cells " +
+          "(regrow requires a rebuild, not a reopen)")
       new VectorDB(spark, folder,
         field("model").getOrElse(model), storedDim, storedStorage, storedLayout,
-        storedIndex)
+        storedIndex, storedCells)
     } else {
       if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
         throw new IllegalStateException(
@@ -515,9 +561,10 @@ object VectorDB {
       val out = fs.create(cfg, true)
       try out.write(
         (s"""{"version": "1.0", "model": "$model", "dim": $dim, """ +
-          s""""storage": "$storage", "layout": "$layout", "index": "$index"}""").getBytes("UTF-8"))
+          s""""storage": "$storage", "layout": "$layout", "index": "$index", """ +
+          s""""ivf_cells": $ivfCells}""").getBytes("UTF-8"))
       finally out.close()
-      new VectorDB(spark, folder, model, dim, storage, layout, index)
+      new VectorDB(spark, folder, model, dim, storage, layout, index, ivfCells)
     }
   }
 }

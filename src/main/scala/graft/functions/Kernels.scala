@@ -43,14 +43,20 @@ object Kernels {
     */
   private def litInt(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: k must be a literal, got ${e.sql}")
-    e.eval() match {
+    val k = e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        require(l >= 1 && l <= Int.MaxValue, s"$fn: k out of range, got $l")
+        l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(
         s"$fn: k must be an integer literal, got $other")
     }
+    // A zero/negative arity would silently build an empty heap and return
+    // empty aggregates instead of erroring.
+    require(k >= 1, s"$fn: k must be >= 1, got $k")
+    k
   }
 
   /** Idempotent per-session registration of all kernels. */

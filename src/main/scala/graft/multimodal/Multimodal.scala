@@ -120,6 +120,12 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
       .select("media_id", "frame_idx", "f_bytes", "f_checksum")
 
+  // Oracle precondition (asserted in MultimodalSpec, not incidental): the
+  // DuckDB mirrors chunk/measure by CHARACTER (substr/ascii) while the
+  // Scala side operates on UTF-8 BYTES — equal iff the fixture text is
+  // pure ASCII. The spec pins `octet_length == char_length` over the whole
+  // documents table, so a non-ASCII fixture fails the suite loudly at the
+  // precondition instead of silently diverging frame boundaries/checksums.
   val oracles: Map[String, String] = Map(
     "m2_frame_sample" ->
       """WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),

@@ -52,15 +52,19 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val postingsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  private val simhashPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
-  /** Drop this session's persisted shingle/postings relations (call after
-    * the underlying documents change — the caches assume immutable
+  /** Drop this session's persisted shingle/postings/pair relations (call
+    * after the underlying documents change — the caches assume immutable
     * fixture dirs).
     */
   def clearCaches(spark: SparkSession): Unit = {
     shingleCache.filterInPlace { case ((s, _), df) =>
       if (s == spark) { df.unpersist(); false } else true }
     postingsCache.filterInPlace { case ((s, _, _), df) =>
+      if (s == spark) { df.unpersist(); false } else true }
+    simhashPairsCache.filterInPlace { case ((s, _, _), df) =>
       if (s == spark) { df.unpersist(); false } else true }
   }
 
@@ -126,31 +130,38 @@ object Dedup {
     * at least one exact band, so for threshold 10 the blocked join is
     * EXACT, not approximate — the scale path loses nothing.
     */
-  def simhashDedup(spark: SparkSession, dir: String, maxHamming: Int = 10): DataFrame = {
-    val numBands = 12
-    val bandBits = 5 // 12 × 5 = 60; exact for hamming ≤ numBands − 1 = 11
-    val sim = shingled(spark, dir).select(
-      col("doc_id"), Kernels.simHash(col("hs")).as("sh60"))
+  def simhashDedup(spark: SparkSession, dir: String, maxHamming: Int = 10): DataFrame =
+    // Memoized + persisted per (session, dir, threshold): the pair
+    // relation is consumed by BOTH the registered d3 query and the P1
+    // cluster pass ([[Pipeline.dedupClusters]]) — without this, p1
+    // re-derives the whole banded join from scratch (the round-2 bench's
+    // single most expensive query, largely for that reason).
+    simhashPairsCache.getOrElseUpdate((spark, dir, maxHamming), {
+      val numBands = 12
+      val bandBits = 5 // 12 × 5 = 60; exact for hamming ≤ numBands − 1 = 11
+      val sim = shingled(spark, dir).select(
+        col("doc_id"), Kernels.simHash(col("hs")).as("sh60"))
 
-    val banded = sim.select(
-        col("doc_id"), col("sh60"),
-        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-      .withColumn("bkey", expr(s"shiftright(sh60, band * $bandBits) & ${(1 << bandBits) - 1}"))
-      .select("doc_id", "sh60", "band", "bkey")
+      val banded = sim.select(
+          col("doc_id"), col("sh60"),
+          explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+        .withColumn("bkey", expr(s"shiftright(sh60, band * $bandBits) & ${(1 << bandBits) - 1}"))
+        .select("doc_id", "sh60", "band", "bkey")
 
-    val a = banded.select(col("doc_id").as("doc_a"), col("sh60").as("sim_a"), col("band"), col("bkey"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sh60").as("sim_b"), col("band"), col("bkey"))
-    // Filter on hamming BEFORE deduping candidates: the threshold test is
-    // a codegen'd scalar op on the join output, so the expensive distinct
-    // shuffle only sees the (tiny) surviving pairs, not every band
-    // collision.
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", expr("int(bit_count(sim_a ^ sim_b))"))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming").distinct()
-      .orderBy("doc_a", "doc_b")
-  }
+      val a = banded.select(col("doc_id").as("doc_a"), col("sh60").as("sim_a"), col("band"), col("bkey"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("sh60").as("sim_b"), col("band"), col("bkey"))
+      // Filter on hamming BEFORE deduping candidates: the threshold test is
+      // a codegen'd scalar op on the join output, so the expensive distinct
+      // shuffle only sees the (tiny) surviving pairs, not every band
+      // collision.
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("int(bit_count(sim_a ^ sim_b))"))
+        .filter(col("hamming") <= maxHamming)
+        .select("doc_a", "doc_b", "hamming").distinct()
+        .orderBy("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** E2c: n-gram-Jaccard near-dedup via inverted-index join: explode
     * shingles → df-cap hot shingles → self-join postings → count shared

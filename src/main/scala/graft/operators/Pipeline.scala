@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Label-propagation rounds between lineage-truncating checkpoints. */
+  val CheckpointEvery = 5
+
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     Kernels.install(spark)
     spark.read.parquet(s"$dir/documents.parquet")
@@ -34,9 +37,15 @@ object Pipeline {
     clustersFromPairs(Dedup.simhashDedup(spark, dir).select("doc_a", "doc_b"))
 
   /** Connected components over an arbitrary (doc_a, doc_b) pair relation
-    * (see [[dedupClusters]] for the algorithm notes).
+    * (see [[dedupClusters]] for the algorithm notes). `maxIter` bounds the
+    * admissible component diameter (propagation advances one hop per
+    * round); raise it for adversarial/templated corpora with long dup
+    * chains rather than editing code. Every [[CheckpointEvery]] rounds the
+    * label relation is `localCheckpoint`ed — persisted plans still carry
+    * the full join chain for re-planning, so without truncation a deep
+    * cluster accumulates `maxIter` joins of lineage.
     */
-  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+  def clustersFromPairs(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     val edgesWide = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -57,7 +66,6 @@ object Pipeline {
       // aggregate per iteration instead of a join-and-compare.
       def labelSum(): Long =
         labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
-      val maxIter = 100
       var prevSum = Long.MaxValue
       var curSum = labelSum()
       var iter = 0
@@ -66,9 +74,15 @@ object Pipeline {
         val neighborMin = edges
           .join(labels.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node")).agg(min("label").as("nl"))
-        val next = labels.join(neighborMin, Seq("node"), "left")
+        val step = labels.join(neighborMin, Seq("node"), "left")
           .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Periodic lineage truncation: a checkpoint materializes the label
+        // relation and drops the accumulated join chain (otherwise round
+        // k's plan nests k joins, and a deep cluster re-plans all of them
+        // each round).
+        val next =
+          if ((iter + 1) % CheckpointEvery == 0) step.localCheckpoint(true)
+          else step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         labels.unpersist()
         labels = next
         prevSum = curSum

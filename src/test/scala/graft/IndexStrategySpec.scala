@@ -78,6 +78,35 @@ class IndexStrategySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { flat.searchMany(queries, nprobe = 2) }
   }
 
+  test("configurable cell geometry: 64 cells keep flat == ivf(full probe) parity") {
+    val flat = VectorDB.openOrCreate(spark, freshDir())
+    val ivf = VectorDB.openOrCreate(spark, freshDir(),
+      index = VectorDB.IndexIvf, ivfCells = 64)
+    flat.addDocuments(corpus.toDF("doc_id", "text"))
+    ivf.addDocuments(corpus.toDF("doc_id", "text"))
+    assert(ivf.ivfCells == 64)
+
+    Seq("tok1 tok5", "tok12 tok2 tok30", "tok4 tok9").foreach { q =>
+      val a = flat.search(q, k = 5).collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Double]("score_cossim"))).toSeq
+      val b = ivf.search(q, k = 5).collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Double]("score_cossim"))).toSeq
+      assert(a == b, s"query '$q'")
+    }
+    // probe-limited search over the finer geometry still returns k rows
+    assert(ivf.search("tok4 tok9", k = 5, nprobe = 8).collect().length == 5)
+
+    // geometry survives reopen; a contradictory reopen is rejected
+    assert(VectorDB.openOrCreate(spark, ivf.folder).ivfCells == 64)
+    intercept[IllegalArgumentException] {
+      VectorDB.openOrCreate(spark, ivf.folder, index = VectorDB.IndexIvf, ivfCells = 8)
+    }
+    // invalid geometries are rejected up front
+    intercept[IllegalArgumentException] {
+      VectorDB.openOrCreate(spark, freshDir(), index = VectorDB.IndexIvf, ivfCells = 48)
+    }
+  }
+
   test("ivf composes with the flat code layout and with MOR storage") {
     // ivf + flat layout: cell derives from the c0 primitive column.
     val a = VectorDB.openOrCreate(spark, freshDir(),

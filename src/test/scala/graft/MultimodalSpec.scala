@@ -9,6 +9,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("oracle precondition: fixture text is pure ASCII (bytes == characters)") {
+    import org.apache.spark.sql.functions._
+    // The m1/m2 DuckDB oracles chunk by character while the engine chunks
+    // by UTF-8 byte — identical only for ASCII. Pin the invariant so a
+    // non-ASCII fixture fails HERE, not as a silent oracle divergence.
+    Seq("sf0.001", "sf0.01").foreach { sf =>
+      val nonAscii = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii == 0L, s"$sf has $nonAscii non-ASCII documents")
+    }
+  }
+
   test("media relation has opaque binary payloads with typed metadata") {
     val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
     val schema = media.schema

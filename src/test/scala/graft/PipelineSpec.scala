@@ -86,4 +86,21 @@ class PipelineSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(graft.operators.Pipeline.clustersFromPairs(empty).count() == 0)
   }
+
+  test("deep chain crosses checkpoint boundaries; maxIter is configurable and loud") {
+    import spark.implicits._
+    // A 25-node path has diameter 24 — propagation runs well past several
+    // CheckpointEvery boundaries, so the lineage-truncated labels must
+    // still converge to one component.
+    val chain = (1L until 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Pipeline.clustersFromPairs(chain).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"))).toSet
+    assert(got == Set((1L, 25L)))
+
+    // The cap is a parameter: a diameter beyond it fails loudly instead of
+    // returning a silently split component.
+    intercept[IllegalStateException] {
+      graft.operators.Pipeline.clustersFromPairs(chain, maxIter = 3)
+    }
+  }
 }
