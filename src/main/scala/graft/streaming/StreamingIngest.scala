@@ -75,27 +75,54 @@ object StreamingIngest {
     * micro-batches (the arbitrary-state API the windowed aggregations
     * can't express). Batch-replay equivalence against
     * [[graft.operators.Events.sessionize]] is asserted in StreamingSpec.
+    *
+    * State is BOUNDED: each user's state carries a processing-time TTL
+    * (`stateTtl`, default 30 minutes = the session gap) and is evicted on
+    * timeout — under continuous ingest the state store holds only
+    * recently-active users, not every user ever seen. Eviction at ≥ gap
+    * idle is lossless for session BOUNDARIES: a user returning after the
+    * gap starts a new session whether or not the old state survived (the
+    * spec pins this — an expired user's re-created state counts exactly
+    * one new session). What resets are the per-lifetime cumulative
+    * counts, which downstream consumers aggregate anyway.
+    *
+    * Pass `stateTtl = None` for FINITE replays driven by
+    * `Trigger.AvailableNow()`: that trigger keeps the query alive until
+    * pending processing-time timers fire, so a replay with a TTL would
+    * idle for the whole TTL before terminating.
     */
-  def statefulSessionCounts(events: DataFrame, gapSeconds: Long = 1800)
+  def statefulSessionCounts(events: DataFrame, gapSeconds: Long = 1800,
+                            stateTtl: Option[String] = Some("30 minutes"))
       : org.apache.spark.sql.Dataset[UserSessions] = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
       .as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSessions](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[SessionState]) =>
-          val secs = it.map(_.sec).toArray.sorted
-          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
-          secs.foreach { s =>
-            val newSession = st.lastSec == Long.MinValue || s - st.lastSec > gapSeconds
-            st = SessionState(st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1, s)
+          if (state.hasTimedOut) {
+            // Idle past the TTL: drop the state, emit nothing. The next
+            // event from this user opens a new session regardless.
+            state.remove()
+            Iterator.empty
+          } else {
+            val secs = it.map(_.sec).toArray.sorted
+            var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+            secs.foreach { s =>
+              val newSession = st.lastSec == Long.MinValue || s - st.lastSec > gapSeconds
+              st = SessionState(st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1, s)
+            }
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(UserSessions(uid, st.nSessions, st.nEvents))
           }
-          state.update(st)
-          Iterator.single(UserSessions(uid, st.nSessions, st.nEvents))
       }
   }
 

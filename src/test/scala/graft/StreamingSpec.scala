@@ -27,8 +27,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState session counts equal the batch sessionization") {
     val dir = "/root/testdata/sf0.001"
+    // stateTtl = None: AvailableNow replays must not wait on TTL timers.
     val q = StreamingIngest.statefulSessionCounts(
-        StreamingIngest.eventsStream(spark, dir))
+        StreamingIngest.eventsStream(spark, dir), stateTtl = None)
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -48,6 +49,54 @@ class StreamingSpec extends AnyFunSuite {
           (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))).toMap
       assert(streamed.nonEmpty)
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("idle state expires and is re-created without double-counting sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+
+    // Tiny processing-time TTL so idleness between micro-batches evicts.
+    val sessions = StreamingIngest.statefulSessionCounts(
+      events, gapSeconds = 1800, stateTtl = Some("50 milliseconds"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("ttl_sessions")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // processAllAvailable never returns under ProcessingTimeTimeout (the
+    // engine always has a potential timer batch pending) — poll the sink.
+    def awaitRows(pred: => Boolean, what: String): Unit = {
+      val end = System.currentTimeMillis + 30000
+      while (!pred && System.currentTimeMillis < end) Thread.sleep(50)
+      assert(pred, s"timed out waiting for $what")
+    }
+    // Sink row order across batches is not contractual: sort lifetime
+    // snapshots by event count (lifetime 1 has 2 events, lifetime 2 has 1).
+    def user1Rows() = spark.table("ttl_sessions")
+      .filter($"user_id" === 1L)
+      .collect().map(r => (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))
+      .toSeq.sortBy(-_._2)
+    try {
+      // Lifetime 1: two events 10s apart -> 1 session, 2 events.
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:10"), 1L))
+      awaitRows(user1Rows() == Seq((1L, 2L)), "lifetime-1 snapshot")
+      // Idle past the 50 ms TTL: the engine keeps running timer batches,
+      // so user 1's state is evicted without any new data arriving.
+      Thread.sleep(1000)
+      // Lifetime 2: user 1 returns past the session gap. Fresh state must
+      // count exactly ONE new session (not resume at 2, not skip to 0).
+      input.addData((ts("2024-01-01 12:00:00"), 1L))
+      awaitRows(user1Rows().length == 2, "lifetime-2 snapshot")
+
+      val user1 = user1Rows()
+      assert(user1 == Seq((1L, 2L), (1L, 1L)),
+        s"expected lifetime snapshots (1,2) then fresh (1,1), got $user1")
+      // Total sessions across lifetimes == the batch answer over all
+      // events (2 sessions): eviction at >= gap idle loses no boundary.
+      assert(user1.map(_._1).sum == 2L)
     } finally q.stop()
   }
 
