@@ -97,10 +97,152 @@ object ScanBench {
     val futs = (1 to nConc).map(_ => scala.concurrent.Future(scanFlat()))
     futs.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     val concPerQuery = (System.nanoTime() - t0) / 1e6 / nConc
-    pool.shutdown()
     println(f"concurrent_per_query_ms=$concPerQuery%.1f")
 
-    println(f"""{"metric":"phase1_scan_1m_ms","value":$fmedian%.1f,"unit":"ms","n":$n,"array_layout_ms":$median%.1f,"prepared_flat_ms":$pmedian%.1f,"concurrent_per_query_ms":$concPerQuery%.1f,"baseline_ms":24,"note":"reference README.md:14 - 1M x 1024-bit exhaustive hamming"}""")
+    // ---- Full three-phase funnel at the same scale --------------------------
+    // The reference's SECOND headline: 28 ms for the binary+int8 funnel at
+    // 1M x 1024-bit (README.md:15 / BASELINE.md). Same N, real payloads:
+    // deterministic floats in (-1,1), codes = packBits(floats) as 16
+    // primitive longs, int8 = quantize(floats, maxAbs=1) as 1024 bytes —
+    // one cached two-tier relation (columnar cache reads only the scanned
+    // columns, so Phase I still touches just doc_id + c0..c15).
+    flat.unpersist(); codes.unpersist()
+    val dims = 1024
+    val embV = transform(sequence(lit(0), lit(dims - 1)),
+      i => (xxhash64(col("doc_id"), i) % 1000).cast("double") / lit(1000.0))
+    val packed = Kernels.packBits(embV)
+    // Both tiers are materialized to parquet and read back before
+    // caching: the synthesized projections are enormous expression trees
+    // (16 × packBits(transform(1024)) and 128 × 8 packed int8 terms), and
+    // a cached relation KEEPS its child plan — every per-query filter
+    // would drag ~10k Catalyst nodes through analysis/optimization
+    // (measured ~600 ms/query). A parquet round-trip gives the cache a
+    // clean file-scan child, so per-query planning is milliseconds.
+    val benchDir = java.nio.file.Files.createTempDirectory("graft-scanbench").toString
+
+    // Hot tier: codes only, default 10k-row cache batches (scan-optimal).
+    spark.range(n).select(col("id").as("doc_id"))
+      .select(col("doc_id") +:
+        (0 until 16).map(i => element_at(packed, i + 1).as(s"c$i")): _*)
+      .write.mode("overwrite").parquet(s"$benchDir/hot")
+    val tier = spark.read.parquet(s"$benchDir/hot").persist(StorageLevel.MEMORY_ONLY)
+    tier.count()
+    // Cold tier: codes + int8 payload packed into 128 LONG columns (8
+    // int8 dims per word). ALL-PRIMITIVE on purpose: a BinaryType column
+    // disables the vectorized cached reader, and the row-based fallback
+    // must materialize every column of every row to advance its
+    // variable-length cursors — a 100-id lookup then costs a full 1 GB
+    // payload extraction (~250 ms measured). With primitive columns the
+    // vectorized reader scans just the doc_id vector and touches payload
+    // vectors only for the ~100 matching rows.
+    def int8At(j: Int) = {
+      val x = (xxhash64(col("doc_id"), lit(j)) % 1000).cast("double") / lit(1000.0)
+      // exact mirror of Kernels.int8 with maxAbs = 1.0
+      least(lit(127.0), greatest(lit(-127.0), floor(x * lit(127.0) + lit(0.5)))).cast("long")
+    }
+    val int8Words = (0 until 128).map { w =>
+      (0 until 8).map(p => shiftleft(int8At(8 * w + p).bitwiseAND(lit(255L)), 8 * p))
+        .reduce(_.bitwiseOR(_)).as(s"i$w")
+    }
+    spark.range(n).select(col("id").as("doc_id"))
+      .select(col("doc_id") +:
+        ((0 until 16).map(i => element_at(packed, i + 1).as(s"c$i")) ++ int8Words): _*)
+      .write.mode("overwrite").parquet(s"$benchDir/cold")
+
+    // Point-lookup index over the cold tier: per-partition sorted arrays
+    // (ids, codes, int8 bytes), queried by a bare RDD job doing binary
+    // search — the Spark-native analogue of the reference's positional
+    // numpy/RocksDB candidate reads. A DataFrame isin-lookup on this
+    // tier bottoms out at 50-300 ms/query in per-call Catalyst planning,
+    // codegen and columnar row materialization; the indexed RDD job has
+    // none of those and pays only the ~10 ms job floor.
+    val coldIdx = spark.read.parquet(s"$benchDir/cold").rdd.mapPartitions { it =>
+      val rows = it.toArray
+      val order = rows.map(_.getLong(0)).zipWithIndex.sortBy(_._1).map(_._2)
+      val ids = order.map(rows(_).getLong(0))
+      val codes = order.map { o => val r = rows(o); Array.tabulate(16)(i => r.getLong(i + 1)) }
+      val bytes = order.map { o =>
+        val r = rows(o)
+        Array.tabulate(1024) { j =>
+          ((r.getLong(17 + (j >> 3)) >>> (8 * (j & 7))) & 0xffL).toByte
+        }
+      }
+      Iterator.single((ids, codes, bytes))
+    }.persist(StorageLevel.MEMORY_ONLY)
+    coldIdx.count()
+
+    def lookup(q: Array[Long]): Array[(Long, Array[Long], Array[Byte])] =
+      spark.sparkContext.runJob(coldIdx,
+        (it: Iterator[(Array[Long], Array[Array[Long]], Array[Array[Byte]])]) => {
+          if (!it.hasNext) Array.empty[(Long, Array[Long], Array[Byte])]
+          else {
+            val (ids, codes, bytes) = it.next()
+            q.flatMap { target =>
+              val i = java.util.Arrays.binarySearch(ids, target)
+              if (i >= 0) Some((target, codes(i), bytes(i))) else None
+            }
+          }
+        }).flatten
+
+    val qv = spark.range(1).select(transform(sequence(lit(0), lit(dims - 1)),
+        i => (xxhash64(lit(n / 2), i) % 1000).cast("double") / lit(1000.0)))
+      .head().getSeq[Double](0)
+    val qWords = graft.operators.Search.packQuery(qv)
+    val hammingF = (0 until 16).map(i =>
+      bit_count(col(s"c$i").bitwiseXOR(lit(qWords(i))))).reduce(_ + _).cast("int")
+
+    // Job 1 is the PURE Phase-I scan shape — (doc_id, h) only, so the
+    // top-k heap carries 16-byte rows exactly like the measured scan.
+    // Job 2 is the indexed point lookup above (~100 KB to the driver).
+    // Phases II+III then run driver-side over the ≤100 candidates —
+    // exactly where the reference runs them (its Python layer holds the
+    // candidate lists, BinaryVectorDB.py:236); ~130k flops, microseconds.
+    def signDotLocal(code: Array[Long]): Double = {
+      var s = 0.0
+      var j = 0
+      while (j < dims) {
+        val bit = (code(j >> 6) >>> (63 - (j & 63))) & 1L
+        s += (if (bit == 1L) qv(j) else -qv(j))
+        j += 1
+      }
+      s
+    }
+    def funnelOnce(): Double = {
+      val t0 = System.nanoTime()
+      val p1 = tier.select(col("doc_id"), hammingF.as("h"))
+        .orderBy(col("h").asc, col("doc_id").asc).limit(100)
+        .collect()
+      val ids = p1.map(_.getLong(0))
+      val rows = lookup(ids)
+      val hById = p1.map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // Phase II: ⟨float, ±1⟩ rescore of 100, keep 30.
+      val p2 = rows.map { case (id, code, bytes) =>
+        (id, signDotLocal(code), bytes)
+      }.sortBy(t => (-t._2, t._1)).take(30)
+      // Phase III: ⟨float, int8⟩ rescore of 30, keep 10.
+      val p3 = p2.map { case (id, sb, bytes) =>
+        var dot = 0.0; var nrm = 0.0; var j = 0
+        while (j < dims) {
+          dot += qv(j) * bytes(j); nrm += bytes(j).toDouble * bytes(j); j += 1
+        }
+        (id, hById(id), sb, dot / math.sqrt(nrm))
+      }.sortBy(t => (-t._4, t._1)).take(10)
+      require(p3.length == 10)
+      (System.nanoTime() - t0) / 1e6
+    }
+
+    val funTimes = (1 to 7).map(_ => funnelOnce())
+    val funMedian = funTimes.sorted.apply(funTimes.size / 2)
+    println(f"funnel_runs_ms=${funTimes.map(t => f"$t%.1f").mkString(",")}")
+
+    val tF0 = System.nanoTime()
+    val funFuts = (1 to nConc).map(_ => scala.concurrent.Future(funnelOnce()))
+    funFuts.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    val funConc = (System.nanoTime() - tF0) / 1e6 / nConc
+    pool.shutdown()
+    println(f"funnel_concurrent_per_query_ms=$funConc%.1f")
+
+    println(f"""{"metric":"phase1_scan_1m_ms","value":$fmedian%.1f,"unit":"ms","n":$n,"array_layout_ms":$median%.1f,"prepared_flat_ms":$pmedian%.1f,"concurrent_per_query_ms":$concPerQuery%.1f,"baseline_ms":24,"funnel_1m_ms":$funMedian%.1f,"funnel_concurrent_per_query_ms":$funConc%.1f,"funnel_baseline_ms":28,"note":"reference README.md:14-15 - 1M x 1024-bit exhaustive hamming scan and 3-phase funnel"}""")
     spark.stop()
   }
 }

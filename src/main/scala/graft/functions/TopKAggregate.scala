@@ -160,11 +160,20 @@ case class HammingTopKCodeAgg(
       input: InternalRow): scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long])] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    val c = code.eval(input)
-    if (s != null && i != null && c != null) {
-      // copy the code: the incoming ArrayData may be a reused buffer row
-      offer(buf, (s.asInstanceOf[Int], i.asInstanceOf[Long],
-        c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()))
+    if (s != null && i != null) {
+      val si = s.asInstanceOf[Int]
+      val ii = i.asInstanceOf[Long]
+      // Evaluate (and copy) the payload ONLY when the heap will accept
+      // this row: acceptances are ~k·ln(n/k) per partition, so the
+      // payload column is touched for a vanishing fraction of scanned
+      // rows instead of copied n times.
+      if (buf.size < k || si < buf.head._1 || (si == buf.head._1 && ii < buf.head._2)) {
+        val c = code.eval(input)
+        if (c != null)
+          // copy the code: the incoming ArrayData may be a reused buffer row
+          offer(buf, (si, ii,
+            c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()))
+      }
     }
     buf
   }
