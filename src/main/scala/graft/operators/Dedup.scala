@@ -124,11 +124,22 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_bp")
   }
 
-  /** E2b: SimHash near-dedup. 60-bit simhash over shingle hashes
-    * (codegen'd [[graft.functions.SimHash60]]), then banded self-join on
-    * 12 bands × 5 bits: by pigeonhole any pair with hamming ≤ 11 shares
-    * at least one exact band, so for threshold 10 the blocked join is
-    * EXACT, not approximate — the scale path loses nothing.
+  /** E2b: SimHash near-dedup over a 120-bit (two-long) simhash: the
+    * shared 60-bit shingle hashes plus a salted re-hash vote two
+    * independent 60-bit halves (both md5-derived, both oracle-mirrored),
+    * then a banded self-join on 12 bands × 10 bits: by pigeonhole any
+    * pair with hamming ≤ 11 shares at least one exact band, so for
+    * threshold 10 the blocked join is EXACT, not approximate.
+    *
+    * Why 120 bits (round-2 advice): at 60 bits the same 12 exact bands
+    * are 5 bits wide — 32 distinct band keys, so every band bucket holds
+    * ~N/32 docs and candidate generation degrades toward quadratic at
+    * corpus scale. Doubling the hash doubles band width to 10 bits (1024
+    * keys, 32× the selectivity) while keeping the same absolute
+    * `maxHamming` API and the same 12-band exactness bound. The wider
+    * hash also halves the estimator's relative variance; note hamming ≤
+    * 10 of 120 bits is a tighter similarity fraction than 10 of 60 —
+    * thresholds are per-corpus tuning knobs either way.
     */
   def simhashDedup(spark: SparkSession, dir: String, maxHamming: Int = 10): DataFrame =
     // Memoized + persisted per (session, dir, threshold): the pair
@@ -138,25 +149,39 @@ object Dedup {
     // single most expensive query, largely for that reason).
     simhashPairsCache.getOrElseUpdate((spark, dir, maxHamming), {
       val numBands = 12
-      val bandBits = 5 // 12 × 5 = 60; exact for hamming ≤ numBands − 1 = 11
-      val sim = shingled(spark, dir).select(
-        col("doc_id"), Kernels.simHash(col("hs")).as("sh60"))
+      val bandBits = 10 // 12 × 10 = 120; exact for hamming ≤ numBands − 1 = 11
+      require(maxHamming < numBands,
+        s"banded blocking is exact only for maxHamming ≤ ${numBands - 1}, got $maxHamming")
+      val sh = shingled(spark, dir)
+      // Second 60-bit half from salted shingle hashes — independent votes,
+      // same DuckDB-mirrorable md5 scheme.
+      val sim = sh.select(
+        col("doc_id"),
+        Kernels.simHash(col("hs")).as("sha"),
+        Kernels.simHash(Kernels.h60Array(
+          transform(col("s"), x => concat(x, lit("#2"))))).as("shb"))
 
+      // Band b < 6 reads 10 bits of the first half, b ≥ 6 of the second.
       val banded = sim.select(
-          col("doc_id"), col("sh60"),
+          col("doc_id"), col("sha"), col("shb"),
           explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-        .withColumn("bkey", expr(s"shiftright(sh60, band * $bandBits) & ${(1 << bandBits) - 1}"))
-        .select("doc_id", "sh60", "band", "bkey")
+        .withColumn("bkey", expr(
+          s"CASE WHEN band < 6 THEN shiftright(sha, band * $bandBits)" +
+            s" ELSE shiftright(shb, (band - 6) * $bandBits) END & ${(1 << bandBits) - 1}"))
+        .select("doc_id", "sha", "shb", "band", "bkey")
 
-      val a = banded.select(col("doc_id").as("doc_a"), col("sh60").as("sim_a"), col("band"), col("bkey"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("sh60").as("sim_b"), col("band"), col("bkey"))
+      val a = banded.select(col("doc_id").as("doc_a"), col("sha").as("sa_a"),
+        col("shb").as("sb_a"), col("band"), col("bkey"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("sha").as("sa_b"),
+        col("shb").as("sb_b"), col("band"), col("bkey"))
       // Filter on hamming BEFORE deduping candidates: the threshold test is
       // a codegen'd scalar op on the join output, so the expensive distinct
       // shuffle only sees the (tiny) surviving pairs, not every band
       // collision.
       a.join(b, Seq("band", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("hamming", expr("int(bit_count(sim_a ^ sim_b))"))
+        .withColumn("hamming",
+          expr("int(bit_count(sa_a ^ sa_b) + bit_count(sb_a ^ sb_b))"))
         .filter(col("hamming") <= maxHamming)
         .select("doc_a", "doc_b", "hamming").distinct()
         .orderBy("doc_a", "doc_b")
@@ -239,18 +264,32 @@ object Dedup {
          |SELECT doc_a, doc_b, ((20000 * i + u) // (2 * u))::INT AS jaccard_bp
          |FROM jac WHERE 2 * i >= u ORDER BY doc_a, doc_b""".stripMargin,
 
+    // 120-bit simhash as two independently-voted 60-bit halves: the
+    // second half re-hashes each shingle with a '#2' salt (same md5
+    // scheme); hamming is the sum over both halves.
     "d3_dedup_simhash" ->
       s"""$shinglePrefix,
          |votes AS (
          |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) v
          |  FROM ex, range(0,60) r(j) GROUP BY doc_id, j),
-         |sim AS (
+         |sima AS (
          |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) sh60
-         |  FROM votes GROUP BY doc_id)
+         |  FROM votes GROUP BY doc_id),
+         |ex2 AS (SELECT doc_id,
+         |  cast(concat('0x', substr(md5(sg || '#2'), 1, 15)) as bigint) h FROM ex),
+         |votes2 AS (
+         |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) v
+         |  FROM ex2, range(0,60) r(j) GROUP BY doc_id, j),
+         |simb AS (
+         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) sh60
+         |  FROM votes2 GROUP BY doc_id),
+         |sim AS (
+         |  SELECT sima.doc_id, sima.sh60 sa, simb.sh60 sb
+         |  FROM sima JOIN simb USING (doc_id))
          |SELECT a.doc_id doc_a, b.doc_id doc_b,
-         |  bit_count(xor(a.sh60, b.sh60))::INT AS hamming
+         |  (bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)))::INT AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh60, b.sh60)) <= 10
+         |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 10
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d4_dedup_ngram" ->

@@ -191,13 +191,24 @@ object Pipeline {
          |votes AS (
          |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) v
          |  FROM ex, range(0,60) r(j) GROUP BY doc_id, j),
-         |sim AS (
+         |sima AS (
          |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) sh60
          |  FROM votes GROUP BY doc_id),
+         |ex2 AS (SELECT doc_id,
+         |  cast(concat('0x', substr(md5(sg || '#2'), 1, 15)) as bigint) h FROM ex),
+         |votes2 AS (
+         |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) v
+         |  FROM ex2, range(0,60) r(j) GROUP BY doc_id, j),
+         |simb AS (
+         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) sh60
+         |  FROM votes2 GROUP BY doc_id),
+         |sim AS (
+         |  SELECT sima.doc_id, sima.sh60 sa, simb.sh60 sb
+         |  FROM sima JOIN simb USING (doc_id)),
          |pairs AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
          |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sh60, b.sh60)) <= 10),
+         |  WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 10),
          |nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
          |edges AS (SELECT doc_a src, doc_b dst FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
