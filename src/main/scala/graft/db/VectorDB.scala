@@ -345,13 +345,12 @@ class VectorDB private (
     * Returns (qid, rank, doc_id, score_hamming, score_binary,
     * score_cossim, doc).
     *
-    * Probe-union caveat (`ivf` index, `nprobe` < all cells): the shared
-    * scan covers the UNION of every in-flight query's probed cells, so a
-    * query may draw candidates from cells it would not probe alone — a
-    * recall SUPERSET of [[searchVector]] with the same `nprobe`, but the
-    * exact result list can differ with the batch composition. Callers
-    * needing per-query reproducibility should use full probe (default) or
-    * [[searchVector]].
+    * Probing (`ivf` index, `nprobe` < all cells): the shared scan covers
+    * the UNION of every in-flight query's probed cells, and a per-query
+    * cell MASK then restricts each query's candidates to exactly its own
+    * probed cells — so batched results are identical to [[searchVector]]
+    * with the same `nprobe` regardless of batch composition
+    * (IndexStrategySpec pins the equality).
     */
   def searchMany(queries: Seq[(Long, Seq[Double])], k: Int = 10,
                  binaryOversample: Int = 10, int8Oversample: Int = 3,
@@ -365,16 +364,20 @@ class VectorDB private (
     validateFunnelParams(k, binaryOversample, int8Oversample)
     require(queries.nonEmpty, "searchMany needs at least one query")
     import spark.implicits._
+    val masking = isIvf && nprobe < ivfCells
     val qdf = queries.map { case (qid, qv) =>
-      (qid, qv, graft.operators.Search.packQuery(qv))
-    }.toDF("qid", "qvec", "qcode")
+      val qcells =
+        if (masking) probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe)
+        else Seq.empty[Int]
+      (qid, qv, graft.operators.Search.packQuery(qv), qcells)
+    }.toDF("qid", "qvec", "qcode", "qcells")
 
-    // IVF probe-union: one shared scan covers the cells probed by ANY
-    // in-flight query (each query may see candidates from another's
-    // cells — a recall superset of per-query probing, identical at
-    // nprobe = all cells).
+    // IVF probe-union: ONE shared scan covers the cells probed by ANY
+    // in-flight query (partition pruning on the union), and the
+    // per-query mask below keeps each query's candidate pool exactly its
+    // own probed cells.
     val scanned =
-      if (isIvf && nprobe < ivfCells) {
+      if (masking) {
         val probed = queries.flatMap { case (_, qv) =>
           probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe)
         }.distinct
@@ -389,7 +392,8 @@ class VectorDB private (
     // aggregate output — the hot tier is scanned exactly once.
     val phase1 = scanned
       .withColumn("__code", codeArr)
-      .crossJoin(broadcast(qdf.select("qid", "qcode")))
+      .crossJoin(broadcast(qdf.select("qid", "qcode", "qcells")))
+      .filter(if (masking) array_contains(col("qcells"), col("cell")) else lit(true))
       .select(col("qid"), col("doc_id"), col("__code"),
         Kernels.hamming(col("__code"), col("qcode")).as("h"))
       .groupBy("qid")

@@ -75,6 +75,14 @@ class IndexStrategySpec extends AnyFunSuite {
     // Probe-limited batch still returns k results per query.
     val pruned = rows(ivf, 4)
     assert(pruned.length == queries.size * 5)
+    // Per-query cell mask: batched pruned results equal searchVector with
+    // the same nprobe — reproducible regardless of batch composition.
+    queries.foreach { case (qid, qv) =>
+      val single = ivf.searchVector(qv, k = 5, nprobe = 4).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq
+      val batched = pruned.filter(_._1 == qid).sortBy(_._2).map(_._3)
+      assert(batched == single, s"query $qid diverges from searchVector at nprobe=4")
+    }
     intercept[IllegalArgumentException] { flat.searchMany(queries, nprobe = 2) }
   }
 
