@@ -87,6 +87,18 @@ class PlanSpec extends AnyFunSuite {
       .r.findFirstIn(p).isDefined, s"label blocking resurfaced:\n$p")
   }
 
+  test("near-dup banded join is an equi-join on the array band key, never nested-loop") {
+    // The dim-adaptive band key is array<bigint>; Catalyst must still
+    // treat (band, bkey) as hashable equi-join keys. A fallback to
+    // BroadcastNestedLoopJoin/CartesianProduct would be quadratic at
+    // scale — pin the join strategy.
+    val p = plan(graft.operators.Search.nearDupEmbeddings(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join fell back to a non-equi strategy:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isDefined,
+      s"no hash/merge equi-join found:\n$p")
+  }
+
   test("quality scoring is a shuffle-free per-row map (modulo output ordering)") {
     val base = spark.read.parquet(s"$dir/documents.parquet")
     // the feature computation itself — without the presentation orderBy
