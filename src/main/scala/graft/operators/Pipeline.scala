@@ -44,17 +44,52 @@ object Pipeline {
     * label relation is `localCheckpoint`ed — persisted plans still carry
     * the full join chain for re-planning, so without truncation a deep
     * cluster accumulates `maxIter` joins of lineage.
+    *
+    * Pair graphs at or below `driverCollapseEdges` (directed) edges
+    * collapse to a driver-side union-find instead: near-dup pairs are a
+    * vanishing fraction of any real corpus, and the iterative path pays
+    * one Spark job per propagation round where union-find finishes in
+    * microseconds (it was the bench's most expensive query). The bound
+    * caps driver memory exactly like the funnel's candidate collects;
+    * above it, the distributed min-label loop runs unchanged, and the
+    * deep-chain spec pins both paths to identical output.
     */
-  def clustersFromPairs(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+  def clustersFromPairs(pairs: DataFrame, maxIter: Int = 100,
+                        driverCollapseEdges: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val edgesWide = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edgesWide.count()
+    if (nEdges <= driverCollapseEdges) {
+      try {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edgesWide.collect().foreach { e =>
+          val (a, b) = (e.getLong(0), e.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root = cluster id
+        }
+        val comps = parent.keys.toSeq.groupBy(find).toSeq
+          .map { case (root, members) => (root, members.size.toLong) }
+          .sortBy(_._1)
+        import spark.implicits._
+        return comps.toDF("cluster_id", "n_docs")
+      } finally edgesWide.unpersist()
+    }
     // The pair graph is orders of magnitude smaller than the corpus (only
     // near-dup docs appear). Below ~1M edges the iteration cost is pure
     // task-scheduling overhead, so collapse to one partition; above, keep
     // the cluster-wide layout (the joins then shuffle on node id).
     val edges =
-      if (edgesWide.count() < 1000000) edgesWide.coalesce(1)
+      if (nEdges < 1000000) edgesWide.coalesce(1)
       else edgesWide
     try {
       var labels = edges.select(col("src").as("node")).distinct()

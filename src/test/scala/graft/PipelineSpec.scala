@@ -91,16 +91,25 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     // A 25-node path has diameter 24 — propagation runs well past several
     // CheckpointEvery boundaries, so the lineage-truncated labels must
-    // still converge to one component.
+    // still converge to one component. driverCollapseEdges = 0 forces the
+    // DISTRIBUTED path (the default would collapse this tiny graph to the
+    // driver-side union-find).
     val chain = (1L until 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = graft.operators.Pipeline.clustersFromPairs(chain).collect()
+    val got = graft.operators.Pipeline
+      .clustersFromPairs(chain, driverCollapseEdges = 0L).collect()
       .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"))).toSet
     assert(got == Set((1L, 25L)))
+
+    // Both paths agree on the same input.
+    val viaUnionFind = graft.operators.Pipeline.clustersFromPairs(chain).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"))).toSet
+    assert(viaUnionFind == got)
 
     // The cap is a parameter: a diameter beyond it fails loudly instead of
     // returning a silently split component.
     intercept[IllegalStateException] {
-      graft.operators.Pipeline.clustersFromPairs(chain, maxIter = 3)
+      graft.operators.Pipeline.clustersFromPairs(chain, maxIter = 3,
+        driverCollapseEdges = 0L)
     }
   }
 }
