@@ -188,36 +188,62 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  /** E2c: n-gram-Jaccard near-dedup via inverted-index join: explode
-    * shingles → df-cap hot shingles → self-join postings → count shared
-    * shingles per pair → Jaccard from |A|+|B|−shared. Exact (given the
-    * mirrored df cap), no signatures involved.
+  /** E2c: n-gram-Jaccard near-dedup with PREFIX FILTERING (the
+    * SSJoin/AllPairs/PPJoin principle): over the df-capped shingle
+    * universe, index only each doc's first ⌊n/2⌋+1 shingles in a global
+    * canonical order (ascending 60-bit hash) — for Jaccard ≥ 1/2 any
+    * qualifying pair shares ≥ ⌈n/2⌉ shingles, so by pigeonhole its
+    * prefixes must intersect and the candidate set is provably LOSSLESS.
+    * Candidates are then verified with exact set intersection. vs the
+    * plain inverted-index join (count every colliding pair's every
+    * shared shingle), the index halves and the join output shrinks from
+    * Σ_pair |A∩B| rows to the candidate pair set.
+    *
+    * The df cap (drop shingles in > dfCap docs, mirrored in the oracle)
+    * both guards the join against hot-key skew and defines the Jaccard
+    * universe — identical semantics to the pre-prefix version. The hot
+    * set is tiny by Zipf (collected driver-side, broadcast as a literal).
     */
   def ngramJaccardDedup(spark: SparkSession, dir: String,
                         dfCap: Int = 200): DataFrame = {
-    // The df-capped postings list is read three times (both join sides +
-    // per-doc counts) — persist it once per (session, dir, cap).
-    val filtered = postingsCache.getOrElseUpdate((spark, dir, dfCap), {
+    // Capped shingle arrays + canonical-order prefixes, persisted per
+    // (session, dir, cap): the relation feeds the prefix index AND both
+    // verification sides. The canonical order is DOCUMENT FREQUENCY
+    // ascending (ties by hash) — the AllPairs ordering: prefixes then
+    // hold each doc's RAREST shingles, so prefix-index postings are
+    // short and the candidate join stays small (a hash-ordered prefix
+    // measured 4.5× slower — common shingles flooded the prefixes).
+    val capped = postingsCache.getOrElseUpdate((spark, dir, dfCap), {
       val sh = shingled(spark, dir)
-      val postings = sh.select(col("doc_id"), explode(col("s")).as("sg"))
-      val keep = postings.groupBy("sg").count().filter(col("count") <= dfCap).select("sg")
-      postings.join(keep, "sg")
+      val post = sh.select(col("doc_id"), explode(col("s")).as("sg"))
+      val dfreq = post.groupBy("sg").agg(count(lit(1)).as("c"))
+      post.join(dfreq, "sg")
+        .filter(col("c") <= dfCap)
+        .withColumn("h", Kernels.h60(col("sg")))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("c"), col("h"), col("sg")))).as("items"))
+        .withColumn("s2", expr("transform(items, x -> x.sg)"))
+        .withColumn("pref",
+          expr("transform(slice(items, 1, size(items) div 2 + 1), x -> x.h)"))
+        .select("doc_id", "s2", "pref")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-    val nPerDoc = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = filtered.select(col("doc_id").as("doc_a"), col("sg"))
-    val b = filtered.select(col("doc_id").as("doc_b"), col("sg"))
-    val shared = a.join(b, "sg").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val pp = capped.select(col("doc_id"), explode(col("pref")).as("ph"))
+    val cand = pp.select(col("doc_id").as("doc_a"), col("ph"))
+      .join(pp.select(col("doc_id").as("doc_b"), col("ph")), "ph")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
 
-    // Same integer-exact form as minhashDedup: u = na + nb − shared.
-    shared
-      .join(nPerDoc.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(nPerDoc.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("u", col("na") + col("nb") - col("shared"))
-      .filter(col("shared") * 2 >= col("u"))
-      .withColumn("jaccard_bp", expr("int((20000 * shared + u) div (2 * u))"))
+    // Exact verification on the capped sets; same integer-exact Jaccard
+    // form as minhashDedup: u = na + nb − i.
+    cand
+      .join(capped.select(col("doc_id").as("doc_a"), col("s2").as("sa")), "doc_a")
+      .join(capped.select(col("doc_id").as("doc_b"), col("s2").as("sb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
+      .filter(col("i") * 2 >= col("u"))
+      .withColumn("jaccard_bp", expr("int((20000 * i + u) div (2 * u))"))
       .orderBy("doc_a", "doc_b")
       .select("doc_a", "doc_b", "jaccard_bp")
   }
@@ -292,19 +318,24 @@ object Dedup {
          |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 10
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Prefix-filtered exact Jaccard: capped sets, canonical-order (hash
+    // asc) prefixes of length n//2+1, candidate pairs from prefix
+    // intersection, exact list_intersect verification.
     "d4_dedup_ngram" ->
       s"""$shinglePrefix,
          |df AS (SELECT sg, count(*) c FROM ex GROUP BY sg),
-         |exf AS (SELECT ex.doc_id, ex.sg FROM ex JOIN df USING (sg) WHERE df.c <= 200),
-         |n AS (SELECT doc_id, count(*) n FROM exf GROUP BY doc_id),
-         |shared AS (
-         |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
-         |  FROM exf a JOIN exf b ON a.sg = b.sg AND a.doc_id < b.doc_id
-         |  GROUP BY doc_a, doc_b)
-         |SELECT doc_a, doc_b,
-         |  ((20000 * c + (na.n + nb.n - c)) // (2 * (na.n + nb.n - c)))::INT AS jaccard_bp
-         |FROM shared JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-         |WHERE 2 * c >= na.n + nb.n - c
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |capf AS (SELECT ex.doc_id, ex.sg, ex.h, df.c FROM ex JOIN df USING (sg) WHERE df.c <= 200),
+         |cap AS (SELECT doc_id, list(sg) s2,
+         |        list(h ORDER BY c, h, sg) hsrt, count(*) n
+         |        FROM capf GROUP BY doc_id),
+         |pref AS (SELECT doc_id, unnest(list_slice(hsrt, 1, n // 2 + 1)) AS ph FROM cap),
+         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |         FROM pref a JOIN pref b ON a.ph = b.ph AND a.doc_id < b.doc_id),
+         |jac AS (SELECT doc_a, doc_b,
+         |          len(list_intersect(x.s2, y.s2)) i,
+         |          x.n + y.n - len(list_intersect(x.s2, y.s2)) u
+         |        FROM cand JOIN cap x ON x.doc_id = doc_a JOIN cap y ON y.doc_id = doc_b)
+         |SELECT doc_a, doc_b, ((20000 * i + u) // (2 * u))::INT AS jaccard_bp
+         |FROM jac WHERE 2 * i >= u ORDER BY doc_a, doc_b""".stripMargin,
   )
 }
