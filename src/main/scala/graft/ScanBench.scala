@@ -118,7 +118,9 @@ object ScanBench {
     // would drag ~10k Catalyst nodes through analysis/optimization
     // (measured ~600 ms/query). A parquet round-trip gives the cache a
     // clean file-scan child, so per-query planning is milliseconds.
-    val benchDir = java.nio.file.Files.createTempDirectory("graft-scanbench").toString
+    // Shared-FS location (session warehouse via IndexStore), not driver
+    // /tmp — the same bench then runs unchanged on a real cluster's FS.
+    val benchDir = graft.db.IndexStore.dirFor(spark, "scanbench", s"n=$n")
 
     // Hot tier: codes only, default 10k-row cache batches (scan-optimal).
     spark.range(n).select(col("id").as("doc_id"))
