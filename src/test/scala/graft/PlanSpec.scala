@@ -99,6 +99,14 @@ class PlanSpec extends AnyFunSuite {
       s"no hash/merge equi-join found:\n$p")
   }
 
+  test("prefix-filtered Jaccard dedup joins on prefix hashes with no cartesian fallback") {
+    val p = plan(graft.operators.Dedup.ngramJaccardDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join degenerated:\n$p")
+    // candidate generation keys on the canonical prefix hash, not full postings
+    assert(p.contains("explode(pref"), s"prefix index missing:\n$p")
+  }
+
   test("quality scoring is a shuffle-free per-row map (modulo output ordering)") {
     val base = spark.read.parquet(s"$dir/documents.parquet")
     // the feature computation itself — without the presentation orderBy
