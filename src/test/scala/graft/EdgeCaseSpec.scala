@@ -100,6 +100,29 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq((1, 1L)).toDF("s", "i")
         .selectExpr("graft_topk_hamming(s, i, s)").collect()
     }
+    // ... and a POSITIVE one: k = 0 / negative would silently build an
+    // empty heap and return empty aggregates instead of erroring.
+    intercept[Exception] {
+      Seq((1, 1L)).toDF("s", "i")
+        .selectExpr("graft_topk_hamming(s, i, 0)").collect()
+    }
+    intercept[Exception] {
+      Seq((1, 1L)).toDF("s", "i")
+        .selectExpr("graft_topk_hamming(s, i, -3)").collect()
+    }
+    // Funnel sizing guards on the facade: zero/negative stages rejected.
+    val dbDir = java.nio.file.Files.createTempDirectory("graftguardk").toFile
+    dbDir.delete()
+    val db = graft.db.VectorDB.openOrCreate(spark, dbDir.getAbsolutePath)
+    db.addDocuments(Seq((1L, "alpha beta")).toDF("doc_id", "text"))
+    intercept[IllegalArgumentException] { db.searchVector(Seq.fill(64)(0.1), k = 0) }
+    intercept[IllegalArgumentException] {
+      db.searchVector(Seq.fill(64)(0.1), binaryOversample = 0)
+    }
+    intercept[IllegalArgumentException] {
+      db.searchMany(Seq((0L, Seq.fill(64)(0.1))), int8Oversample = -1)
+    }
+    intercept[IllegalArgumentException] { db.searchMany(Seq.empty) }
     // The index strategy round-trips through config, and a probe count
     // below 1 is a caller error, not an empty result.
     val tmp = java.nio.file.Files.createTempDirectory("graftguard").toFile
