@@ -5,11 +5,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Phase-I throughput microbench against the reference's headline number:
-  * 24 ms to exhaustively hamming-scan 1M × 1024-bit binary embeddings
-  * (BASELINE.md / reference README.md:14). Synthesizes N deterministic
-  * 1024-bit codes (16 longs from xxhash64), caches them (the hot tier),
-  * and times repeated top-100 scans. Usage: graft.ScanBench [nVectors]
+/** Phase-I and full-funnel throughput microbench against the reference's
+  * headline numbers: 24 ms to exhaustively hamming-scan 1M × 1024-bit
+  * binary embeddings, 28 ms for the 3-phase binary+int8 funnel
+  * (BASELINE.md / reference README.md:14-15). Synthesizes N
+  * deterministic 1024-bit codes (16 longs from xxhash64) plus int8
+  * payloads, caches them (hot tier + point-lookup index), and times
+  * repeated queries. Usage: graft.ScanBench [nVectors]
+  *
+  * Memory: the funnel section keeps ~1.4 KB/row resident (code tier +
+  * int8 point-lookup index) — size the heap accordingly, e.g.
+  * `SPARK_DRIVER_MEM=48g` for N = 4M (scripts/run.sh defaults to 8 GiB,
+  * which fits N = 1M).
   */
 object ScanBench {
   def main(args: Array[String]): Unit = {
