@@ -62,6 +62,8 @@ class VectorDB private (
 
   @volatile private var codesCache: Option[DataFrame] = None
   @volatile private var countCache: Long = -1L
+  @volatile private var servingEnabled = false
+  @volatile private var servingIdx: Option[PointLookupIndex] = None
 
   private def hasData: Boolean =
     if (isMor) codesMor.exists else fs.exists(new Path(codesPath))
@@ -249,6 +251,52 @@ class VectorDB private (
     codesCache.foreach(_.unpersist())
     codesCache = None
     countCache = -1L
+    // A commit changed the cold tier: drop the serving index; it
+    // rebuilds lazily on the next search if serving stays enabled.
+    servingIdx.foreach(_.unpersist())
+    servingIdx = None
+  }
+
+  /** Opt into the RAM-resident serving regime: phase III of
+    * [[searchVector]]/[[searchMany]] fetches candidate payloads through
+    * a [[PointLookupIndex]] (per-partition sorted arrays + binary
+    * search, one bare RDD job) instead of a per-query Catalyst plan
+    * over the parquet cold tier. Results are bit-identical either way
+    * (spec-pinned); this trades executor memory (~1 KB/row) for
+    * serving latency — the same index-resident-in-RAM regime the
+    * reference's published numbers assume. Rebuilt automatically after
+    * each commit; [[disableServing]] releases the memory.
+    */
+  def enableServing(): this.type = { servingEnabled = true; servingIndex(); this }
+
+  def disableServing(): Unit = {
+    servingEnabled = false
+    servingIdx.foreach(_.unpersist())
+    servingIdx = None
+  }
+
+  private def servingIndex(): Option[PointLookupIndex] = {
+    if (!servingEnabled) None
+    else servingIdx.orElse(synchronized {
+      if (servingIdx.isEmpty && hasData) servingIdx = Some(PointLookupIndex.build(docs))
+      servingIdx
+    })
+  }
+
+  /** Exact driver-side mirror of the phase-III column expression
+    * `graft_dot_int8(q, emb_int8) / graft_norm_int8(emb_int8)`: both
+    * kernels accumulate doubles left-to-right, so the serving path and
+    * the Catalyst path produce bit-identical scores.
+    */
+  private def cosSimInt8(q: Seq[Double], bytes: Array[Byte]): Double = {
+    val n = math.min(q.length, bytes.length)
+    var i = 0
+    var dot = 0.0
+    while (i < n) { dot += q(i) * bytes(i).toDouble; i += 1 }
+    var j = 0
+    var nrm = 0.0
+    while (j < bytes.length) { val v = bytes(j).toDouble; nrm += v * v; j += 1 }
+    dot / math.sqrt(nrm)
   }
 
   /** O11: the three-phase funnel over the stored tiers. Returns
@@ -319,22 +367,40 @@ class VectorDB private (
       .collect()
     val ids = candidates.map(_.getLong(0)).toSeq
 
-    // Point-lookup batch against the cold tier: the id filter pushes into
-    // the parquet scan (min/max row-group pruning on the doc_id-sorted
-    // layout), so the per-query cold-tier read is proportional to the
-    // candidate set — the batch analogue of the reference's RocksDB point
-    // reads — NOT a full scan.
-    val scores = spark.createDataFrame(
-      candidates.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq)
-      .toDF("doc_id", "score_hamming", "score_binary")
-    docs
-      .filter(col("doc_id").isin(ids: _*))
-      .join(broadcast(scores), Seq("doc_id"))
-      .withColumn("score_cossim",
-        Kernels.dotInt8(qLit, col("emb_int8")) / Kernels.normInt8(col("emb_int8")))
-      .orderBy(col("score_cossim").desc, col("doc_id").asc)
-      .limit(k)
-      .select("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
+    servingIndex() match {
+      case Some(idx) =>
+        // Serving path: indexed point lookup (one bare RDD job), then
+        // phase III over the ≤ k·int8Oversample candidates driver-side —
+        // exactly where the reference's Python layer runs it
+        // (BinaryVectorDB.py:236-252); ~130k flops.
+        val byId = idx.lookup(ids.toArray)
+          .map(t => t._1 -> (t._2, t._3)).toMap
+        val out = candidates.toSeq.flatMap { r =>
+          val id = r.getLong(0)
+          byId.get(id).map { case (bytes, doc) =>
+            (id, r.getInt(1), r.getDouble(2), cosSimInt8(q, bytes), doc)
+          }
+        }.sortBy(t => (-t._4, t._1)).take(k)
+        spark.createDataFrame(out)
+          .toDF("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
+      case None =>
+        // Point-lookup batch against the cold tier: the id filter pushes
+        // into the parquet scan (min/max row-group pruning on the
+        // doc_id-sorted layout), so the per-query cold-tier read is
+        // proportional to the candidate set — the batch analogue of the
+        // reference's RocksDB point reads — NOT a full scan.
+        val scores = spark.createDataFrame(
+          candidates.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq)
+          .toDF("doc_id", "score_hamming", "score_binary")
+        docs
+          .filter(col("doc_id").isin(ids: _*))
+          .join(broadcast(scores), Seq("doc_id"))
+          .withColumn("score_cossim",
+            Kernels.dotInt8(qLit, col("emb_int8")) / Kernels.normInt8(col("emb_int8")))
+          .orderBy(col("score_cossim").desc, col("doc_id").asc)
+          .limit(k)
+          .select("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
+    }
   }
 
   /** Batched multi-query funnel over the stored tiers: one scan of the
@@ -414,22 +480,46 @@ class VectorDB private (
       .select("qid", "doc_id", "score_hamming", "score_binary")
       .collect()
     val ids = candidates.map(_.getLong(1)).distinct.toSeq
-    val scores = spark.createDataFrame(candidates.map(r =>
-        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq)
-      .toDF("qid", "doc_id", "score_hamming", "score_binary")
 
-    // Point-lookup batch against the cold tier (pushed-down id filter).
-    val wC = Window.partitionBy("qid").orderBy(col("score_cossim").desc, col("doc_id").asc)
-    docs.filter(col("doc_id").isin(ids: _*))
-      .join(broadcast(scores), "doc_id")
-      .join(broadcast(qdf.select("qid", "qvec")), "qid")
-      .withColumn("score_cossim",
-        Kernels.dotInt8(col("qvec"), col("emb_int8")) / Kernels.normInt8(col("emb_int8")))
-      .withColumn("rank", row_number().over(wC))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "doc_id", "score_hamming", "score_binary",
-        "score_cossim", "doc")
-      .orderBy("qid", "rank")
+    servingIndex() match {
+      case Some(idx) =>
+        // Serving path: one indexed lookup for the union of all queries'
+        // candidates, phases III + ranking driver-side per query.
+        val byId = idx.lookup(ids.toArray)
+          .map(t => t._1 -> (t._2, t._3)).toMap
+        val qvecById = queries.toMap
+        val out = candidates.toSeq.flatMap { r =>
+          val qid = r.getLong(0)
+          val id = r.getLong(1)
+          byId.get(id).map { case (bytes, doc) =>
+            (qid, id, r.getInt(2), r.getDouble(3),
+              cosSimInt8(qvecById(qid), bytes), doc)
+          }
+        }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+          g.sortBy(t => (-t._5, t._2)).take(k).zipWithIndex.map { case (t, i) =>
+            (t._1, i + 1, t._2, t._3, t._4, t._5, t._6)
+          }
+        }.sortBy(t => (t._1, t._2))
+        spark.createDataFrame(out).toDF("qid", "rank", "doc_id",
+          "score_hamming", "score_binary", "score_cossim", "doc")
+      case None =>
+        val scores = spark.createDataFrame(candidates.map(r =>
+            (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq)
+          .toDF("qid", "doc_id", "score_hamming", "score_binary")
+
+        // Point-lookup batch against the cold tier (pushed-down id filter).
+        val wC = Window.partitionBy("qid").orderBy(col("score_cossim").desc, col("doc_id").asc)
+        docs.filter(col("doc_id").isin(ids: _*))
+          .join(broadcast(scores), "doc_id")
+          .join(broadcast(qdf.select("qid", "qvec")), "qid")
+          .withColumn("score_cossim",
+            Kernels.dotInt8(col("qvec"), col("emb_int8")) / Kernels.normInt8(col("emb_int8")))
+          .withColumn("rank", row_number().over(wC))
+          .filter(col("rank") <= k)
+          .select("qid", "rank", "doc_id", "score_hamming", "score_binary",
+            "score_cossim", "doc")
+          .orderBy("qid", "rank")
+    }
   }
 
   /** O6: the parquet snapshots are durable as written; kept for API

@@ -1,0 +1,80 @@
+package graft
+
+import graft.db.VectorDB
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity spec for the RAM-resident serving path: with
+  * [[VectorDB.enableServing]] phase III runs through the
+  * [[graft.db.PointLookupIndex]] (sorted-block binary-search RDD job +
+  * driver-side rescoring) and must produce BIT-IDENTICAL results to the
+  * default Catalyst plan over the parquet cold tier — same ids, same
+  * ranks, same double scores (the driver-side cosine mirrors the
+  * kernels' left-to-right double accumulation exactly).
+  */
+class ServingIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftdb").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def fixture(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map(i => (i.toLong, s"document number $i about topic ${i % 7} " +
+      s"with extra words ${"x" * (i % 5)}")).toDF("doc_id", "text")
+
+  private def asComparable(rows: Array[Row]): Seq[Seq[Any]] =
+    rows.toSeq.map(_.toSeq)
+
+  test("searchVector: serving path == catalyst path, bit-identical") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(200))
+    val q = db.search("topic 3 document", k = 1).head() // any anchor query
+    assert(q.getAs[Long]("doc_id") >= 0)
+
+    val qv = (0 until 64).map(i => math.sin(i * 1.7) / 8.0)
+    val plain = asComparable(db.searchVector(qv, k = 7, binaryOversample = 4,
+      int8Oversample = 2).collect())
+    db.enableServing()
+    val served = asComparable(db.searchVector(qv, k = 7, binaryOversample = 4,
+      int8Oversample = 2).collect())
+    assert(served == plain, s"serving path diverged:\n$served\nvs\n$plain")
+  }
+
+  test("searchMany: serving path == catalyst path for a 3-query batch") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(150))
+    val queries = Seq(
+      10L -> (0 until 64).map(i => math.cos(i * 0.9) / 4.0),
+      11L -> (0 until 64).map(i => math.sin(i * 2.3) / 4.0),
+      12L -> (0 until 64).map(i => (if (i % 3 == 0) 1.0 else -0.5) / 4.0))
+    val plain = asComparable(db.searchMany(queries, k = 5).collect())
+    db.enableServing()
+    val served = asComparable(db.searchMany(queries, k = 5).collect())
+    assert(served == plain, s"serving batch diverged:\n$served\nvs\n$plain")
+    db.disableServing()
+    val plainAgain = asComparable(db.searchMany(queries, k = 5).collect())
+    assert(plainAgain == plain)
+  }
+
+  test("serving index survives a commit: invalidated and rebuilt with fresh data") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(60))
+    db.enableServing()
+    val qv = (0 until 64).map(i => math.sin(i * 1.1) / 8.0)
+    db.searchVector(qv, k = 3).collect() // build + use index
+    // commit new docs: index must drop and rebuild; new doc findable
+    db.addDocuments(Seq((999L, "a completely different document about zebras"))
+      .toDF("doc_id", "text"))
+    val hit = db.search("different document zebras", k = 1).head()
+    assert(hit.getAs[Long]("doc_id") == 999L)
+    // and parity still holds post-rebuild
+    val served = asComparable(db.searchVector(qv, k = 5).collect())
+    db.disableServing()
+    val plain = asComparable(db.searchVector(qv, k = 5).collect())
+    assert(served == plain)
+  }
+}
