@@ -22,6 +22,24 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Discounted revenue in exact 10^-4 dollars: the fixture's prices and
+    * discounts are 2-decimal values (verified exhaustively), so
+    * `l_extendedprice·(1−l_discount) ≡ cents(price)·(100−cents(discount))`
+    * in int64 — and an integer sum is summation-order-independent, where a
+    * rounded double sum flips its last cent whenever the exact value lands
+    * within an ulp of a .005 boundary (observed: q_monthly_revenue at
+    * sf0.001, 3141848.765). Cent output is recovered half-up:
+    * `(c4_sum + 50) div 100`. DuckDB mirror:
+    * `sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))`.
+    */
+  private val revenueC4 =
+    expr("cast(round(l_extendedprice * 100) as bigint) * " +
+      "(100 - cast(round(l_discount * 100) as bigint))")
+
+  /** Half-up cents from a summed [[revenueC4]] column. */
+  private def centsHalfUp(c4Sum: String): org.apache.spark.sql.Column =
+    expr(s"($c4Sum + 50) div 100")
+
   /** TPC-H Q1-style pricing summary: the canonical scan+partial-agg shape. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -29,8 +47,8 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("sum_base_price_c"),
+        sum(revenueC4).as("disc_c4"),
         // quantities are integer-valued and discounts 2-decimal: their
         // means are exact small rationals, which hit .00005 rounding
         // boundaries where Spark and DuckDB round() disagree — so the
@@ -40,7 +58,7 @@ object Relational {
         sum(round(col("l_discount") * 100).cast("long")).as("dsum"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
-        col("sum_base_price"), col("sum_disc_price"),
+        col("sum_base_price_c"), centsHalfUp("disc_c4").as("sum_disc_price_c"),
         expr("int((20000 * qsum + count_order) div (2 * count_order))").as("avg_qty_bp"),
         expr("int((20000 * dsum + count_order) div (2 * count_order))").as("avg_disc_cbp"),
         col("count_order"))
@@ -57,9 +75,10 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"), col("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .agg(sum(revenueC4).as("rev_c4"))
+      .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
+        centsHalfUp("rev_c4").as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
@@ -78,9 +97,9 @@ object Relational {
       .filter(cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n_items"))
-      .orderBy(col("revenue").desc, col("n_name").asc)
+      .agg(sum(revenueC4).as("rev_c4"), count(lit(1)).as("n_items"))
+      .select(col("n_name"), centsHalfUp("rev_c4").as("revenue_c"), col("n_items"))
+      .orderBy(col("revenue_c").desc, col("n_name").asc)
   }
 
   /** Window functions over the fact table: per-customer order sequencing
@@ -134,9 +153,11 @@ object Relational {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        sum(revenueC4).as("rev_c4"),
         count(lit(1)).as("n_items"),
         countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(col("y"), col("m"), centsHalfUp("rev_c4").as("revenue_c"),
+        col("n_items"), col("n_orders"))
       .orderBy("y", "m")
 
   /** String functions over part names: tokenize brand ids out of
@@ -219,12 +240,14 @@ object Relational {
     * ship-year split across return flags as columns.
     */
   def qPivotConditional(spark: SparkSession, dir: String): DataFrame = {
-    def flagSum(f: String) = round(sum(
-      when(col("l_returnflag") === f, col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .otherwise(lit(0.0))), 2)
+    // exact half-up cents per flag — see [[revenueC4]]
+    def flagSum(f: String) =
+      expr("(sum(CASE WHEN l_returnflag = '" + f + "' THEN " +
+        "cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)) " +
+        "ELSE 0L END) + 50) div 100")
     t(spark, dir, "lineitem")
       .groupBy(year(col("l_shipdate")).as("y"))
-      .agg(flagSum("A").as("rev_a"), flagSum("N").as("rev_n"), flagSum("R").as("rev_r"),
+      .agg(flagSum("A").as("rev_a_c"), flagSum("N").as("rev_n_c"), flagSum("R").as("rev_r_c"),
         count(lit(1)).as("n"))
       .orderBy("y")
   }
@@ -246,12 +269,12 @@ object Relational {
 
     "q_pivot_conditional" ->
       """SELECT year(l_shipdate)::INT AS y,
-        |  round(sum(CASE WHEN l_returnflag = 'A'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS rev_a,
-        |  round(sum(CASE WHEN l_returnflag = 'N'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS rev_n,
-        |  round(sum(CASE WHEN l_returnflag = 'R'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS rev_r,
+        |  ((sum(CASE WHEN l_returnflag = 'A'
+        |    THEN round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT) ELSE 0 END) + 50) // 100)::BIGINT AS rev_a_c,
+        |  ((sum(CASE WHEN l_returnflag = 'N'
+        |    THEN round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT) ELSE 0 END) + 50) // 100)::BIGINT AS rev_n_c,
+        |  ((sum(CASE WHEN l_returnflag = 'R'
+        |    THEN round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT) ELSE 0 END) + 50) // 100)::BIGINT AS rev_r_c,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -297,9 +320,12 @@ object Relational {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
+    // Revenue in exact half-up cents — see [[revenueC4]]: rounded double
+    // sums of the 4-decimal price·discount products flip their last cent
+    // on .005 boundaries (hit at sf0.001), integer sums can't.
     "q_monthly_revenue" ->
       """SELECT year(l_shipdate)::INT AS y, month(l_shipdate)::INT AS m,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  ((sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) + 50) // 100)::BIGINT AS revenue_c,
         |  count(*) AS n_items, count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -308,8 +334,8 @@ object Relational {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_price_c,
+        |  ((sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) + 50) // 100)::BIGINT AS sum_disc_price_c,
         |  ((20000 * sum(l_quantity)::BIGINT + count(*)) // (2 * count(*)))::INT AS avg_qty_bp,
         |  ((20000 * sum(round(l_discount * 100)::BIGINT) + count(*)) // (2 * count(*)))::INT AS avg_disc_cbp,
         |  count(*) AS count_order
@@ -321,7 +347,7 @@ object Relational {
     "q3_top_orders" ->
       """SELECT l_orderkey,
         |  cast(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ((sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) + 50) // 100)::BIGINT AS revenue_c
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -329,11 +355,11 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+        |ORDER BY revenue_c DESC, l_orderkey ASC LIMIT 10""".stripMargin,
 
     "q5_nation_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  ((sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) + 50) // 100)::BIGINT AS revenue_c,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -342,7 +368,7 @@ object Relational {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE c_nationkey = s_nationkey
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+        |ORDER BY revenue_c DESC, n_name ASC""".stripMargin,
 
     "q_window_customer_orders" ->
       """SELECT o_custkey,
