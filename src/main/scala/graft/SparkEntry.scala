@@ -58,6 +58,9 @@ object SparkEntry {
     "t3_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "t5_length_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
+    // Temporal joins: as-of (log-merge window form) and bucketed range join.
+    "q_asof_join" -> ((s, d) => Temporal.asofJoin(s, d)),
+    "q_range_join" -> ((s, d) => Temporal.rangeJoinBucketed(s, d)),
     // E8 (batch form): event-stream analytics.
     "e1_hourly" -> ((s, d) => Events.hourly(s, d)),
     "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -71,6 +74,7 @@ object SparkEntry {
     "p2_hash_split" -> ((s, d) => Pipeline.hashSplit(s, d)),
     "p3_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "p4_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "p5_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +82,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Search.oracles ++ MLSimilarity.oracles ++ Relational.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Events.oracles ++ graft.multimodal.Multimodal.oracles ++
-      Pipeline.oracles
+      TextAnalysis.oracles ++ Events.oracles ++ Temporal.oracles ++
+      graft.multimodal.Multimodal.oracles ++ Pipeline.oracles
 }

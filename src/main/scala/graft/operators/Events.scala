@@ -20,7 +20,7 @@ object Events {
     * settable) and convert to TimestampType via integer division — `div`,
     * not `/`, since nanos ~1.7e18 exceed double's 53-bit mantissa.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
