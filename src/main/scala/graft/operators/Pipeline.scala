@@ -205,6 +205,32 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** P5: deterministic stratified sampling — corpus mixing by language
+    * with per-stratum keep rates (in basis points of 10^4). The keep
+    * decision hashes the CONTENT with a salt, so it is reproducible with
+    * no stored state, independent of row order/partitioning, and — because
+    * the salt decouples it from [[hashSplit]]'s `h60(text) % 100` — keeps
+    * are uncorrelated with split assignment (an unsalted `% 10^4` shares
+    * its low bits with the split hash, silently concentrating sampled docs
+    * in particular splits). Pure per-row map + hash-aggregate: zero
+    * shuffles before the final (tiny) group-by — embarrassingly parallel
+    * at any corpus size.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 2500)
+      .when(col("lang") === "es", 5000)
+      .when(col("lang") === "zh", 7500)
+      .otherwise(10000)
+    docs(spark, dir)
+      .withColumn("u", Kernels.h60(concat(col("text"), lit("#sample"))) % 10000)
+      .withColumn("keep", (col("u") < rate).cast("long"))
+      .withColumn("n_tokens", size(Kernels.tokens(col("text"))).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
+        sum(col("keep") * col("n_tokens")).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   /** Shingle CTE chain shared with [[Dedup]]'s oracles. */
@@ -276,6 +302,17 @@ object Pipeline {
         |SELECT lang, (start // 512)::INT AS bin, count(*) AS n_docs,
         |  sum(n_tokens)::BIGINT AS tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p5_stratified_sample" ->
+      """WITH f AS (
+        |  SELECT lang, len(string_split(text,' '))::BIGINT n_tokens,
+        |    CASE WHEN cast(concat('0x', substr(md5(text || '#sample'), 1, 15)) as bigint) % 10000
+        |      < (CASE lang WHEN 'en' THEN 2500 WHEN 'es' THEN 5000 WHEN 'zh' THEN 7500 ELSE 10000 END)
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(keep)::BIGINT AS n_kept,
+        |  sum(keep * n_tokens)::BIGINT AS kept_tokens
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p4_decontaminate" ->
       s"""WITH $shingle,

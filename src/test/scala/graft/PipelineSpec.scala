@@ -73,6 +73,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(nTrain == total - nEval)
   }
 
+  test("stratifiedSample: conserves counts, keeps within stratum rates, layout-independent") {
+    val s = graft.operators.Pipeline.stratifiedSample(spark, dir).collect()
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(s.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_docs")).toMap == truth)
+    val rates = Map("en" -> 0.25, "es" -> 0.50, "zh" -> 0.75)
+    s.foreach { r =>
+      val (lang, n, kept) = (r.getAs[String]("lang"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(kept <= n)
+      val p = rates.getOrElse(lang, 1.0)
+      if (p == 1.0) assert(kept == n, s"$lang should keep everything")
+      else {
+        // binomial(n, p): allow 5 sigma
+        val tol = 5 * math.sqrt(n * p * (1 - p))
+        assert(math.abs(kept - n * p) <= tol, s"$lang kept=$kept of n=$n at p=$p")
+      }
+    }
+    // The keep decision hashes content only — repartitioning the input
+    // cannot change the result (no rand(), no row-order dependence).
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    assert(base.repartition(7).count() == base.count()) // layout really changed
+  }
+
   test("clustersFromPairs: chains, triangles, disjoint components, empty input") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
