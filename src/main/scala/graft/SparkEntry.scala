@@ -52,6 +52,9 @@ object SparkEntry {
     "d2_dedup_minhash" -> ((s, d) => Dedup.minhashDedup(s, d)),
     "d3_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(s, d)),
     "d4_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardDedup(s, d)),
+    // Retrieval: BM25 keyword search + hybrid keyword/vector RRF fusion.
+    "t6_bm25" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    "v10_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     // T: text analysis (profile, quality, langid, fingerprint).
     "t1_lang_profile" -> ((s, d) => TextAnalysis.langProfile(s, d)),
     "t2_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -82,6 +85,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Search.oracles ++ MLSimilarity.oracles ++ Relational.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Events.oracles ++ Temporal.oracles ++
+      TextAnalysis.oracles ++ Events.oracles ++ Temporal.oracles ++ Retrieval.oracles ++
       graft.multimodal.Multimodal.oracles ++ Pipeline.oracles
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.functions.Kernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text retrieval: BM25 keyword scoring and hybrid (keyword + vector)
+  * search fused by reciprocal-rank fusion — the standard serving pattern a
+  * vector store grows into once users want lexical matches alongside
+  * embedding similarity (the reference is embedding-only; this is the
+  * natural extension of its search surface, SURVEY.md §2.3).
+  *
+  * Scale shape: document length is carried THROUGH the token explode into
+  * the per-(doc, term) aggregate, so scoring never joins back to the
+  * corpus — the only corpus-wide work is the one tokenize+filter scan (at
+  * an index-backed deployment, the tf relation IS the inverted-index
+  * postings for the query terms). The df and corpus-stats relations are
+  * one row per term / one row total — broadcast by construction. Everything
+  * downstream of the scan is proportional to matching postings, not corpus
+  * size.
+  *
+  * Determinism: tf/df/dl/N are exact integers; the BM25 formula is written
+  * with the same decimal literals in both engines so the doubles agree
+  * bit-for-bit except for `ln` (documented ≤ 1 ulp apart between libm and
+  * the JVM) — scores are rounded to 4 dp with doc_id tie-breaks, the same
+  * contract every cosine query in [[Search]] uses.
+  */
+object Retrieval {
+
+  /** Default query terms — high-df corpus keywords (the fixture text is
+    * bag-of-keywords sentences; each term appears in most documents).
+    */
+  val DefaultTerms: Seq[String] = Seq("vector", "stream", "hash")
+
+  /** BM25 with the standard Robertson/Lucene parameters k1=1.2, b=0.75,
+    * idf = ln(1 + (N − df + ½)/(df + ½)). Returns the top-k documents by
+    * rounded score (ties → doc_id asc): (doc_id, bm25).
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = DefaultTerms, k: Int = 15): DataFrame = {
+    require(terms.nonEmpty, "bm25: at least one query term")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), Kernels.tokens(col("text")).as("w"))
+
+    // (N, total tokens) — one row; avgdl = total/n is derived inside the
+    // score expression so both engines divide the same exact integers.
+    val stats = d.agg(count(lit(1)).cast("double").as("n"),
+      sum(size(col("w"))).cast("double").as("total"))
+
+    // Per-(doc, term) postings with the doc length carried through the
+    // explode — no corpus re-join. One shuffle on (doc_id, term).
+    val tf = d
+      .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), min("dl").as("dl"))
+
+    // Document frequency per query term: ≤ |terms| rows — broadcast.
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("total") / col("n")))
+    val contrib = idf * (col("tf") * lit(2.2)) / norm
+
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(contrib), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Candidate-list size each retriever contributes to the fusion. */
+  val FusionDepth = 20
+
+  /** RRF fusion constant (Cormack et al.'s standard 60). */
+  val RrfK = 60
+
+  /** Hybrid search: BM25 top-[[FusionDepth]] and embedding-cosine
+    * top-[[FusionDepth]] (query = vec_id 0's embedding, the same query
+    * every v-query uses), fused by reciprocal-rank fusion
+    * `Σ 1/(60 + rank)` over a full outer join of the two candidate lists.
+    * Both rank computations are windows over ≤ [[FusionDepth]] rows (a
+    * bounded single-partition sort, the same driver-merge contract as the
+    * funnel's candidate phases). Output: top-k by rounded fused score.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val textRanked = bm25TopK(spark, dir, DefaultTerms, FusionDepth)
+      .withColumn("r_text",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+    val vecRanked = Search.knnCosine(spark, dir, queryVecId = 0, k = FusionDepth)
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+
+    def rrf(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(RrfK) + rank), lit(0.0))
+
+    textRanked.join(vecRanked, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(rrf(col("r_text")) + rrf(col("r_vec")), 6))
+      .select(col("doc_id"), col("r_text"), col("r_vec"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  private val termList = DefaultTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Shared BM25 CTE chain (scored top-20 list with ranks). */
+  private val bm25Cte =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |stats AS (SELECT count(*)::DOUBLE n, sum(len(w))::DOUBLE total FROM d),
+       |tok AS (SELECT doc_id, len(w)::DOUBLE dl, unnest(w) term FROM d),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE tf, min(dl) dl
+       |       FROM tok WHERE term IN ($termList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    round(sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.total / s.n)))), 4) AS bm25
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats s
+       |  GROUP BY tf.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t6_bm25" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, bm25 FROM scored
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    "v10_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         |t20 AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+         |tr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)::INT r_text FROM t20),
+         |vs AS (SELECT vec_id AS doc_id,
+         |  round(list_dot_product(embedding::DOUBLE[],
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) /
+         |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product((SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[],
+         |                           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]))), 4) AS score
+         |  FROM embeddings),
+         |v20 AS (SELECT doc_id, score FROM vs ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |vr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT r_vec FROM v20)
+         |SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, tr.r_text, vr.r_vec,
+         |  round(coalesce(1.0 / (60 + tr.r_text), 0.0)
+         |      + coalesce(1.0 / (60 + vr.r_vec), 0.0), 6) AS rrf
+         |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+  )
+}
