@@ -61,6 +61,11 @@ object SparkEntry {
     "t3_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "t5_length_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
+    // T7: Gopher-style repetition/quality filtering.
+    "t7_repetition" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
+    // S1: KMV distinct-count sketch (bounded-state approximate distinct,
+    // oracle-matched because the k-minimum-values set is deterministic).
+    "s1_kmv_distinct" -> ((s, d) => Sketches.kmvDistinctShingles(s, d)),
     // Temporal joins: as-of (log-merge window form) and bucketed range join.
     "q_asof_join" -> ((s, d) => Temporal.asofJoin(s, d)),
     "q_range_join" -> ((s, d) => Temporal.rangeJoinBucketed(s, d)),
@@ -86,5 +91,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Search.oracles ++ MLSimilarity.oracles ++ Relational.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Events.oracles ++ Temporal.oracles ++ Retrieval.oracles ++
-      graft.multimodal.Multimodal.oracles ++ Pipeline.oracles
+      graft.multimodal.Multimodal.oracles ++ Pipeline.oracles ++ Sketches.oracles
 }

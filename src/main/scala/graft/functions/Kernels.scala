@@ -36,6 +36,7 @@ object Kernels {
     // (the reference accepts any k/oversample, BinaryVectorDB.py:174).
     "graft_topk_hamming" -> (e => HammingTopKAgg(e(0), e(1), litInt(e(2), "graft_topk_hamming"))),
     "graft_topk_code" -> (e => HammingTopKCodeAgg(e(0), e(1), e(2), litInt(e(3), "graft_topk_code"))),
+    "graft_kmv" -> (e => KmvSketchAgg(e(0), litInt(e(1), "graft_kmv"))),
   )
 
   /** Fold a constant integer argument at function-build time (the heap
@@ -109,6 +110,13 @@ object Kernels {
     */
   def hammingTopKWithCode(score: Column, id: Column, code: Column, k: Int): Column =
     call_function("graft_topk_code", score, id, code, lit(k))
+
+  /** KMV distinct-count sketch over long hashes: the k smallest distinct
+    * values, as `struct<n_kept:int, kth:long>` (k a literal ≥ 2). Bounded
+    * map-side state — O(groups·k) shuffle for any input size.
+    */
+  def kmvSketch(hash: Column, k: Int): Column =
+    call_function("graft_kmv", hash, lit(k))
 
   // ---- deterministic text hashing (oracle-mirrorable) ---------------------
 

@@ -31,12 +31,19 @@ object Events {
     * `date_trunc('hour')`). Partial aggregation map-side; one shuffle on
     * (window, event_type).
     */
+  /** `value` carries exactly-2-dp amounts (TESTDATA fixture); summing them
+    * as doubles is partial-aggregation-order dependent, so every sum here
+    * is taken in exact integer cents (`round(value·100)::BIGINT`) — the
+    * same contract as Relational's revenue cents (commit 83f1971).
+    */
+  private[graft] val valueCents = expr("cast(round(value * 100) as bigint)")
+
   def hourly(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("sum_value_c"))
       .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), col("sum_value_c"))
       .orderBy("hour_epoch", "event_type")
 
   /** E8b: sessionization — gaps-and-islands with a 30-minute inactivity
@@ -76,17 +83,18 @@ object Events {
       .filter(col("k").isNotNull)
       .groupBy("event_type")
       .agg(count(col("k")).as("n"), min("k").as("min_k"), max("k").as("max_k"),
-        sum("k").as("ksum"), round(sum("value"), 2).as("sum_value"))
+        sum("k").as("ksum"), sum(valueCents).as("sum_value_c"))
       // integer mean in exact basis points
       .select(col("event_type"), col("n"), col("min_k"), col("max_k"),
         expr("int((20000 * ksum + n) div (2 * n))").as("avg_k_bp"),
-        col("sum_value"))
+        col("sum_value_c"))
       .orderBy("event_type")
 
   val oracles: Map[String, String] = Map(
     "e1_hourly" ->
       """SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  event_type, count(*) AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_c
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e2_sessionize" ->
@@ -119,7 +127,7 @@ object Events {
         |SELECT event_type, count(*) AS n,
         |  min(k) AS min_k, max(k) AS max_k,
         |  ((20000 * sum(k) + count(*)) // (2 * count(*)))::INT AS avg_k_bp,
-        |  round(sum(value), 2) AS sum_value
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_c
         |FROM e WHERE k IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )

@@ -216,12 +216,20 @@ object Pipeline {
     * shuffles before the final (tiny) group-by — embarrassingly parallel
     * at any corpus size.
     */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(docs(spark, dir))
+
+  /** [[stratifiedSample]] over an arbitrary documents relation — the keep
+    * decision hashes content only, so the result is independent of the
+    * input's physical layout (partitioning, row order, file split); the
+    * spec proves it by re-running on a repartitioned copy.
+    */
+  def stratifiedSampleOf(documents: DataFrame): DataFrame = {
     val rate = when(col("lang") === "en", 2500)
       .when(col("lang") === "es", 5000)
       .when(col("lang") === "zh", 7500)
       .otherwise(10000)
-    docs(spark, dir)
+    documents
       .withColumn("u", Kernels.h60(concat(col("text"), lit("#sample"))) % 10000)
       .withColumn("keep", (col("u") < rate).cast("long"))
       .withColumn("n_tokens", size(Kernels.tokens(col("text"))).cast("long"))

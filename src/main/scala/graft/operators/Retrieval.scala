@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: tf/df/dl/N are exact integers; the BM25 formula is written
   * with the same decimal literals in both engines so the doubles agree
-  * bit-for-bit except for `ln` (documented ≤ 1 ulp apart between libm and
-  * the JVM) — scores are rounded to 4 dp with doc_id tie-breaks, the same
-  * contract every cosine query in [[Search]] uses.
+  * bit-for-bit except for `ln` (≤ 1 ulp apart between libm and the JVM).
+  * Two hardening steps make scores engine-independent: (1) the idf is
+  * rounded to 9 dp immediately after the `ln`, collapsing the 1-ulp
+  * divergence (a flip now needs the true idf within ~1e-16 of a 5e-10
+  * boundary); (2) per-term contributions are converted to exact ×10^8
+  * fixed-point BIGINTs before the per-doc sum, so Spark's partial-aggregate
+  * summation order and DuckDB's sequential order produce the identical
+  * integer. Final scores are that integer / 1e8 rounded to 4 dp with
+  * doc_id tie-breaks, the same contract every cosine query in [[Search]]
+  * uses.
   */
 object Retrieval {
 
@@ -60,14 +67,16 @@ object Retrieval {
     // Document frequency per query term: ≤ |terms| rows — broadcast.
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
 
-    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val idf = round(
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 9)
     val norm = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("total") / col("n")))
     val contrib = idf * (col("tf") * lit(2.2)) / norm
 
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
+      .withColumn("contrib_fp", round(contrib * lit(1.0e8)).cast("long"))
       .groupBy("doc_id")
-      .agg(round(sum(contrib), 4).as("bm25"))
+      .agg(round(sum("contrib_fp") / lit(1.0e8), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -117,9 +126,10 @@ object Retrieval {
        |df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY term),
        |scored AS (
        |  SELECT tf.doc_id,
-       |    round(sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+       |    round(sum(round(round(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)), 9)
        |      * (tf.tf * 2.2)
-       |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.total / s.n)))), 4) AS bm25
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.total / s.n)))
+       |      * 100000000.0)::BIGINT)::BIGINT / 100000000.0, 4) AS bm25
        |  FROM tf JOIN df USING (term) CROSS JOIN stats s
        |  GROUP BY tf.doc_id)""".stripMargin
 

@@ -99,14 +99,17 @@ object Temporal {
     val points = e.filter(col("event_type") =!= "signup")
       .select(col("user_id"), col("us"), col("value"),
         expr(s"us div ${windowUs}L").as("bucket"))
+    // Sum in exact integer cents: `value` is exactly-2-dp (TESTDATA), and a
+    // double sum's last digit is partial-aggregation-order dependent — the
+    // same revenue-cents contract as Relational (commit 83f1971).
     val matched = sExp.join(points, Seq("user_id", "bucket"))
       .filter(col("us") >= col("s_us") && col("us") < col("s_us") + windowUs)
       .groupBy("signup_id")
-      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .agg(count(lit(1)).as("n"), sum(Events.valueCents).as("v_c"))
     signups.join(matched, Seq("signup_id"), "left")
       .select(col("signup_id").as("event_id"), col("user_id"), col("s_us"),
         coalesce(col("n"), lit(0L)).as("n_follow"),
-        coalesce(round(col("v"), 2), lit(0.0)).as("sum_value"))
+        coalesce(col("v_c"), lit(0L)).as("sum_value_c"))
       .orderBy("event_id")
   }
 
@@ -137,7 +140,7 @@ object Temporal {
         |p AS (SELECT user_id, us, value FROM e WHERE event_type <> 'signup')
         |SELECT s.event_id, s.user_id, s.s_us,
         |  count(p.us)::BIGINT AS n_follow,
-        |  coalesce(round(sum(p.value), 2), 0.0) AS sum_value
+        |  coalesce(sum(round(p.value * 100)::BIGINT), 0)::BIGINT AS sum_value_c
         |FROM s LEFT JOIN p ON p.user_id = s.user_id
         |  AND p.us >= s.s_us AND p.us < s.s_us + 600000000
         |GROUP BY s.event_id, s.user_id, s.s_us

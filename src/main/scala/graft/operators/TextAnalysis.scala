@@ -138,6 +138,44 @@ object TextAnalysis {
         max("n_chars").as("max_chars"))
       .orderBy("lang")
 
+  /** Per-doc top-token share (basis points) above which a document is
+    * flagged repetitive — the Gopher-family "most frequent word fraction"
+    * rule (fixture p90 ≈ 1400 bp, so the flag separates real mass).
+    */
+  val RepetitiveTopTokenBp = 1200
+
+  /** T7: repetition-based quality filtering (the Gopher/C4 rule family
+    * adapted to the whitespace corpus): per document, the most-frequent-
+    * token share and the share of tokens belonging to repeated types;
+    * per language, how many documents breach [[RepetitiveTopTokenBp]]
+    * plus corpus-level means. All ratios are exact-int64 basis points
+    * (see [[qualityScore]]).
+    *
+    * Scale shape: explode → groupBy(doc_id, token) enjoys map-side
+    * combine WITHOUT a shuffle of raw tokens (a document's tokens all
+    * sit in one input partition, so partial aggregation collapses them
+    * locally; only per-(doc,token) counts shuffle), then two more
+    * hash-aggregations each a projection smaller than the last.
+    */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(Kernels.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("c"))
+    val perDoc = cnt.groupBy("doc_id", "lang")
+      .agg(sum("c").as("n"), max("c").as("mx"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+      .withColumn("top_tok_bp", expr("(20000 * mx + n) div (2 * n)"))
+      .withColumn("repetitive",
+        (col("top_tok_bp") >= RepetitiveTopTokenBp).cast("long"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("repetitive").as("n_repetitive"),
+        sum("top_tok_bp").as("sbp"), sum("dup").as("dups"), sum("n").as("toks"))
+      .select(col("lang"), col("n_docs"), col("n_repetitive"),
+        expr("(2 * sbp + n_docs) div (2 * n_docs)").as("avg_top_tok_bp"),
+        expr("(20000 * dups + toks) div (2 * toks)").as("dup_token_share_bp"))
+      .orderBy("lang")
+  }
+
   val oracles: Map[String, String] = Map(
     "t5_length_percentiles" ->
       """SELECT lang,
@@ -195,6 +233,25 @@ object TextAnalysis {
         |  sum(CASE WHEN coalesce(p.predicted, 'unknown') = d.lang THEN 1 ELSE 0 END)::BIGINT AS n_correct
         |FROM documents d LEFT JOIN pred p USING (doc_id)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "t7_repetition" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, u.t FROM documents, unnest(string_split(text,' ')) u(t)),
+         |cnt AS (SELECT doc_id, lang, t, count(*) c FROM tok GROUP BY doc_id, lang, t),
+         |doc AS (
+         |  SELECT doc_id, lang, sum(c) n, max(c) mx,
+         |    coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) dup
+         |  FROM cnt GROUP BY doc_id, lang),
+         |feat AS (
+         |  SELECT lang, (20000 * mx + n) // (2 * n) AS top_tok_bp, dup, n,
+         |    CASE WHEN (20000 * mx + n) // (2 * n) >= $RepetitiveTopTokenBp
+         |         THEN 1 ELSE 0 END AS repetitive
+         |  FROM doc)
+         |SELECT lang, count(*) AS n_docs,
+         |  sum(repetitive)::BIGINT AS n_repetitive,
+         |  ((2 * sum(top_tok_bp) + count(*)) // (2 * count(*)))::BIGINT AS avg_top_tok_bp,
+         |  ((20000 * sum(dup) + sum(n)) // (2 * sum(n)))::BIGINT AS dup_token_share_bp
+         |FROM feat GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id,

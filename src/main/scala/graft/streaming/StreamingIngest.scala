@@ -44,9 +44,10 @@ object StreamingIngest {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.operators.Events.valueCents).as("sum_value_c"))
       .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), col("sum_value_c"))
 
   /** Run [[hourlyCounts]] into an in-memory sink until the (finite)
     * fixture is drained; returns the sink table name.

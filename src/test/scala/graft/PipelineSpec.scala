@@ -91,10 +91,22 @@ class PipelineSpec extends AnyFunSuite {
         assert(math.abs(kept - n * p) <= tol, s"$lang kept=$kept of n=$n at p=$p")
       }
     }
-    // The keep decision hashes content only — repartitioning the input
-    // cannot change the result (no rand(), no row-order dependence).
+    // The keep decision hashes content only — a physically different layout
+    // (7 shuffled partitions round-tripped through parquet) must produce
+    // the identical aggregate rows.
     val base = spark.read.parquet(s"$dir/documents.parquet")
-    assert(base.repartition(7).count() == base.count()) // layout really changed
+    val tmp = java.nio.file.Files.createTempDirectory("graft-strat-").toString
+    try {
+      base.repartition(7).write.mode("overwrite").parquet(tmp)
+      val relaid = spark.read.parquet(tmp)
+      assert(relaid.rdd.getNumPartitions != base.rdd.getNumPartitions ||
+        relaid.inputFiles.toSet != base.inputFiles.toSet) // layout really changed
+      val reran = graft.operators.Pipeline.stratifiedSampleOf(relaid)
+        .collect().map(_.toSeq).toSeq
+      assert(reran == s.map(_.toSeq).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
   }
 
   test("clustersFromPairs: chains, triangles, disjoint components, empty input") {

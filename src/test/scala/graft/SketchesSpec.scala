@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.Kernels
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S1 (KMV distinct sketch) and T7 (repetition filter): the sketch state
+  * must be the exact k smallest distinct hashes regardless of layout or
+  * duplication, degrade to an exact count below k, and estimate within
+  * theory bounds above it; the repetition aggregate must equal a
+  * driver-side recomputation from raw text.
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sketch(values: Seq[Long], k: Int, parts: Int = 4): (Int, Long) = {
+    val row = values.toDF("v").repartition(parts)
+      .agg(Kernels.kmvSketch(col("v"), k).as("sk"))
+      .select("sk.n_kept", "sk.kth").head()
+    (row.getInt(0), row.getLong(1))
+  }
+
+  test("KMV state is the k smallest DISTINCT values, duplication- and layout-independent") {
+    val vals = Seq(5L, 3L, 9L, 3L, 7L, 1L, 9L, 11L, 2L, 5L)
+    // distinct sorted: 1,2,3,5,7,9,11 → 4 smallest = 1,2,3,5 → kth = 5
+    assert(sketch(vals, k = 4) === ((4, 5L)))
+    assert(sketch(vals, k = 4, parts = 1) === ((4, 5L)))
+    assert(sketch(vals ++ vals ++ vals, k = 4, parts = 7) === ((4, 5L)))
+  }
+
+  test("below k the sketch IS the distinct set (exact path)") {
+    val (n, kth) = sketch(Seq(42L, 17L, 42L, 99L), k = 64)
+    assert(n === 3)       // estimate = n_kept = exact distinct count
+    assert(kth === 99L)   // largest kept = max distinct
+  }
+
+  test("estimate is within 5 RSE of truth on 10k uniform hashes") {
+    val k = 64
+    val n = 10000
+    // h60 of distinct strings ~ uniform on [0, 2^60)
+    val est = spark.range(n).select(Kernels.h60(concat(lit("kmv#"), col("id"))).as("h"))
+      .agg(Kernels.kmvSketch(col("h"), k).as("sk"))
+      .select(floor(lit((k - 1) * math.pow(2, 60)) / col("sk.kth")).cast("long"))
+      .head().getLong(0)
+    val rse = 1.0 / math.sqrt(k - 2)
+    assert(math.abs(est - n) <= 5 * rse * n, s"estimate $est vs $n")
+  }
+
+  test("kmv rejects non-literal or tiny k") {
+    intercept[Exception] {
+      spark.range(5).agg(Kernels.kmvSketch(col("id"), 1)).head()
+    }
+  }
+
+  test("s1 query: estimates within 5 RSE, err_bp consistent, exact counts true") {
+    val rows = graft.operators.Sketches.kmvDistinctShingles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val rse = 1.0 / math.sqrt(graft.operators.Sketches.KmvK - 2)
+    rows.foreach { r =>
+      val (ex, est, err) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"),
+        r.getAs[Long]("err_bp"))
+      assert(math.abs(est - ex) <= 5 * rse * ex, s"$r")
+      assert(err === math.abs(est - ex) * 10000 / ex)
+    }
+    // truth: exact distinct shingles per lang recomputed independently
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(Kernels.shingles3(col("text"))).as("sg"))
+      .groupBy("lang").agg(countDistinct("sg").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_exact")).toMap == truth)
+  }
+
+  test("t7 repetition aggregate equals a driver-side recomputation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("text")))
+    val perDoc = docs.map { case (lang, text) =>
+      val counts = text.split(" ").groupBy(identity).map(_._2.length)
+      val n = counts.sum.toLong
+      val mx = counts.max.toLong
+      val dup = counts.filter(_ >= 2).sum.toLong
+      val topBp = (20000 * mx + n) / (2 * n)
+      (lang, topBp, dup, n)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (lang, rs) =>
+      val nDocs = rs.length.toLong
+      val nRep = rs.count(_._2 >= graft.operators.TextAnalysis.RepetitiveTopTokenBp).toLong
+      val sbp = rs.map(_._2).sum
+      val dups = rs.map(_._3).sum
+      val toks = rs.map(_._4).sum
+      lang -> (nDocs, nRep, (2 * sbp + nDocs) / (2 * nDocs),
+        (20000 * dups + toks) / (2 * toks))
+    }
+    val got = graft.operators.TextAnalysis.repetitionFilter(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_repetitive"), r.getAs[Long]("avg_top_tok_bp"),
+        r.getAs[Long]("dup_token_share_bp"))).toMap
+    assert(got == expected)
+    // the flag separates mass: both classes present at fixture scale
+    val (totRep, totDocs) = (got.values.map(_._2).sum, got.values.map(_._1).sum)
+    assert(totRep > 0 && totRep < totDocs)
+  }
+}

@@ -62,7 +62,8 @@ class TemporalSpec extends AnyFunSuite {
           col("us") < col("s_us") + Temporal.WindowUs, "left")
       .groupBy(col("sid").as("event_id"), col("su").as("user_id"), col("s_us"))
       .agg(count(col("us")).as("n_follow"),
-        coalesce(round(sum("value"), 2), lit(0.0)).as("sum_value"))
+        coalesce(sum(expr("cast(round(value * 100) as bigint)")), lit(0L))
+          .as("sum_value_c"))
       .orderBy("event_id")
 
     val got = Temporal.rangeJoinBucketed(spark, dir)
