@@ -63,9 +63,11 @@ object SparkEntry {
     "t5_length_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
     // T7: Gopher-style repetition/quality filtering.
     "t7_repetition" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
-    // S1: KMV distinct-count sketch (bounded-state approximate distinct,
-    // oracle-matched because the k-minimum-values set is deterministic).
+    // S1/S2: KMV distinct-count sketches (bounded-state approximate
+    // distinct, oracle-matched because the k-minimum-values set is
+    // deterministic) and their merge algebra (pairwise lang overlap).
     "s1_kmv_distinct" -> ((s, d) => Sketches.kmvDistinctShingles(s, d)),
+    "s2_kmv_jaccard" -> ((s, d) => Sketches.kmvJaccardLangs(s, d)),
     // Temporal joins: as-of (log-merge window form) and bucketed range join.
     "q_asof_join" -> ((s, d) => Temporal.asofJoin(s, d)),
     "q_range_join" -> ((s, d) => Temporal.rangeJoinBucketed(s, d)),

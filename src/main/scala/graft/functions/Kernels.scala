@@ -112,8 +112,10 @@ object Kernels {
     call_function("graft_topk_code", score, id, code, lit(k))
 
   /** KMV distinct-count sketch over long hashes: the k smallest distinct
-    * values, as `struct<n_kept:int, kth:long>` (k a literal ≥ 2). Bounded
-    * map-side state — O(groups·k) shuffle for any input size.
+    * values as a sorted-asc `array<long>` (k a literal ≥ 2). Bounded
+    * map-side state — O(groups·k) shuffle for any input size — and
+    * mergeable downstream (k smallest of `array_union(a, b)` = the union
+    * sketch).
     */
   def kmvSketch(hash: Column, k: Int): Column =
     call_function("graft_kmv", hash, lit(k))

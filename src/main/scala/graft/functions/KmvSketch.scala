@@ -23,10 +23,16 @@ import org.apache.spark.sql.types._
   * operator oracle-checkable, which faiss/DataSketches-style randomized
   * implementations are not.
   *
-  * Output: `struct<n_kept:int, kth:long>` — the kept-count and the
-  * largest kept hash (0 when the group somehow saw no non-null input).
-  * The standard estimator is then
-  * `n_kept < k ? n_kept : floor((k−1) · 2^60 / kth)`
+  * Output: the kept set itself as a sorted-ascending `array<long>` (at
+  * most k values). Emitting the set rather than summary statistics keeps
+  * the sketch MERGEABLE downstream of the aggregation: the k smallest of
+  * `array_union(sketchA, sketchB)` are exactly the k smallest distinct
+  * hashes of A ∪ B, so pre-aggregated sketches compose into union (and,
+  * by inclusion–exclusion, intersection/Jaccard) estimates without
+  * rescanning the inputs — the distributed-sketch algebra
+  * (`operators.Sketches` uses it for the cross-language overlap matrix).
+  * The standard estimator from a sketch `s` is
+  * `size(s) < k ? size(s) : floor((k−1) · 2^60 / s[k−1])`
   * (exact when fewer than k distinct values exist; relative standard
   * error ~1/√(k−2) otherwise).
   *
@@ -45,9 +51,7 @@ case class KmvSketchAgg(
 
   override def children: Seq[Expression] = Seq(hash)
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_kept", IntegerType, nullable = false),
-    StructField("kth", LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_kmv"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -78,8 +82,13 @@ case class KmvSketchAgg(
     a
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    InternalRow(buf.size, if (buf.isEmpty) 0L else buf.last.longValue())
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Kernels
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximate aggregates — the bounded-state scale path for
@@ -11,70 +11,180 @@ import org.apache.spark.sql.functions._
   * ([[graft.functions.KmvSketchAgg]]): each map task contributes at most
   * k = [[KmvK]] longs per group, so the distinct count shuffles
   * O(langs·k) state where exact `countDistinct` shuffles every distinct
-  * shingle hash. The query also computes the exact count — feasible at
-  * fixture scale — so the driver-checked output carries the sketch, the
-  * truth, and the error in one relation (and the oracle proves the SKETCH
-  * itself, not just the estimate: the k smallest distinct md5 hashes are
-  * a deterministic set, mirrored in SQL by `row_number() OVER (ORDER BY
-  * hash) <= k`).
+  * shingle hash.
+  *
+  * S2 exercises the sketch ALGEBRA: per-language sketches are merged
+  * pairwise (`array_union` + k-smallest = the exact KMV sketch of the
+  * union) into a cross-language shingle-overlap matrix via
+  * inclusion–exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B). This is the
+  * production shape for corpus-mixing decisions at 100 TB: the corpus is
+  * scanned ONCE to build L per-language sketches (L·k longs), and all
+  * L·(L−1)/2 pairwise overlaps come from merging those sketches — no
+  * second scan, no pairwise shuffle of raw data.
+  *
+  * Both queries also compute the exact answers — feasible at fixture
+  * scale — so the driver-checked outputs carry sketch, truth, and error
+  * in one relation. And because the k-minimum-values set is a
+  * deterministic function of the input set (no randomness, no order
+  * dependence), the oracle proves the SKETCHES themselves
+  * (`row_number() OVER (ORDER BY hash) <= k`), not just the estimates —
+  * something randomized HLL/theta implementations cannot offer.
   *
   * Reference scope: no sketches exist in the reference (its only
   * aggregate is the exact count, `BinaryVectorDB/BinaryVectorDB.py:259`);
-  * extension operator per SURVEY.md §2.3's scale-path family.
+  * extension operators per SURVEY.md §2.3's scale-path family.
   */
 object Sketches {
 
   /** Sketch size: RSE ~ 1/√(k−2) ≈ 12.7%. */
   val KmvK = 64
 
-  /** 2^60 as an exact double (the h60 hash range). */
-  private val HashRange = math.pow(2, 60)
+  /** (k−1)·2^60 — the KMV estimator numerator, exact in a double (6-bit
+    * mantissa × power-of-two exponent), so `floor(num / kth)` rounds
+    * identically in Spark and DuckDB.
+    */
+  private val EstNumerator = (KmvK - 1) * math.pow(2, 60)
+
+  /** Distinct-count estimate from a KMV kept-set array (sorted asc). */
+  private def estimate(sketch: Column): Column =
+    when(size(sketch) < KmvK, size(sketch).cast("long"))
+      .otherwise(floor(lit(EstNumerator) / element_at(sketch, KmvK)).cast("long"))
+
+  /** Per-(lang, shingle-hash) projection shared by S1/S2. */
+  private def langShingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    Kernels.install(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(Kernels.shingles3(col("text"))).as("sg"))
+      .select(col("lang"), Kernels.h60(col("sg")).as("h"))
+  }
 
   /** S1: per-language distinct 3-gram shingle count — exact vs KMV
     * estimate. Output: (lang, n_exact, n_est, err_bp) with err_bp the
     * absolute relative error in integer basis points.
     */
-  def kmvDistinctShingles(spark: SparkSession, dir: String): DataFrame = {
-    Kernels.install(spark)
-    val h = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("lang"), explode(Kernels.shingles3(col("text"))).as("sg"))
-      .select(col("lang"), Kernels.h60(col("sg")).as("h"))
-    h.groupBy("lang")
+  def kmvDistinctShingles(spark: SparkSession, dir: String): DataFrame =
+    langShingleHashes(spark, dir)
+      .groupBy("lang")
       .agg(countDistinct(col("h")).as("n_exact"),
         Kernels.kmvSketch(col("h"), KmvK).as("sk"))
-      .select(col("lang"), col("n_exact"),
-        when(col("sk.n_kept") < KmvK, col("sk.n_kept").cast("long"))
-          .otherwise(floor(lit((KmvK - 1) * HashRange) / col("sk.kth")).cast("long"))
-          .as("n_est"))
+      .select(col("lang"), col("n_exact"), estimate(col("sk")).as("n_est"))
       .withColumn("err_bp", expr("(abs(n_est - n_exact) * 10000) div n_exact"))
       .orderBy("lang")
+
+  /** S2: cross-language shingle-overlap (Jaccard) matrix from MERGED
+    * per-language sketches. One scan builds the per-lang sketches; every
+    * pair's union sketch is `k smallest of array_union(a, b)` and the
+    * intersection estimate is inclusion–exclusion (clamped at 0). Exact
+    * Jaccard is computed alongside from the distinct hash sets. Output:
+    * (lang_a, lang_b, jaccard_bp, jaccard_est_bp) in exact-int64 basis
+    * points.
+    */
+  def kmvJaccardLangs(spark: SparkSession, dir: String): DataFrame = {
+    val h = langShingleHashes(spark, dir)
+    val sk = h.groupBy("lang")
+      .agg(countDistinct(col("h")).as("n_exact"),
+        Kernels.kmvSketch(col("h"), KmvK).as("sk"))
+
+    // Sketch-merge side: 5 rows self-joined — driver-scale work however
+    // large the corpus was.
+    val a = sk.select(col("lang").as("lang_a"), col("n_exact").as("na"),
+      col("sk").as("ska"))
+    val b = sk.select(col("lang").as("lang_b"), col("n_exact").as("nb"),
+      col("sk").as("skb"))
+    val merged = a.join(b, col("lang_a") < col("lang_b"))
+      .withColumn("sku", slice(array_sort(array_union(col("ska"), col("skb"))), 1, KmvK))
+      .withColumn("est_a", estimate(col("ska")))
+      .withColumn("est_b", estimate(col("skb")))
+      .withColumn("est_u", estimate(col("sku")))
+      .withColumn("est_i", greatest(lit(0L), col("est_a") + col("est_b") - col("est_u")))
+
+    // Exact side: distinct (lang, h) self-join per pair.
+    val dh = h.distinct()
+    val inter = dh.as("x").join(dh.as("y"),
+        col("x.h") === col("y.h") && col("x.lang") < col("y.lang"))
+      .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    merged.join(inter, Seq("lang_a", "lang_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .select(col("lang_a"), col("lang_b"),
+        expr("(20000 * n_inter + n_union) div (2 * n_union)").as("jaccard_bp"),
+        expr("(20000 * est_i + est_u) div (2 * est_u)").as("jaccard_est_bp"))
+      .orderBy("lang_a", "lang_b")
   }
 
+  /** Shared oracle CTE: distinct (lang, hash), per-lang kept sets and
+    * exact counts.
+    */
+  private val kmvPrefix =
+    s"""WITH tok AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
+       |sh AS (SELECT lang,
+       |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
+       |  FROM tok),
+       |h AS (SELECT DISTINCT lang,
+       |  cast(concat('0x', substr(md5(u.sg), 1, 15)) as bigint) hv
+       |  FROM sh, unnest(sh.s) u(sg)),
+       |r AS (SELECT lang, hv,
+       |  row_number() OVER (PARTITION BY lang ORDER BY hv) rn FROM h),
+       |kept AS (SELECT lang, hv FROM r WHERE rn <= $KmvK),
+       |sk AS (SELECT lang, count(*)::INT n_kept, max(hv) kth FROM kept GROUP BY lang),
+       |ex AS (SELECT lang, count(*)::BIGINT n_exact FROM h GROUP BY lang)""".stripMargin
+
+  /** Estimator SQL over (n_kept, kth) columns. */
+  private def estSql(nKept: String, kth: String): String =
+    s"""CASE WHEN $nKept < $KmvK THEN $nKept::BIGINT
+       |     ELSE floor(${KmvK - 1}.0 * 1152921504606846976.0 / $kth)::BIGINT END""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // The estimator constant (k−1)·2^60 = 63·1152921504606846976 is exact
-    // in a double (6-bit mantissa, base-2 exponent); kth→double rounds
-    // identically in both engines, so the floored quotient matches.
     "s1_kmv_distinct" ->
-      s"""WITH tok AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
-         |sh AS (SELECT lang,
-         |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
-         |  FROM tok),
-         |h AS (SELECT DISTINCT lang,
-         |  cast(concat('0x', substr(md5(u.sg), 1, 15)) as bigint) hv
-         |  FROM sh, unnest(sh.s) u(sg)),
-         |r AS (SELECT lang, hv,
-         |  row_number() OVER (PARTITION BY lang ORDER BY hv) rn FROM h),
-         |sk AS (SELECT lang, count(*)::INT n_kept, max(hv) kth
-         |  FROM r WHERE rn <= $KmvK GROUP BY lang),
-         |ex AS (SELECT lang, count(*)::BIGINT n_exact FROM h GROUP BY lang),
+      s"""$kmvPrefix,
          |est AS (
-         |  SELECT lang, n_exact,
-         |    CASE WHEN sk.n_kept < $KmvK THEN sk.n_kept::BIGINT
-         |         ELSE floor(${KmvK - 1}.0 * 1152921504606846976.0 / sk.kth)::BIGINT
-         |    END AS n_est
+         |  SELECT lang, n_exact, ${estSql("sk.n_kept", "sk.kth")} AS n_est
          |  FROM ex JOIN sk USING (lang))
          |SELECT lang, n_exact, n_est,
          |  ((abs(n_est - n_exact) * 10000) // n_exact)::BIGINT AS err_bp
          |FROM est ORDER BY lang""".stripMargin,
+
+    "s2_kmv_jaccard" ->
+      s"""$kmvPrefix,
+         |pairs AS (
+         |  SELECT a.lang lang_a, b.lang lang_b
+         |  FROM ex a JOIN ex b ON a.lang < b.lang),
+         |pu AS (
+         |  SELECT DISTINCT p.lang_a, p.lang_b, kept.hv
+         |  FROM pairs p JOIN kept ON kept.lang IN (p.lang_a, p.lang_b)),
+         |ranked AS (
+         |  SELECT lang_a, lang_b, hv,
+         |    row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY hv) rn
+         |  FROM pu),
+         |usk AS (SELECT lang_a, lang_b, count(*)::INT n_kept, max(hv) kth
+         |        FROM ranked WHERE rn <= $KmvK GROUP BY lang_a, lang_b),
+         |ests AS (
+         |  SELECT p.lang_a, p.lang_b,
+         |    ${estSql("ska.n_kept", "ska.kth")} AS est_a,
+         |    ${estSql("skb.n_kept", "skb.kth")} AS est_b,
+         |    ${estSql("usk.n_kept", "usk.kth")} AS est_u
+         |  FROM pairs p
+         |  JOIN sk ska ON ska.lang = p.lang_a
+         |  JOIN sk skb ON skb.lang = p.lang_b
+         |  JOIN usk ON usk.lang_a = p.lang_a AND usk.lang_b = p.lang_b),
+         |inter AS (
+         |  SELECT x.lang lang_a, y.lang lang_b, count(*)::BIGINT n_inter
+         |  FROM h x JOIN h y ON x.hv = y.hv AND x.lang < y.lang
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT p.lang_a, p.lang_b, coalesce(i.n_inter, 0) n_inter,
+         |    ea.n_exact + eb.n_exact - coalesce(i.n_inter, 0) n_union
+         |  FROM pairs p
+         |  JOIN ex ea ON ea.lang = p.lang_a
+         |  JOIN ex eb ON eb.lang = p.lang_b
+         |  LEFT JOIN inter i ON i.lang_a = p.lang_a AND i.lang_b = p.lang_b)
+         |SELECT e.lang_a, e.lang_b,
+         |  ((20000 * e.n_inter + e.n_union) // (2 * e.n_union))::BIGINT AS jaccard_bp,
+         |  ((20000 * greatest(0, s.est_a + s.est_b - s.est_u) + s.est_u)
+         |     // (2 * s.est_u))::BIGINT AS jaccard_est_bp
+         |FROM exact e JOIN ests s ON s.lang_a = e.lang_a AND s.lang_b = e.lang_b
+         |ORDER BY e.lang_a, e.lang_b""".stripMargin,
   )
 }

@@ -127,6 +127,24 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming exact dedup at ingest — the streaming form of the E1
+    * dedup family: emit only the first occurrence of each key, holding
+    * per-key state no longer than the watermark delay
+    * (`dropDuplicatesWithinWatermark`, which evicts state as the
+    * watermark passes each key's last-seen event time — bounded state
+    * under continuous ingest, unlike a bare `dropDuplicates` whose key
+    * set grows forever). Correct when true duplicates arrive within
+    * `delay` of each other (the at-ingest case: retries, replayed
+    * producers, double-sends); cross-horizon dedup belongs to the batch
+    * operators (d1–d4) over the landed corpus.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+                           keys: Seq[String] = Seq("user_id", "event_type"),
+                           delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Streaming index maintenance: upsert each micro-batch of documents
     * (doc_id, text) into the VectorDB via foreachBatch. Under the MOR
     * storage mode each micro-batch is one O(batch) delta commit, and the

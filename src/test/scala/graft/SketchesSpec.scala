@@ -16,25 +16,21 @@ class SketchesSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def sketch(values: Seq[Long], k: Int, parts: Int = 4): (Int, Long) = {
-    val row = values.toDF("v").repartition(parts)
+  private def sketch(values: Seq[Long], k: Int, parts: Int = 4): Seq[Long] =
+    values.toDF("v").repartition(parts)
       .agg(Kernels.kmvSketch(col("v"), k).as("sk"))
-      .select("sk.n_kept", "sk.kth").head()
-    (row.getInt(0), row.getLong(1))
-  }
+      .head().getSeq[Long](0)
 
-  test("KMV state is the k smallest DISTINCT values, duplication- and layout-independent") {
+  test("KMV state is the k smallest DISTINCT values sorted asc, duplication- and layout-independent") {
     val vals = Seq(5L, 3L, 9L, 3L, 7L, 1L, 9L, 11L, 2L, 5L)
-    // distinct sorted: 1,2,3,5,7,9,11 → 4 smallest = 1,2,3,5 → kth = 5
-    assert(sketch(vals, k = 4) === ((4, 5L)))
-    assert(sketch(vals, k = 4, parts = 1) === ((4, 5L)))
-    assert(sketch(vals ++ vals ++ vals, k = 4, parts = 7) === ((4, 5L)))
+    // distinct sorted: 1,2,3,5,7,9,11 → 4 smallest = 1,2,3,5
+    assert(sketch(vals, k = 4) === Seq(1L, 2L, 3L, 5L))
+    assert(sketch(vals, k = 4, parts = 1) === Seq(1L, 2L, 3L, 5L))
+    assert(sketch(vals ++ vals ++ vals, k = 4, parts = 7) === Seq(1L, 2L, 3L, 5L))
   }
 
   test("below k the sketch IS the distinct set (exact path)") {
-    val (n, kth) = sketch(Seq(42L, 17L, 42L, 99L), k = 64)
-    assert(n === 3)       // estimate = n_kept = exact distinct count
-    assert(kth === 99L)   // largest kept = max distinct
+    assert(sketch(Seq(42L, 17L, 42L, 99L), k = 64) === Seq(17L, 42L, 99L))
   }
 
   test("estimate is within 5 RSE of truth on 10k uniform hashes") {
@@ -43,10 +39,30 @@ class SketchesSpec extends AnyFunSuite {
     // h60 of distinct strings ~ uniform on [0, 2^60)
     val est = spark.range(n).select(Kernels.h60(concat(lit("kmv#"), col("id"))).as("h"))
       .agg(Kernels.kmvSketch(col("h"), k).as("sk"))
-      .select(floor(lit((k - 1) * math.pow(2, 60)) / col("sk.kth")).cast("long"))
+      .select(floor(lit((k - 1) * math.pow(2, 60)) / element_at(col("sk"), k)).cast("long"))
       .head().getLong(0)
     val rse = 1.0 / math.sqrt(k - 2)
     assert(math.abs(est - n) <= 5 * rse * n, s"estimate $est vs $n")
+  }
+
+  test("merged sketches equal the sketch of the union (mergeability)") {
+    val a = Seq(10L, 20L, 30L, 40L, 50L, 60L)
+    val b = Seq(15L, 20L, 35L, 40L, 55L, 70L)
+    val k = 4
+    val merged = (sketch(a, k) ++ sketch(b, k)).distinct.sorted.take(k)
+    assert(merged === sketch(a ++ b, k))
+  }
+
+  test("s2 jaccard estimates track exact within sketch error") {
+    val rows = graft.operators.Sketches.kmvJaccardLangs(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 10) // 5 langs → 10 ordered pairs
+    rows.foreach { r =>
+      val (ex, est) = (r.getAs[Long]("jaccard_bp"), r.getAs[Long]("jaccard_est_bp"))
+      assert(est >= 0 && est <= 10000)
+      // inclusion–exclusion compounds three ±12.7%-RSE estimates; allow a
+      // generous absolute band (fixture jaccards are 300-1600 bp)
+      assert(math.abs(est - ex) <= 2500, s"$r")
+    }
   }
 
   test("kmv rejects non-literal or tiny k") {

@@ -25,6 +25,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits exactly one row per key (batch-equivalent replay)") {
+    val dir = "/root/testdata/sf0.001"
+    val q = StreamingIngest.dedupWithinWatermark(
+        StreamingIngest.eventsStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    try {
+      val streamed = spark.table("dedup_stream")
+        .select("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val batchKeys = graft.operators.Events.sessionize(spark, dir) // force fixture conf
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+        .select("user_id", "event_type").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(streamed.nonEmpty)
+      assert(streamed.length === streamed.distinct.length, "no key emitted twice")
+      assert(streamed.toSet === batch.toSet)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState session counts equal the batch sessionization") {
     val dir = "/root/testdata/sf0.001"
     // stateTtl = None: AvailableNow replays must not wait on TTL timers.
