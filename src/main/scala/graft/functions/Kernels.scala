@@ -36,6 +36,7 @@ object Kernels {
     // (the reference accepts any k/oversample, BinaryVectorDB.py:174).
     "graft_topk_hamming" -> (e => HammingTopKAgg(e(0), e(1), litInt(e(2), "graft_topk_hamming"))),
     "graft_topk_code" -> (e => HammingTopKCodeAgg(e(0), e(1), e(2), litInt(e(3), "graft_topk_code"))),
+    "graft_topk_score" -> (e => ScoreTopKAgg(e(0), e(1), litInt(e(2), "graft_topk_score"))),
     "graft_kmv" -> (e => KmvSketchAgg(e(0), litInt(e(1), "graft_kmv"))),
   )
 
@@ -110,6 +111,14 @@ object Kernels {
     */
   def hammingTopKWithCode(score: Column, id: Column, code: Column, k: Int): Column =
     call_function("graft_topk_code", score, id, code, lit(k))
+
+  /** Bounded top-k over (double score, long id) — LARGEST k by
+    * (score desc, id asc), best first, as array<struct<vec_id,score>>.
+    * The grouped-top-k replacement for low-cardinality window ranks:
+    * map-side partial heaps shuffle only groups×k states.
+    */
+  def scoreTopK(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk_score", score, id, lit(k))
 
   /** KMV distinct-count sketch over long hashes: the k smallest distinct
     * values as a sorted-asc `array<long>` (k a literal ≥ 2). Bounded

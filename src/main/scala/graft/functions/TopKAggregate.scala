@@ -105,6 +105,106 @@ case class HammingTopKAgg(
     copy(score = newChildren(0), id = newChildren(1))
 }
 
+/** Bounded top-k aggregate over (double score, long id) pairs: keeps the
+  * k LARGEST by (score desc, id asc) in a per-partition heap, merged
+  * associatively — the double-scored sibling of [[HammingTopKAgg]] for
+  * cosine/BM25-style similarity scores. With map-side partial
+  * aggregation a per-group top-k scores every row in the scan stage but
+  * shuffles only groups×k heap states — the grouped top-k shape that
+  * replaces `row_number().over(Window.partitionBy(group))`, which at
+  * low group cardinality degenerates to a full shuffle + sort of the
+  * corpus on a handful of keys.
+  *
+  * Output: `array<struct<vec_id:long, score:double>>` sorted by
+  * (score desc, vec_id asc) — best first.
+  */
+case class ScoreTopKAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, "k must be positive")
+
+  // Orders by (-score, id): its max — the PQ head — is the WORST kept
+  // pair (lowest score, then largest id), evicted when a better arrives.
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by { case (s, i) => (-s, i) }
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_topk_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (double score, long id), got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Double, Long)] =
+    scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+
+  private def offer(
+      buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      pair: (Double, Long)): Unit = {
+    if (buf.size < k) buf.enqueue(pair)
+    else if (ord.lt(pair, buf.head)) { buf.dequeue(); buf.enqueue(pair) }
+  }
+
+  override def update(
+      buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(
+      a: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      b: scala.collection.mutable.PriorityQueue[(Double, Long)])
+      : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    b.foreach(offer(a, _))
+    a
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toArray.sorted(ord) // ascending under ord = best first
+    new GenericArrayData(sorted.map { case (s, i) =>
+      InternalRow(i, s).asInstanceOf[Any]
+    })
+  }
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val heap = createAggregationBuffer()
+    (0 until n).foreach { _ => val s = bb.getDouble; val i = bb.getLong; heap.enqueue((s, i)) }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ScoreTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ScoreTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
 /** [[HammingTopKAgg]] with the packed code carried as heap payload:
   * `array<struct<vec_id:long, score:int, code:array<long>>>`. Phase II of
   * a batched funnel reads the candidate codes straight out of the

@@ -161,18 +161,46 @@ object Pipeline {
       .orderBy("lang", "split")
 
   /** P3: context-window sequence packing — concatenate documents in
-    * deterministic (doc_id) order inside each language shard and cut the
+    * deterministic (doc_id) order inside each language stream and cut the
     * stream every `ctxTokens` tokens; a document belongs to the bin where
-    * it starts. One window partitioned by lang (shard-parallel — a corpus
-    * build packs within shards, never one global stream), then a
-    * hash-aggregate. Output: per (lang, bin) document and token counts.
+    * it starts. Output: per (lang, bin) document and token counts.
+    *
+    * The per-document running token sum is a two-phase distributed prefix
+    * sum, NEVER a window partitioned by `lang` alone (language cardinality
+    * is a small constant, so a per-lang window makes each language's
+    * entire token stream one single-task sort at scale):
+    *   1. sub-shard on `(lang, doc_id div shardDocs)` — bounded partitions
+    *      of ≤ `shardDocs` documents;
+    *   2. aggregate per-shard token totals (a relation of |docs|/shardDocs
+    *      rows — tiny, so its cumulative-offset window per lang scans
+    *      shard counts, not documents) and join the exclusive cumulative
+    *      offset back (small side — Spark broadcasts it);
+    *   3. running sum WITHIN each (lang, shard) partition + the shard's
+    *      offset = the global per-lang prefix sum.
+    * Semantics are shard-size-independent (the oracle never mentions
+    * shards); `shardDocs` only bounds partition size — raise it toward
+    * ~2^20 at 100 TB so the shard-totals relation stays millions of rows.
     */
-  def packSequences(spark: SparkSession, dir: String, ctxTokens: Int = 512): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(spark, dir)
+  def packSequences(spark: SparkSession, dir: String, ctxTokens: Int = 512,
+                    shardDocs: Long = 256L): DataFrame = {
+    val d = docs(spark, dir)
       .withColumn("n_tokens", size(Kernels.tokens(col("text"))))
-      .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div ${shardDocs}L"))
+    val shardTotals = d.groupBy("lang", "shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+    // Exclusive prefix over SHARD totals — |docs|/shardDocs rows per lang,
+    // not documents; the only lang-partitioned window left is this one.
+    val wShard = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardTotals
+      .withColumn("offset", coalesce(sum("shard_tokens").over(wShard), lit(0L)))
+      .select("lang", "shard", "offset")
+    // Bounded running sum: ≤ shardDocs rows per (lang, shard) partition.
+    val wDoc = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(offsets, Seq("lang", "shard"))
+      .withColumn("start",
+        col("offset") + sum("n_tokens").over(wDoc) - col("n_tokens"))
       .withColumn("bin", expr(s"int(start div $ctxTokens)"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
@@ -225,6 +253,9 @@ object Pipeline {
     * spec proves it by re-running on a repartitioned copy.
     */
   def stratifiedSampleOf(documents: DataFrame): DataFrame = {
+    // Public entry point — install the kernels (h60/tokens) for callers
+    // that haven't gone through another installing operator first.
+    Kernels.install(documents.sparkSession)
     val rate = when(col("lang") === "en", 2500)
       .when(col("lang") === "es", 5000)
       .when(col("lang") === "zh", 7500)

@@ -152,20 +152,26 @@ object Search {
       .select("vec_id", "label", "score")
   }
 
-  /** E7: top-k nearest to the query per label (window rank). */
+  /** E7: top-k nearest to the query per label, via the bounded-heap
+    * [[graft.functions.ScoreTopKAgg]] — NOT a window rank: labels are
+    * low-cardinality, so `row_number().over(partitionBy(label))` would
+    * shuffle + sort the whole scored corpus onto ~10 keys to keep 3 rows
+    * each. The heap aggregate folds the scan map-side; only labels×k
+    * heap states shuffle, and posexplode recovers the rank from the
+    * heap's (score desc, id asc) order.
+    */
   def knnPerLabel(spark: SparkSession, dir: String, queryVecId: Long = 0, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     Kernels.install(spark)
     val emb = packedEmb(spark, dir)
     val q = typedlit(queryVector(emb, queryVecId))
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("score").desc, col("vec_id").asc)
     emb
       .withColumn("score", round(Kernels.cosine(col("embedding").cast("array<double>"), q), 4))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .groupBy("label")
+      .agg(Kernels.scoreTopK(col("score"), col("vec_id"), k).as("topk"))
+      .select(col("label"), posexplode(col("topk")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.vec_id").as("vec_id"), col("col.score").as("score"))
       .orderBy(col("label").asc, col("rnk").asc)
-      .select("label", "rnk", "vec_id", "score")
   }
 
   /** Per-(band, word) bit masks for banding a `words`-long packed code

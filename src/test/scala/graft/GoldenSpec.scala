@@ -34,6 +34,28 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("knnPerLabel (heap aggregate) equals the window-rank definition") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // The bounded-heap per-label top-k must be row-identical to the
+    // definitional row_number() form it replaced (the window is fine at
+    // fixture scale; it's the 100× plan that was wrong).
+    val got = graft.operators.Search.knnPerLabel(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val emb = graft.operators.Search.packedEmb(spark, dir)
+    val q = typedlit(graft.operators.Search.queryVector(emb, 0L))
+    val w = Window.partitionBy(col("label")).orderBy(col("score").desc, col("vec_id").asc)
+    val want = emb
+      .withColumn("score", round(graft.functions.Kernels.cosine(
+        col("embedding").cast("array<double>"), q), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("label").asc, col("rnk").asc)
+      .select("label", "rnk", "vec_id", "score")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("funnel recall@10 vs exact float cosine >= 0.7 (reference claims ~90%)") {
     val recalls = golden.keys.toSeq.map { q =>
       val funnel = graft.operators.Search.funnel(spark, dir, queryVecId = q)

@@ -139,4 +139,69 @@ object KernelProperties extends Properties("graft.kernels") {
       val expected = rows.sorted.take(k).map { case (s, i) => (s, i) }
       gotPairs == expected
     }
+
+  // Double-scored sibling (v4's per-label top-k): split-merge across a
+  // serialization round-trip equals global sort by (score desc, id asc)
+  // take k. Scores draw from a small quantized set so ties are common and
+  // the id tie-break is actually exercised.
+  private val scoreTopkGen = for {
+    n <- Gen.chooseNum(0, 60)
+    k <- Gen.chooseNum(1, 20)
+    rows <- Gen.listOfN(n, Gen.zip(
+      Gen.chooseNum(0, 16).map(_ / 4.0), Gen.chooseNum(0L, 50L)))
+    split <- Gen.chooseNum(0, n)
+  } yield (k, rows, split)
+
+  property("ScoreTopKAgg(k): split-serialize-merge equals sort by (score desc, id asc) take(k)") =
+    forAll(scoreTopkGen) { case (k, rows, split) =>
+      val agg = ScoreTopKAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0, DoubleType, nullable = false),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(1, LongType, nullable = false),
+        k)
+      def heapOf(part: Seq[(Double, Long)]) = {
+        val h = agg.createAggregationBuffer()
+        part.foreach { case (s, i) =>
+          agg.update(h, org.apache.spark.sql.catalyst.InternalRow(s, i)) }
+        h
+      }
+      val (l, r) = rows.splitAt(split)
+      val merged = agg.merge(agg.deserialize(agg.serialize(heapOf(l))), heapOf(r))
+      val got = agg.eval(merged).asInstanceOf[ArrayData]
+      val gotPairs = (0 until got.numElements()).map { i =>
+        val row = got.getStruct(i, 2)
+        (row.getDouble(1), row.getLong(0))
+      }
+      val expected = rows.sortBy { case (s, i) => (-s, i) }.take(k)
+      gotPairs == expected
+    }
+
+  // KMV merge algebra as a law (not just fixture evidence): the kept-set
+  // of A ∪ B equals the k smallest distinct values of
+  // union(sketch(A), sketch(B)) — the downstream array_union merge
+  // `operators.Sketches` runs on EMITTED sketches — and the estimator is
+  // exact below k (kept-set size == |distinct| when |distinct| < k).
+  private val kmvGen = for {
+    k <- Gen.chooseNum(2, 24)
+    a <- Gen.listOf(Gen.chooseNum(0L, 100L))
+    b <- Gen.listOf(Gen.chooseNum(0L, 100L))
+  } yield (k, a, b)
+
+  property("KMV: sketch(A ∪ B) == k-smallest of union(sketch(A), sketch(B)); exact below k") =
+    forAll(kmvGen) { case (k, a, b) =>
+      val agg = KmvSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0, LongType, nullable = false),
+        k)
+      def sketchOf(xs: Seq[Long]): Seq[Long] = {
+        val buf = agg.createAggregationBuffer()
+        xs.foreach(h => agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(h)))
+        val out = agg.eval(buf).asInstanceOf[ArrayData]
+        out.toLongArray().toSeq
+      }
+      val direct = sketchOf(a ++ b)
+      val merged = (sketchOf(a) ++ sketchOf(b)).distinct.sorted.take(k)
+      val unionLaw = direct == merged
+      val distinctA = a.distinct.size
+      val exactBelowK = distinctA >= k || sketchOf(a).size == distinctA
+      unionLaw && exactBelowK
+    }
 }

@@ -60,6 +60,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences is shard-size independent (two-phase prefix sum ≡ single stream)") {
+    // The sub-shard size only bounds partition width; the packed bins must
+    // be identical for any choice — including a shard size larger than the
+    // corpus (degenerate single-shard = the naive per-lang running sum)
+    // and a tiny one that forces many cross-shard offset handoffs.
+    val ref = graft.operators.Pipeline.packSequences(spark, dir,
+      shardDocs = Long.MaxValue).collect().map(_.toSeq).toSeq
+    for (s <- Seq(1L, 7L, 64L)) {
+      val got = graft.operators.Pipeline.packSequences(spark, dir, shardDocs = s)
+        .collect().map(_.toSeq).toSeq
+      assert(got == ref, s"shardDocs=$s diverged")
+    }
+  }
+
   test("decontaminate: contaminated is bounded by train, eval source excluded") {
     val rows = graft.operators.Pipeline.decontaminate(spark, dir).collect()
     assert(rows.nonEmpty)

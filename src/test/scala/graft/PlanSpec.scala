@@ -107,6 +107,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("explode(pref"), s"prefix index missing:\n$p")
   }
 
+  test("v4 per-label top-k reduces via partial heaps — no Window rank") {
+    val p = plan(graft.operators.Search.knnPerLabel(spark, dir))
+    // map-side partial heap per label: only labels×k states shuffle
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_topk_score"), p)
+    // a row_number window would shuffle+sort the whole scored corpus on
+    // ~10 label values — the low-cardinality-window scale-killer
+    assert(!p.contains("Window"), s"window rank resurfaced:\n$p")
+  }
+
+  test("p3 sequence packing never runs a per-document window on lang alone") {
+    val p = plan(graft.operators.Pipeline.packSequences(spark, dir))
+    // the per-document running sum partitions on (lang, shard): bounded
+    assert("""windowspecdefinition\(lang#\d+, shard#\d+L?, doc_id#""".r
+      .findFirstIn(p).isDefined, s"sharded prefix-sum window missing:\n$p")
+    // no per-document window keyed on lang alone (each language's whole
+    // token stream in one sorted task at scale); the remaining lang-only
+    // window runs over SHARD totals (|docs|/shardDocs rows), not documents
+    assert("""windowspecdefinition\(lang#\d+, doc_id#""".r.findFirstIn(p).isEmpty,
+      s"lang-only per-document window resurfaced:\n$p")
+  }
+
   test("quality scoring is a shuffle-free per-row map (modulo output ordering)") {
     val base = spark.read.parquet(s"$dir/documents.parquet")
     // the feature computation itself — without the presentation orderBy
