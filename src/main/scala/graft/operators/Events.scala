@@ -16,15 +16,36 @@ import org.apache.spark.sql.functions._
 object Events {
 
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark rejects by default. Read nanos as long (legacy conf, runtime
-    * settable) and convert to TimestampType via integer division — `div`,
-    * not `/`, since nanos ~1.7e18 exceed double's 53-bit mantissa.
+    * Spark rejects by default. Read nanos as long and convert to
+    * TimestampType via integer division — `div`, not `/`, since nanos
+    * ~1.7e18 exceed double's 53-bit mantissa.
+    *
+    * The legacy flag is set on a SCOPED SESSION CLONE (`newSession()` —
+    * same SparkContext, isolated SQL conf), never on the caller's shared
+    * session: each parquet scan resolves its conf through the session its
+    * relation was created with, so only the events read sees the flag.
+    * (A per-read `.option(...)` does NOT work — the executor-side schema
+    * converter consults the session conf, not the relation's options.)
     */
-  private[operators] def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+  private[graft] val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
+  private val nanosSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  /** The events-reader clone of `spark`: isolated conf with nanosAsLong
+    * set. Also the session that owns any streaming sink started from an
+    * [[graft.streaming.StreamingIngest.eventsStream]] source.
+    */
+  private[graft] def eventsSession(spark: SparkSession): SparkSession =
+    nanosSessions.getOrElseUpdate(spark, {
+      val s = spark.newSession()
+      s.conf.set(NanosAsLong, "true")
+      s
+    })
+
+  private[operators] def events(spark: SparkSession, dir: String): DataFrame =
+    eventsSession(spark).read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** E8a: tumbling 1-hour windows per event type — the canonical streaming
     * aggregation shape (`window()` aligns to epoch hours, same as

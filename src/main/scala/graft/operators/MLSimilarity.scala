@@ -21,6 +21,13 @@ object MLSimilarity {
   private val kmCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), (String, Array[Array[Double]])]
 
+  /** Drop this session's memoized k-means index entries (the on-disk cell
+    * layouts stay; the next query re-fits and rewrites — bench warm
+    * passes absorb it).
+    */
+  def clearCaches(spark: SparkSession): Unit =
+    kmCache.filterInPlace { case ((s, _, _), _) => s != spark }
+
   private def kmeansIndex(spark: SparkSession, dir: String, numCells: Int)
       : (String, Array[Array[Double]]) =
     kmCache.getOrElseUpdate((spark, dir, numCells), {

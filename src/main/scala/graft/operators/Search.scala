@@ -40,13 +40,19 @@ object Search {
   private val maxAbsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Double]
 
-  /** Drop this session's persisted code relations (fixture dirs are
-    * immutable, so this is only for test hygiene).
+  /** Drop this session's persisted code relations and memoized IVF index
+    * locations (fixture dirs are immutable, so this is for test/bench
+    * hygiene: session-lifetime caches otherwise grow monotonically across
+    * dirs and scale factors in one JVM, and late bench queries end up
+    * measuring GC pressure instead of plans). The on-disk IVF layouts
+    * stay; dropping the entry means the next query rewrites the layout
+    * (overwrite mode), a one-time cost the bench warm pass absorbs.
     */
   def clearCaches(spark: SparkSession): Unit = {
     packedCache.filterInPlace { case ((s, _), df) =>
       if (s == spark) { df.unpersist(); false } else true }
     maxAbsCache.filterInPlace { case ((s, _), _) => s != spark }
+    ivfCache.filterInPlace { case ((s, _), _) => s != spark }
   }
 
   def packedEmb(spark: SparkSession, dir: String): DataFrame =

@@ -29,11 +29,16 @@ object StreamingIngest {
     * [[graft.operators.Events]]).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // nanosAsLong lives on the scoped events-reader session clone (see
+    // Events.eventsSession) — the caller's shared session conf is never
+    // mutated. The returned stream (and any sink started from it) belongs
+    // to that clone; memory-sink tables register in ITS catalog, so specs
+    // resolve them via df.sparkSession.table(...).
+    val s = graft.operators.Events.eventsSession(spark)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
     // The fixture is a single file, not a stream directory; the file
     // source requires a directory unless the path is a glob, so glob it.
-    spark.readStream
+    s.readStream
       .schema(schema)
       .parquet(s"$dir/events.*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

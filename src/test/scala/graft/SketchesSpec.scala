@@ -66,9 +66,16 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   test("kmv rejects non-literal or tiny k") {
+    // tiny k: the KmvSketchAgg require(k >= 2) fires at build time
     intercept[Exception] {
       spark.range(5).agg(Kernels.kmvSketch(col("id"), 1)).head()
     }
+    // non-literal k: Kernels.litInt rejects a column argument at function
+    // build time (the heap arity must be fixed before execution)
+    val err = intercept[Exception] {
+      spark.range(5).selectExpr("graft_kmv(id, id)").head()
+    }
+    assert(err.getMessage.contains("must be a literal"), err.getMessage)
   }
 
   test("s1 query: estimates within 5 RSE, err_bp consistent, exact counts true") {

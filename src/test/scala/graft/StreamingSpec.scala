@@ -15,7 +15,8 @@ class StreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val q = StreamingIngest.runHourlyToMemory(spark, dir, "hourly_stream")
     try {
-      val streamed = spark.table("hourly_stream")
+      // the memory sink registers in the scoped events-reader session
+      val streamed = graft.operators.Events.eventsSession(spark).table("hourly_stream")
         .orderBy("hour_epoch", "event_type")
         .collect().map(_.toSeq).toSeq
       val batch = graft.operators.Events.hourly(spark, dir)
@@ -27,8 +28,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming dedup emits exactly one row per key (batch-equivalent replay)") {
     val dir = "/root/testdata/sf0.001"
-    val q = StreamingIngest.dedupWithinWatermark(
-        StreamingIngest.eventsStream(spark, dir))
+    val src = StreamingIngest.eventsStream(spark, dir)
+    val q = StreamingIngest.dedupWithinWatermark(src)
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -37,14 +38,22 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     q.awaitTermination()
     try {
-      val streamed = spark.table("dedup_stream")
+      val streamed = src.sparkSession.table("dedup_stream")
         .select("user_id", "event_type").collect()
         .map(r => (r.getLong(0), r.getString(1)))
-      val batchKeys = graft.operators.Events.sessionize(spark, dir) // force fixture conf
-      val batch = spark.read.parquet(s"$dir/events.parquet")
+      val batch = graft.operators.Events.eventsSession(spark).read
+        .parquet(s"$dir/events.parquet")
         .select("user_id", "event_type").distinct().collect()
         .map(r => (r.getLong(0), r.getString(1)))
       assert(streamed.nonEmpty)
+      // dropDuplicatesWithinWatermark only guarantees dedup for duplicates
+      // arriving within the watermark delay; global uniqueness below holds
+      // because the single-file fixture replays as ONE micro-batch under
+      // AvailableNow — pin that precondition so a fixture/trigger change
+      // fails here instead of silently weakening the assertion.
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 1,
+        s"fixture no longer replays in one micro-batch (saw $dataBatches)")
       assert(streamed.length === streamed.distinct.length, "no key emitted twice")
       assert(streamed.toSet === batch.toSet)
     } finally q.stop()
@@ -53,8 +62,8 @@ class StreamingSpec extends AnyFunSuite {
   test("flatMapGroupsWithState session counts equal the batch sessionization") {
     val dir = "/root/testdata/sf0.001"
     // stateTtl = None: AvailableNow replays must not wait on TTL timers.
-    val q = StreamingIngest.statefulSessionCounts(
-        StreamingIngest.eventsStream(spark, dir), stateTtl = None)
+    val src = StreamingIngest.eventsStream(spark, dir)
+    val q = StreamingIngest.statefulSessionCounts(src, stateTtl = None)
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -64,7 +73,7 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
     try {
       // Keep each user's last emitted row (cumulative state).
-      val streamed = spark.table("stateful_sessions")
+      val streamed = src.sparkSession.table("stateful_sessions")
         .groupBy("user_id")
         .agg(org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"),
           org.apache.spark.sql.functions.max("n_events").as("n_events"))

@@ -16,8 +16,8 @@ class TemporalSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def eventsUs(): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.operators.Events.eventsSession(spark).read
+      .parquet(s"$dir/events.parquet")
       .withColumn("us", expr("ts div 1000"))
       .select("event_id", "user_id", "us", "event_type", "value")
   }
