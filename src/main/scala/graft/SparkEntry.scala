@@ -47,11 +47,15 @@ object SparkEntry {
     "q_outer_join" -> ((s, d) => Relational.qOuterJoin(s, d)),
     "q_semi_anti" -> ((s, d) => Relational.qSemiAnti(s, d)),
     "q_pivot_conditional" -> ((s, d) => Relational.qPivotConditional(s, d)),
+    // Skew-mitigated hot-key join (salted); oracle is the plain join.
+    "q_salted_join" -> ((s, d) => Relational.qSaltedJoin(s, d)),
     // E1/E2: dedup family (exact, MinHash-LSH, SimHash-banded, n-gram).
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d2_dedup_minhash" -> ((s, d) => Dedup.minhashDedup(s, d)),
     "d3_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(s, d)),
     "d4_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardDedup(s, d)),
+    // E2d: incremental batch-vs-corpus dedup (continuous-ingest shape).
+    "d5_incremental_simhash" -> ((s, d) => Dedup.incrementalSimhashDedup(s, d)),
     // Retrieval: BM25 keyword search + hybrid keyword/vector RRF fusion.
     "t6_bm25" -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "v10_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
@@ -63,6 +67,8 @@ object SparkEntry {
     "t5_length_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
     // T7: Gopher-style repetition/quality filtering.
     "t7_repetition" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
+    // T8: PII redaction (regex scrub; redacted text pinned by md5).
+    "t8_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     // S1/S2: KMV distinct-count sketches (bounded-state approximate
     // distinct, oracle-matched because the k-minimum-values set is
     // deterministic) and their merge algebra (pairwise lang overlap).
@@ -75,6 +81,8 @@ object SparkEntry {
     "e1_hourly" -> ((s, d) => Events.hourly(s, d)),
     "e2_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "e3_json_stats" -> ((s, d) => Events.jsonStats(s, d)),
+    // E8d: ordered conversion-funnel analytics.
+    "e4_funnel_steps" -> ((s, d) => Events.funnelSteps(s, d)),
     // Multimodal: opaque binary payloads + partition-wise decode stub.
     "m1_media_features" -> ((s, d) => graft.multimodal.Multimodal.mediaFeatures(s, d)),
     // Frame sampling: the 1→N decode fan-out over video payloads.
@@ -84,6 +92,8 @@ object SparkEntry {
     "p2_hash_split" -> ((s, d) => Pipeline.hashSplit(s, d)),
     "p3_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "p4_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
+    // P6: p4 with a broadcast-bloom pre-filter (identical output).
+    "p6_decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
     "p5_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
   )
 

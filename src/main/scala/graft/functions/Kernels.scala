@@ -38,6 +38,11 @@ object Kernels {
     "graft_topk_code" -> (e => HammingTopKCodeAgg(e(0), e(1), e(2), litInt(e(3), "graft_topk_code"))),
     "graft_topk_score" -> (e => ScoreTopKAgg(e(0), e(1), litInt(e(2), "graft_topk_score"))),
     "graft_kmv" -> (e => KmvSketchAgg(e(0), litInt(e(1), "graft_kmv"))),
+    // Spark's own runtime-row-filter predicate (the expression behind
+    // injected bloom runtime filters), exposed for explicit broadcast
+    // bloom pre-filters: args = (bloom bytes literal, long value).
+    "graft_bloom_might_contain" -> (e =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1))),
   )
 
   /** Fold a constant integer argument at function-build time (the heap
@@ -128,6 +133,25 @@ object Kernels {
     */
   def kmvSketch(hash: Column, k: Int): Column =
     call_function("graft_kmv", hash, lit(k))
+
+  /** Broadcast-bloom membership test over long values: `bloom` must be a
+    * binary LITERAL holding a serialized `org.apache.spark.util.sketch
+    * .BloomFilter` (e.g. from `df.stat.bloomFilter(...)` +
+    * [[serializeBloom]]). Resolves to Spark's own
+    * `BloomFilterMightContain` — the same predicate its injected runtime
+    * row-level filters use — so the pre-filter is a native codegen'd
+    * expression, not a UDF.
+    */
+  def bloomMightContain(bloom: Column, value: Column): Column =
+    call_function("graft_bloom_might_contain", bloom, value)
+
+  /** Serialize a driver-side bloom filter to the byte form
+    * [[bloomMightContain]] expects as its literal argument. */
+  def serializeBloom(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
 
   // ---- deterministic text hashing (oracle-mirrorable) ---------------------
 

@@ -145,6 +145,32 @@ object Dedup {
     * 10 of 120 bits is a tighter similarity fraction than 10 of 60 —
     * thresholds are per-corpus tuning knobs either way.
     */
+  private val SimhashBands = 12
+  private val SimhashBandBits = 10 // 12 × 10 = 120; exact for hamming ≤ 11
+
+  /** 120-bit simhash per doc as two 60-bit halves (doc_id, sha, shb); the
+    * second half re-hashes each shingle with a '#2' salt — independent
+    * votes, same DuckDB-mirrorable md5 scheme.
+    */
+  private def simhashes(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir).select(
+      col("doc_id"),
+      Kernels.simHash(col("hs")).as("sha"),
+      Kernels.simHash(Kernels.h60Array(
+        transform(col("s"), x => concat(x, lit("#2"))))).as("shb"))
+
+  /** Explode a [[simhashes]] relation into its 12 band keys: band b < 6
+    * reads 10 bits of the first half, b ≥ 6 of the second.
+    */
+  private def simhashBanded(sim: DataFrame): DataFrame =
+    sim.select(
+        col("doc_id"), col("sha"), col("shb"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .withColumn("bkey", expr(
+        s"CASE WHEN band < 6 THEN shiftright(sha, band * $SimhashBandBits)" +
+          s" ELSE shiftright(shb, (band - 6) * $SimhashBandBits) END & ${(1 << SimhashBandBits) - 1}"))
+      .select("doc_id", "sha", "shb", "band", "bkey")
+
   def simhashDedup(spark: SparkSession, dir: String, maxHamming: Int = 10): DataFrame =
     // Memoized + persisted per (session, dir, threshold): the pair
     // relation is consumed by BOTH the registered d3 query and the P1
@@ -152,27 +178,9 @@ object Dedup {
     // re-derives the whole banded join from scratch (the round-2 bench's
     // single most expensive query, largely for that reason).
     simhashPairsCache.getOrElseUpdate((spark, dir, maxHamming), {
-      val numBands = 12
-      val bandBits = 10 // 12 × 10 = 120; exact for hamming ≤ numBands − 1 = 11
-      require(maxHamming < numBands,
-        s"banded blocking is exact only for maxHamming ≤ ${numBands - 1}, got $maxHamming")
-      val sh = shingled(spark, dir)
-      // Second 60-bit half from salted shingle hashes — independent votes,
-      // same DuckDB-mirrorable md5 scheme.
-      val sim = sh.select(
-        col("doc_id"),
-        Kernels.simHash(col("hs")).as("sha"),
-        Kernels.simHash(Kernels.h60Array(
-          transform(col("s"), x => concat(x, lit("#2"))))).as("shb"))
-
-      // Band b < 6 reads 10 bits of the first half, b ≥ 6 of the second.
-      val banded = sim.select(
-          col("doc_id"), col("sha"), col("shb"),
-          explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-        .withColumn("bkey", expr(
-          s"CASE WHEN band < 6 THEN shiftright(sha, band * $bandBits)" +
-            s" ELSE shiftright(shb, (band - 6) * $bandBits) END & ${(1 << bandBits) - 1}"))
-        .select("doc_id", "sha", "shb", "band", "bkey")
+      require(maxHamming < SimhashBands,
+        s"banded blocking is exact only for maxHamming ≤ ${SimhashBands - 1}, got $maxHamming")
+      val banded = simhashBanded(simhashes(spark, dir))
 
       val a = banded.select(col("doc_id").as("doc_a"), col("sha").as("sa_a"),
         col("shb").as("sb_a"), col("band"), col("bkey"))
@@ -191,6 +199,44 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** E2d: INCREMENTAL simhash dedup — flag documents of a NEW ingest
+    * batch that near-duplicate the EXISTING corpus, without ever pairing
+    * the corpus with itself (the continuous-crawl shape: each arriving
+    * batch is checked against what's already indexed; batch-internal dups
+    * are [[simhashDedup]]'s job on the batch alone). The batch here is
+    * the top 20% of doc_ids — the "latest crawl" proxy, derived from
+    * count() in both engines.
+    *
+    * Scale shape: the corpus side is only BANDED (a per-row explode on
+    * the scan, no shuffle) and the batch side — small by definition for
+    * an increment — is broadcast, so the corpus never shuffles at any
+    * size; candidates are hamming-filtered before the distinct. Same
+    * pigeonhole bound as d3: exact for maxHamming ≤ 11. Output: per
+    * flagged batch doc, the number of distinct corpus near-dup partners
+    * and the closest distance.
+    */
+  def incrementalSimhashDedup(spark: SparkSession, dir: String,
+                              maxHamming: Int = 10): DataFrame = {
+    require(maxHamming < SimhashBands,
+      s"banded blocking is exact only for maxHamming ≤ ${SimhashBands - 1}, got $maxHamming")
+    val splitId = docs(spark, dir).count() * 4 / 5
+    val sim = simhashes(spark, dir)
+    val corpus = simhashBanded(sim.filter(col("doc_id") < splitId))
+      .select(col("doc_id").as("corpus_id"), col("sha").as("sa_a"),
+        col("shb").as("sb_a"), col("band"), col("bkey"))
+    val batch = simhashBanded(sim.filter(col("doc_id") >= splitId))
+      .select(col("doc_id"), col("sha").as("sa_b"),
+        col("shb").as("sb_b"), col("band"), col("bkey"))
+    corpus.join(broadcast(batch), Seq("band", "bkey"))
+      .withColumn("hamming",
+        expr("int(bit_count(sa_a ^ sa_b) + bit_count(sb_a ^ sb_b))"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id", "corpus_id", "hamming").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dups"), min("hamming").as("min_hamming"))
+      .orderBy("doc_id")
+  }
 
   /** E2c: n-gram-Jaccard near-dedup with PREFIX FILTERING (the
     * SSJoin/AllPairs/PPJoin principle): over the df-capped shingle
@@ -300,6 +346,29 @@ object Dedup {
       |  cast(concat('0x', substr(md5(u.sg), 1, 15)) as bigint) h
       |  FROM sh, unnest(sh.s) u(sg))""".stripMargin
 
+  /** Shared oracle CTE chain: the 120-bit simhash as two independently-
+    * voted 60-bit halves (second half salted '#2'), yielding
+    * `sim(doc_id, sa, sb)`. Appended after [[shinglePrefix]].
+    */
+  private val simhashCtes =
+    """votes AS (
+      |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) v
+      |  FROM ex, range(0,60) r(j) GROUP BY doc_id, j),
+      |sima AS (
+      |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) sh60
+      |  FROM votes GROUP BY doc_id),
+      |ex2 AS (SELECT doc_id,
+      |  cast(concat('0x', substr(md5(sg || '#2'), 1, 15)) as bigint) h FROM ex),
+      |votes2 AS (
+      |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) v
+      |  FROM ex2, range(0,60) r(j) GROUP BY doc_id, j),
+      |simb AS (
+      |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) sh60
+      |  FROM votes2 GROUP BY doc_id),
+      |sim AS (
+      |  SELECT sima.doc_id, sima.sh60 sa, simb.sh60 sb
+      |  FROM sima JOIN simb USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs,
@@ -333,28 +402,27 @@ object Dedup {
     // scheme); hamming is the sum over both halves.
     "d3_dedup_simhash" ->
       s"""$shinglePrefix,
-         |votes AS (
-         |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) v
-         |  FROM ex, range(0,60) r(j) GROUP BY doc_id, j),
-         |sima AS (
-         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) sh60
-         |  FROM votes GROUP BY doc_id),
-         |ex2 AS (SELECT doc_id,
-         |  cast(concat('0x', substr(md5(sg || '#2'), 1, 15)) as bigint) h FROM ex),
-         |votes2 AS (
-         |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) v
-         |  FROM ex2, range(0,60) r(j) GROUP BY doc_id, j),
-         |simb AS (
-         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) sh60
-         |  FROM votes2 GROUP BY doc_id),
-         |sim AS (
-         |  SELECT sima.doc_id, sima.sh60 sa, simb.sh60 sb
-         |  FROM sima JOIN simb USING (doc_id))
+         |$simhashCtes
          |SELECT a.doc_id doc_a, b.doc_id doc_b,
          |  (bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)))::INT AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 10
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Incremental: batch = top-20%-of-doc_ids (derived from count(*) in
+    // both engines), paired against the sub-split corpus only.
+    "d5_incremental_simhash" ->
+      s"""$shinglePrefix,
+         |$simhashCtes,
+         |split AS (SELECT (count(*) * 4) // 5 AS s FROM documents),
+         |pairs AS (
+         |  SELECT b.doc_id AS doc_id, a.doc_id AS corpus_id,
+         |    (bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)))::INT AS hamming
+         |  FROM sim a, sim b, split
+         |  WHERE a.doc_id < split.s AND b.doc_id >= split.s
+         |    AND bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 10)
+         |SELECT doc_id, count(*)::BIGINT AS n_dups, min(hamming)::INT AS min_hamming
+         |FROM pairs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Prefix-filtered exact Jaccard: capped sets, canonical-order (hash
     // asc) prefixes of length n//2+1, candidate pairs from prefix

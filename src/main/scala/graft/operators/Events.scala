@@ -111,7 +111,50 @@ object Events {
         col("sum_value_c"))
       .orderBy("event_type")
 
+  /** E8d: conversion-funnel analytics — per user, the earliest `view`,
+    * the earliest `click` STRICTLY after that view, and the earliest
+    * `purchase` strictly after that click; output is users surviving
+    * each step. The classic ordered-sequence product query, done without
+    * any per-user event collection: three conditional-min aggregations,
+    * each joined back as a BROADCAST user-level relation (users ≪
+    * events), so the events table is scanned but never shuffled — at any
+    * event volume only per-user partial-agg states move.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("vs"))
+    val c = e.filter(col("event_type") === "click")
+      .join(broadcast(v), "user_id")
+      .filter(col("sec") > col("vs"))
+      .groupBy("user_id").agg(min("sec").as("cs"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter(col("sec") > col("cs"))
+      .groupBy("user_id").agg(min("sec").as("ps"))
+    v.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_view"))
+      .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("step", lit("2_click")))
+      .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("step", lit("3_purchase")))
+      .select("step", "n_users")
+      .orderBy("step")
+  }
+
   val oracles: Map[String, String] = Map(
+    "e4_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT sec FROM events),
+        |v AS (SELECT user_id, min(sec) vs FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(sec) cs FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND sec > vs GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(sec) ps FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND sec > cs GROUP BY e.user_id)
+        |SELECT '1_view' AS step, count(*)::BIGINT AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*)::BIGINT FROM c
+        |UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM p
+        |ORDER BY step""".stripMargin,
+
     "e1_hourly" ->
       """SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch,
         |  event_type, count(*) AS n,

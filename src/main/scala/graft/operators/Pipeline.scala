@@ -233,6 +233,42 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** P6: [[decontaminate]] with a broadcast BLOOM pre-filter — the 100 TB
+    * shape of the shingle-overlap join. p4's exact join shuffles every
+    * train-side (shingle, doc_id) posting; here the tiny eval shingle set
+    * is first folded into a driver-side bloom filter (~1.2 bytes/key at
+    * 0.1% fpp, so even 10^9 eval shingles fit comfortably in a broadcast)
+    * and the train side drops non-members BEFORE any exchange, via
+    * Spark's own codegen'd `BloomFilterMightContain` predicate on the
+    * scan. False positives are then removed by the SAME exact join as p4
+    * — output is bit-identical (it shares p4's oracle); the bloom only
+    * cuts the shuffled posting volume to (true hits + fpp·rest).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+                         evalSource: String = "src0",
+                         fpp: Double = 0.001): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "lang", "source")
+    val ex = Dedup.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("s")).as("sg"))
+      .join(d, "doc_id")
+    val evalSh = ex.filter(col("source") === evalSource).select("sg").distinct()
+    val evalHashes = evalSh.select(Kernels.h60(col("sg")).as("h"))
+    val nEval = evalHashes.count()
+    val bloom = Kernels.serializeBloom(
+      evalHashes.stat.bloomFilter("h", math.max(nEval, 64L), fpp))
+    val contaminated = ex.filter(col("source") =!= evalSource)
+      .filter(Kernels.bloomMightContain(lit(bloom), Kernels.h60(col("sg"))))
+      .join(evalSh, "sg")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1L))
+
+    d.filter(col("source") =!= evalSource)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train"), sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .orderBy("lang")
+  }
+
   /** P5: deterministic stratified sampling — corpus mixing by language
     * with per-stratum keep rates (in basis points of 10^4). The keep
     * decision hashes the CONTENT with a salt, so it is reproducible with
@@ -352,6 +388,21 @@ object Pipeline {
         |SELECT lang, count(*) AS n_docs, sum(keep)::BIGINT AS n_kept,
         |  sum(keep * n_tokens)::BIGINT AS kept_tokens
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // p6 is p4 with a lossy pre-filter followed by exact verification —
+    // the output contract (and therefore the oracle) is IDENTICAL.
+    "p6_decontaminate_bloom" ->
+      s"""WITH $shingle,
+         |eval_sh AS (SELECT DISTINCT ex.sg FROM ex JOIN documents d USING (doc_id)
+         |            WHERE d.source = 'src0'),
+         |contaminated AS (
+         |  SELECT DISTINCT ex.doc_id FROM ex JOIN eval_sh USING (sg)
+         |  JOIN documents d ON d.doc_id = ex.doc_id WHERE d.source <> 'src0')
+         |SELECT d.lang, count(*) AS n_train,
+         |  (count(*) FILTER (WHERE c.doc_id IS NOT NULL))::BIGINT AS n_contaminated
+         |FROM documents d LEFT JOIN contaminated c USING (doc_id)
+         |WHERE d.source <> 'src0'
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "p4_decontaminate" ->
       s"""WITH $shingle,

@@ -252,7 +252,35 @@ object Relational {
       .orderBy("y")
   }
 
+  /** Salted hot-key join, oracle-checked: revenue per part brand through
+    * [[Skew.saltedJoin]]. In the fixture no single part key is pathological,
+    * but the OPERATOR is the one a skewed fact table needs — the big side
+    * gets a deterministic salt in [0, 8), the small side is exploded 8×,
+    * and the join key becomes (key, salt), spreading any hot key over 8
+    * reducers. The result is provably the plain join (SkewSpec asserts
+    * it; the oracle IS the plain join), so correctness is independent of
+    * the salting — only the shuffle distribution changes.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_orderkey"),
+        revenueC4.as("rev_c4"))
+    val pt = t(spark, dir, "part").select(col("p_partkey").as("partkey"), col("p_brand"))
+    Skew.saltedJoin(li, pt, "partkey", saltCol = col("l_orderkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), sum("rev_c4").as("rev_c4"))
+      .select(col("p_brand"), col("n_items"), centsHalfUp("rev_c4").as("revenue_c"))
+      .orderBy("p_brand")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  ((sum(round(l_extendedprice * 100)::BIGINT
+        |      * (100 - round(l_discount * 100)::BIGINT)) + 50) // 100)::BIGINT AS revenue_c
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q_semi_anti" ->
       """WITH shipped AS (
         |  SELECT DISTINCT l_suppkey FROM lineitem

@@ -176,6 +176,53 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // PII patterns shared by the operator and its oracle: no backslashes
+  // (Spark SQL string literals eat them; `[.]` is the portable literal
+  // dot) and no constructs where Java-regex and RE2 semantics differ.
+  private val EmailPat = "[a-z0-9]+@[a-z]+[.][a-z]+"
+  private val IpPat = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+  private val PhonePat = "[0-9]{3}-[0-9]{4}"
+
+  /** T8: PII redaction — regex scrubbing of emails, IPv4s and phone
+    * numbers into typed placeholder tokens, the standard pre-training
+    * privacy pass. The synthetic fixture vocabulary contains no PII, so
+    * spans are INJECTED deterministically from doc_id (the same
+    * fixture-augmentation technique as v5's near-dup clones) and the
+    * oracle mirrors the injection exactly; the redacted text itself is
+    * pinned by md5, not just counted. Redaction order (email → ip →
+    * phone) matters — placeholders must not re-match later patterns —
+    * and is identical in both engines. Pure per-row map: no shuffle, no
+    * UDF (regexp_* are codegen'd builtins), embarrassingly parallel at
+    * any corpus size.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val m3 = pmod(col("doc_id"), lit(3))
+    val injected = concat(col("text"),
+      when(m3 === 0, concat(
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 192.168."),
+        pmod(col("doc_id"), lit(100)).cast("string"), lit(".7")))
+      .when(m3 === 1, concat(
+        lit(" call 555-"),
+        lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+        lit(" today")))
+      .otherwise(concat(
+        lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(7)).cast("string"), lit(" up"))))
+    docs(spark, dir)
+      .withColumn("t0", injected)
+      .withColumn("n_email", size(expr(s"regexp_extract_all(t0, '$EmailPat', 0)")))
+      .withColumn("t1", regexp_replace(col("t0"), EmailPat, "<EMAIL>"))
+      .withColumn("n_ip", size(expr(s"regexp_extract_all(t1, '$IpPat', 0)")))
+      .withColumn("t2", regexp_replace(col("t1"), IpPat, "<IP>"))
+      .withColumn("n_phone", size(expr(s"regexp_extract_all(t2, '$PhonePat', 0)")))
+      .withColumn("t3", regexp_replace(col("t2"), PhonePat, "<PHONE>"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        length(col("t3")).as("redacted_len"),
+        md5(col("t3").cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "t5_length_percentiles" ->
       """SELECT lang,
@@ -252,6 +299,31 @@ object TextAnalysis {
          |  ((2 * sum(top_tok_bp) + count(*)) // (2 * count(*)))::BIGINT AS avg_top_tok_bp,
          |  ((20000 * sum(dup) + sum(n)) // (2 * sum(n)))::BIGINT AS dup_token_share_bp
          |FROM feat GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t8_pii_redact" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id, text || CASE
+         |    WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR
+         |      || '@example.com from 192.168.' || (doc_id % 100)::VARCHAR || '.7'
+         |    WHEN doc_id % 3 = 1 THEN ' call 555-'
+         |      || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') || ' today'
+         |    ELSE ' host 10.' || (doc_id % 256)::VARCHAR
+         |      || '.0.' || (doc_id % 7)::VARCHAR || ' up'
+         |  END AS t0
+         |  FROM documents),
+         |r1 AS (SELECT doc_id,
+         |  len(regexp_extract_all(t0, '$EmailPat')) n_email,
+         |  regexp_replace(t0, '$EmailPat', '<EMAIL>', 'g') t1 FROM inj),
+         |r2 AS (SELECT doc_id, n_email,
+         |  len(regexp_extract_all(t1, '$IpPat')) n_ip,
+         |  regexp_replace(t1, '$IpPat', '<IP>', 'g') t2 FROM r1),
+         |r3 AS (SELECT doc_id, n_email, n_ip,
+         |  len(regexp_extract_all(t2, '$PhonePat')) n_phone,
+         |  regexp_replace(t2, '$PhonePat', '<PHONE>', 'g') t3 FROM r2)
+         |SELECT doc_id, n_email::INT AS n_email, n_phone::INT AS n_phone,
+         |  n_ip::INT AS n_ip, length(t3)::INT AS redacted_len,
+         |  md5(t3) AS redacted_md5
+         |FROM r3 ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E2d incremental simhash dedup: the batch-vs-corpus operator must agree
+  * exactly with the cross-boundary slice of the full pair relation (which
+  * is itself DuckDB-oracled), and must never emit batch-internal pairs.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("incremental result equals the cross-boundary slice of the full pair relation") {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val split = n * 4 / 5
+    val all = Dedup.simhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // full relation has doc_a < doc_b, so cross pairs are exactly
+    // doc_a in corpus, doc_b in batch
+    val expected = all.filter { case (a, b, _) => a < split && b >= split }
+      .groupBy(_._2)
+      .map { case (id, ps) => (id, ps.length.toLong, ps.map(_._3).min) }
+      .toSet
+    assert(expected.nonEmpty, "fixture should have cross-boundary near-dups")
+
+    val got = Dedup.incrementalSimhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    // all flagged docs are batch docs
+    got.foreach { case (id, _, _) => assert(id >= split) }
+  }
+
+  test("batch-internal near-dups are NOT flagged (corpus-only pairing)") {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val split = n * 4 / 5
+    val batchPairs = Dedup.simhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= split && b >= split }
+    val flagged = Dedup.incrementalSimhashDedup(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // a doc appearing ONLY in batch-internal pairs must not be flagged
+    val onlyInternal = batchPairs.flatMap(p => Seq(p._1, p._2)).toSet --
+      Dedup.simhashDedup(spark, dir).collect()
+        .filter(r => r.getLong(0) < split && r.getLong(1) >= split)
+        .map(_.getLong(1)).toSet
+    onlyInternal.foreach(id => assert(!flagged.contains(id),
+      s"doc $id has only batch-internal dups but was flagged"))
+  }
+}

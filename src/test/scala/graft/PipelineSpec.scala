@@ -35,6 +35,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("decontaminateBloom equals decontaminate, and the bloom actually prunes") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Kernels
+    val p4 = graft.operators.Pipeline.decontaminate(spark, dir).collect().toSeq
+    val p6 = graft.operators.Pipeline.decontaminateBloom(spark, dir).collect().toSeq
+    assert(p6 == p4)
+    assert(p4.nonEmpty)
+
+    // Pruning evidence, measured the same way the operator builds it: the
+    // bloom pre-filter must pass every true hit but strictly fewer
+    // postings than the unfiltered train side.
+    Kernels.install(spark)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val ex = d.select(col("doc_id"), col("source"),
+        explode(Kernels.shingles3(col("text"))).as("sg"))
+    val evalSg = ex.filter(col("source") === "src0").select("sg").distinct()
+    val evalH = evalSg.select(Kernels.h60(col("sg")).as("h"))
+    val bloom = Kernels.serializeBloom(
+      evalH.stat.bloomFilter("h", math.max(evalH.count(), 64L), 0.001))
+    val train = ex.filter(col("source") =!= "src0")
+    val total = train.count()
+    val kept = train.filter(
+      Kernels.bloomMightContain(lit(bloom), Kernels.h60(col("sg")))).count()
+    val trueHits = train.join(evalSg, "sg").select("doc_id", "sg").count()
+    assert(kept >= trueHits, "bloom must never drop a true hit")
+    assert(kept < total, s"bloom should prune the posting join: kept $kept of $total")
+    info(f"bloom pre-filter: $total postings -> $kept (true hits $trueHits)")
+  }
+
   test("hashSplit partitions every document exactly once (counts conserve)") {
     val split = graft.operators.Pipeline.hashSplit(spark, dir).collect()
     val perLang = split.groupBy(_.getAs[String]("lang"))

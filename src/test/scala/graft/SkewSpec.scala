@@ -57,6 +57,27 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("q_salted_join (the registered query) equals the unsalted aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.Relational.qSaltedJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("partkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint) * " +
+          "(100 - cast(round(l_discount * 100) as bigint))").as("rev_c4"))
+    val pt = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    val plain = li.join(pt, "partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), sum("rev_c4").as("rev_c4"))
+      .select(col("p_brand"), col("n_items"),
+        expr("(rev_c4 + 50) div 100").as("revenue_c"))
+      .orderBy("p_brand").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == plain)
+    assert(got.nonEmpty)
+  }
+
   test("AQE splits the hot partition automatically (skew=true in the adaptive plan)") {
     import spark.implicits._
     val conf = spark.conf
