@@ -115,22 +115,32 @@ object Events {
     * the earliest `click` STRICTLY after that view, and the earliest
     * `purchase` strictly after that click; output is users surviving
     * each step. The classic ordered-sequence product query, done without
-    * any per-user event collection: three conditional-min aggregations,
-    * each joined back as a BROADCAST user-level relation (users ≪
-    * events), so the events table is scanned but never shuffled — at any
-    * event volume only per-user partial-agg states move.
+    * any per-user event collection: three conditional-min aggregations
+    * over a SINGLE exchange — events are hash-partitioned once on
+    * `user_id`, and every later groupBy/join keys on `user_id`, so
+    * EnsureRequirements inserts no further exchange and ReuseExchange
+    * shares the one shuffle across all three step branches.
+    *
+    * Deliberately NO broadcast hints: the per-user min relations (v, c)
+    * grow linearly with the user base, so forcing them executor-resident
+    * would OOM at large user counts even though users ≪ events. The
+    * planner may still choose to broadcast them when its size estimate
+    * says they're genuinely small — a conditional decision, which is the
+    * scale-safe one; `user_id` is high-cardinality and unskewed, so the
+    * co-partitioned fallback join is safe at any volume.
     */
   def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      .repartition(col("user_id"))
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("sec").as("vs"))
     val c = e.filter(col("event_type") === "click")
-      .join(broadcast(v), "user_id")
+      .join(v, "user_id")
       .filter(col("sec") > col("vs"))
       .groupBy("user_id").agg(min("sec").as("cs"))
     val p = e.filter(col("event_type") === "purchase")
-      .join(broadcast(c), "user_id")
+      .join(c, "user_id")
       .filter(col("sec") > col("cs"))
       .groupBy("user_id").agg(min("sec").as("ps"))
     v.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_view"))

@@ -31,6 +31,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     got.foreach { case (id, _, _) => assert(id >= split) }
   }
 
+  test("general (corpus, batch) API matches the fixture derivation on BOTH join paths") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val split = docs.count() * 4 / 5
+    val corpus = docs.filter(col("doc_id") < split)
+    val batch = docs.filter(col("doc_id") >= split)
+    val expected = Dedup.incrementalSimhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // small batch → broadcast path (hint present, gated by the threshold)
+    val bc = Dedup.incrementalSimhashDedup(corpus, batch, 10)
+    assert(bc.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "small batch should take the broadcast path")
+    assert(bc.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      == expected)
+
+    // threshold 0 → banded shuffle join: no hint, identical answers
+    val sh = Dedup.incrementalSimhashDedup(corpus, batch, 10, 0L)
+    assert(!sh.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "above-threshold batch must not plant a broadcast hint")
+    assert(sh.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      == expected)
+  }
+
   test("batch-internal near-dups are NOT flagged (corpus-only pairing)") {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     val split = n * 4 / 5

@@ -129,6 +129,31 @@ class PlanSpec extends AnyFunSuite {
       s"lang-only per-document window resurfaced:\n$p")
   }
 
+  test("e4 funnel never force-broadcasts per-user relations; events co-partition on user_id") {
+    val df = graft.operators.Events.funnelSteps(spark, dir)
+    // the per-user min relations grow with the user base — an unconditional
+    // broadcast() hint on them is the 100× OOM; only the planner may choose
+    // to broadcast, from its own size estimate
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "unconditional broadcast hint resurfaced in funnelSteps")
+    val p = plan(df)
+    assert(p.contains("hashpartitioning(user_id"),
+      s"single user_id exchange missing — steps no longer co-partition:\n$p")
+  }
+
+  test("d5 fixture path plants no unconditional broadcast hint beyond the gated batch") {
+    // the fixture batch (20% of sf0.001) is under BroadcastMaxBatchRows, so
+    // the gate legitimately broadcasts it — but the gate must exist: at
+    // threshold 0 the same operator must emit a hint-free plan
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val split = docs.count() * 4 / 5
+    val sh = graft.operators.Dedup.incrementalSimhashDedup(
+      docs.filter(col("doc_id") < split), docs.filter(col("doc_id") >= split), 10, 0L)
+    assert(!sh.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "shuffle path of incremental dedup must be hint-free")
+  }
+
   test("quality scoring is a shuffle-free per-row map (modulo output ordering)") {
     val base = spark.read.parquet(s"$dir/documents.parquet")
     // the feature computation itself — without the presentation orderBy
