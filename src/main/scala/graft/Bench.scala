@@ -3,17 +3,29 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver bench: one JSON line with per-query steady-state seconds.
   *
-  * Measurement hygiene (round-5 review finding: single-pass timings in a
-  * JVM holding every family's session-lifetime caches are GC-noise-
-  * dominated — queries reported 8-11 s that run in 0.5-0.8 s isolated):
-  *  - queries run grouped by family (d/e/m/p/q/s/t/v prefix), and ALL
-  *    session caches are released between families, so the persisted
-  *    footprint is bounded by one family's working set;
-  *  - each family gets one untimed warm pass (builds its indexes/caches,
-  *    JITs its codegen) before timing;
+  * Measurement hygiene (round-5/6 review findings: single-JVM suite
+  * timings inflate 2.5-5× over isolated runs — cross-family heap history
+  * and GC noise mask per-query regressions even after cache clears):
+  *  - the TOP-LEVEL invocation forks ONE CHILD JVM PER QUERY FAMILY
+  *    (d/e/m/p/q/s/t/v prefix) and merges their JSON lines, so every
+  *    family's numbers come from a JVM whose heap has only ever run that
+  *    family — the same regime as an isolated `SPARK_GRAFT_ONLY` run;
+  *  - each child gives its family one untimed warm pass (builds its
+  *    indexes/caches, JITs its codegen) before timing;
   *  - each query reports the MEDIAN of `SPARK_GRAFT_REPS` (default 3)
-  *    steady-state repetitions, so a stray GC pause can't masquerade as
-  *    a plan regression.
+  *    steady-state repetitions (a stray GC pause can't masquerade as a
+  *    plan regression), with the per-query MIN alongside in
+  *    `queries_min` for regression triage;
+  *  - per-query exceptions are COUNTED, not swallowed: the JSON line
+  *    carries an `errors` field (and the failing names on stderr), so a
+  *    crashing query can't time as a fast success.
+  *
+  * Forking reconstructs the child from this JVM's own binary, input
+  * arguments, and classpath; when that's not viable (e.g. launched from
+  * an sbt layered classloader whose java.class.path lacks the classes)
+  * it falls back to the single-JVM path. `SPARK_GRAFT_NOFORK=1` forces
+  * the fallback; `SPARK_GRAFT_ONLY=a,b` (local iteration) also runs
+  * in-process, which is exactly the isolated regime already.
   */
 object Bench {
 
@@ -23,7 +35,98 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
+  private def jsonLine(qMed: collection.Map[String, Double],
+                       qMin: collection.Map[String, Double],
+                       errors: Int, failed: Seq[String], sfDir: String): String = {
+    def obj(m: collection.Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (qMed.nonEmpty) qMed.values.sum else 0.0
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(qMed)},""" +
+      s""""queries_min":${obj(qMin)},"errors":$errors,"failed":$failedArr,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val isChild = sys.env.contains("SPARK_GRAFT_CHILD")
+    val noFork = sys.env.contains("SPARK_GRAFT_NOFORK") || sys.env.contains("SPARK_GRAFT_ONLY")
+    if (!isChild && !noFork && runForked()) return
+    runInProcess()
+  }
+
+  // ---- forked (top-level) path ---------------------------------------------
+
+  /** One child JVM per family, same binary/flags/classpath/env as this
+    * JVM; merges the children's JSON lines. Returns false when the child
+    * invocation can't be reconstructed — caller falls back in-process.
+    */
+  private def runForked(): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+    val cp = System.getProperty("java.class.path", "")
+    val haveClasses = cp.split(java.io.File.pathSeparatorChar).exists(p =>
+      new java.io.File(p, "graft/Bench.class").isFile ||
+        (p.endsWith(".jar") && new java.io.File(p).getName.startsWith("graft")))
+    if (!javaBin.isFile || !haveClasses) return false
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val families = SparkEntry.queries.keys.toSeq.sorted.groupBy(_.head).toSeq.sortBy(_._1)
+
+    val qMed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val qMin = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var errors = 0
+    families.foreach { case (fam, names) =>
+      val cmd = Seq(javaBin.getAbsolutePath) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val code = proc.waitFor()
+      out.find(_.startsWith("{")) match {
+        case Some(line) if code == 0 =>
+          qMed ++= parseNumObj(line, "queries")
+          qMin ++= parseNumObj(line, "queries_min")
+          errors += parseIntField(line, "errors")
+          failed ++= parseStrArr(line, "failed")
+        case _ =>
+          System.err.println(s"[bench] family '$fam' child exited $code — " +
+            s"counting its ${names.size} queries as errors")
+          errors += names.size
+          failed ++= names
+      }
+    }
+    println(jsonLine(qMed, qMin, errors, failed.toSeq, sfDir))
+    true
+  }
+
+  private def parseNumObj(line: String, field: String): Seq[(String, Double)] = {
+    val start = line.indexOf("\"" + field + "\":{")
+    if (start < 0) return Nil
+    val body = line.substring(start + field.length + 4, line.indexOf('}', start))
+    "\"([^\"]+)\":([-0-9.eE+]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+  }
+
+  private def parseIntField(line: String, field: String): Int =
+    ("\"" + field + "\":(\\d+)").r.findFirstMatchIn(line)
+      .map(_.group(1).toInt).getOrElse(0)
+
+  private def parseStrArr(line: String, field: String): Seq[String] = {
+    val start = line.indexOf("\"" + field + "\":[")
+    if (start < 0) return Nil
+    val body = line.substring(start + field.length + 4, line.indexOf(']', start))
+    "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+  }
+
+  // ---- in-process (child / fallback) path ----------------------------------
+
+  private def runInProcess(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -40,38 +143,44 @@ object Bench {
       li.groupBy("l_returnflag").count().collect()
       li.limit(1000).join(li.limit(1000), "l_orderkey").count()
     } catch { case _: Throwable => () }
-    // Optional filter for local iteration: SPARK_GRAFT_ONLY=d4_dedup_ngram,v5_...
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
     // Family = leading letter of the query name (d1/e3/q_rollup/v10 → d/e/q/v).
     val families = selected.toSeq.sortBy(_._1).groupBy(_._1.head).toSeq.sortBy(_._1)
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val qMed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val qMin = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
     families.foreach { case (_, qs) =>
-      // Bound the persisted footprint to one family's working set: the
-      // previous family's packed codes / postings / prefix indexes are
-      // dead weight (and GC pressure) for this one.
+      // Bound the persisted footprint to one family's working set (only
+      // reachable with >1 family: the fallback / NOFORK path).
       Graft.clearAllCaches(spark)
       // Warm pass: builds this family's session-lifetime indexes and
       // caches and JITs its codegen — the same warm-index regime the
-      // reference's published numbers use (faiss index resident in RAM).
-      qs.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // reference's published numbers use (index resident in RAM).
+      qs.foreach { case (name, fn) =>
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            failedNames += name
+            System.err.println(s"[bench] warm pass of $name failed: $t")
+        }
       }
       qs.foreach { case (name, fn) =>
         val samples = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          try { fn(spark, sfDir).count() } catch {
+            case t: Throwable =>
+              failedNames += name
+              System.err.println(s"[bench] $name failed: $t")
+          }
           (System.nanoTime() - t0) / 1e9
         }
-        results(name) = median(samples)
+        qMed(name) = median(samples)
+        qMin(name) = samples.min
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(jsonLine(qMed, qMin, failedNames.size, failedNames.toSeq, sfDir))
     spark.stop()
   }
 }
