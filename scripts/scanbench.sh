@@ -3,6 +3,9 @@
 # artifact (SCANBENCH_r{N}.json at the repo root) so the funnel/scan
 # numbers vs the reference's 24/28 ms headlines are diffable across
 # rounds the same way CORRECTNESS_r{N}/BENCH_r{N} are.
+# Also records the 4M-vector row (SCANBENCH_r{N}_4m.json) so the
+# "ahead of linear scaling at 4M" crossover claim stays diffable per
+# round; skip it with SKIP_4M=1.
 # Usage: scripts/scanbench.sh <round> [nVectors]
 set -e
 cd "$(dirname "$0")/.."
@@ -12,3 +15,11 @@ OUT="SCANBENCH_r${ROUND}.json"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.ScanBench "$N" \
   | tee /dev/stderr | grep '^{' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2
+if [ -z "${SKIP_4M:-}" ]; then
+  OUT4="SCANBENCH_r${ROUND}_4m.json"
+  # the funnel tiers keep ~1.4 KB/row resident -> 48g heap at 4M
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM_4M:-48g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+    scripts/run.sh graft.ScanBench 4000000 \
+    | tee /dev/stderr | grep '^{' | tail -1 > "$OUT4"
+  echo "wrote $OUT4" >&2
+fi

@@ -42,8 +42,29 @@ object RecallBench {
       println(f"""{"binary_oversample":$bo,"int8_oversample":$io,"recall_at_10":$mean%.3f,"n_queries":$nQueries}""")
       (bo, io, mean)
     }
+
+    // Pruned-probe IVF: the scale path trades cells scanned for recall —
+    // sweep nprobe against the same exact top-10s (nprobe = all cells
+    // must be exact by construction; the interesting rows are 1-4).
+    val ivfRows = Seq(1, 2, 4).map { np =>
+      val recalls = qids.map { q =>
+        val got = graft.operators.Search.ivfKnn(spark, sfDir, queryVecId = q,
+          k = 10, nprobe = np)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        got.intersect(exact(q)).size / 10.0
+      }
+      val mean = recalls.sum / recalls.size
+      println(f"""{"ivf_nprobe":$np,"recall_at_10":$mean%.3f,"n_queries":$nQueries}""")
+      (np, mean)
+    }
+
     val best = rows.maxBy(_._3)
-    println(f"""{"metric":"recall_at_10_default","value":${rows.find(r => r._1 == 10 && r._2 == 3).map(_._3).getOrElse(0.0)}%.3f,"best":${best._3}%.3f,"sf":"$sfDir"}""")
+    val funnelJson = rows.map { case (bo, io, r) =>
+      f"""{"binary_oversample":$bo,"int8_oversample":$io,"recall_at_10":$r%.3f}""" }
+      .mkString("[", ",", "]")
+    val ivfJson = ivfRows.map { case (np, r) =>
+      f"""{"nprobe":$np,"recall_at_10":$r%.3f}""" }.mkString("[", ",", "]")
+    println(f"""{"metric":"recall_at_10_default","value":${rows.find(r => r._1 == 10 && r._2 == 3).map(_._3).getOrElse(0.0)}%.3f,"best":${best._3}%.3f,"funnel_configs":$funnelJson,"ivf_probe":$ivfJson,"n_queries":$nQueries,"sf":"$sfDir","note":"reference README.md:134-153 retention claims: ~90%% binary-only, ~95%% float-binary rescore, ~99.99%% int8 rescore at oversample 10/3"}""")
     spark.stop()
   }
 }
