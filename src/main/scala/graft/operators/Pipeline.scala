@@ -237,13 +237,24 @@ object Pipeline {
     * shape of the shingle-overlap join. p4's exact join shuffles every
     * train-side (shingle, doc_id) posting; here the tiny eval shingle set
     * is first folded into a driver-side bloom filter (~1.2 bytes/key at
-    * 0.1% fpp, so even 10^9 eval shingles fit comfortably in a broadcast)
-    * and the train side drops non-members BEFORE any exchange, via
-    * Spark's own codegen'd `BloomFilterMightContain` predicate on the
+    * 0.1% fpp) and the train side drops non-members BEFORE any exchange,
+    * via Spark's own codegen'd `BloomFilterMightContain` predicate on the
     * scan. False positives are then removed by the SAME exact join as p4
     * — output is bit-identical (it shares p4's oracle); the bloom only
     * cuts the shuffled posting volume to (true hits + fpp·rest).
+    *
+    * Sizing ceiling: the filter ships as a plan LITERAL, which is
+    * practical up to tens of MB — the capacity is therefore clamped at
+    * [[MaxBloomKeys]] (5·10⁷ keys ≈ 60 MB at this fpp). Eval sets are
+    * benchmark suites — orders of magnitude below that in practice. A
+    * larger eval set still computes EXACTLY (the clamp only raises the
+    * effective fpp, and the exact join removes every false positive);
+    * were a truly huge eval set ever real, the right construction is
+    * `BloomFilterAggregate` into a genuine broadcast variable instead of
+    * a literal.
     */
+  private[graft] val MaxBloomKeys = 50000000L
+
   def decontaminateBloom(spark: SparkSession, dir: String,
                          evalSource: String = "src0",
                          fpp: Double = 0.001): DataFrame = {
@@ -255,7 +266,8 @@ object Pipeline {
     val evalHashes = evalSh.select(Kernels.h60(col("sg")).as("h"))
     val nEval = evalHashes.count()
     val bloom = Kernels.serializeBloom(
-      evalHashes.stat.bloomFilter("h", math.max(nEval, 64L), fpp))
+      evalHashes.stat.bloomFilter("h",
+        math.min(math.max(nEval, 64L), MaxBloomKeys), fpp))
     val contaminated = ex.filter(col("source") =!= evalSource)
       .filter(Kernels.bloomMightContain(lit(bloom), Kernels.h60(col("sg"))))
       .join(evalSh, "sg")

@@ -22,9 +22,16 @@ object Skew {
     * replay: derived from a stable hash of the row's join key and a
     * second disambiguating column rather than `rand()`.
     */
+  /** The deterministic per-row salt: a stable hash of `saltCol` mod the
+    * factor — NEVER `rand()`, whose re-draw on task replay makes retried
+    * partitions join against different dim copies.
+    */
+  private[graft] def saltExpr(saltCol: Column, saltFactor: Int): Column =
+    pmod(hash(saltCol), lit(saltFactor))
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltCol: Column, saltFactor: Int = 8): DataFrame = {
-    val salted = big.withColumn("__salt", pmod(hash(saltCol), lit(saltFactor)))
+    val salted = big.withColumn("__salt", saltExpr(saltCol, saltFactor))
     val exploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
