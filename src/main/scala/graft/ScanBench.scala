@@ -185,8 +185,15 @@ object ScanBench {
     // numpy/RocksDB candidate reads. A DataFrame isin-lookup on this
     // tier bottoms out at 50-300 ms/query in per-call Catalyst planning,
     // codegen and columnar row materialization; the indexed RDD job has
-    // none of those and pays only the ~10 ms job floor.
-    val coldIdx = spark.read.parquet(s"$benchDir/cold").rdd.mapPartitions { it =>
+    // none of those and pays only the job floor. COALESCED to 2
+    // partitions: a binary-search task is microseconds, so a lookup
+    // job's cost is pure task-launch — at 16 scan partitions, 16
+    // concurrent queries meant 256 in-flight micro-tasks fighting the
+    // scan stages for the same cores; at 2, a lookup is 2 cheap tasks
+    // and concurrent queries overlap cleanly. (The serving-path
+    // PointLookupIndex gets the same effect by range-skipping
+    // partitions whose id span can't hold a request.)
+    val coldIdx = spark.read.parquet(s"$benchDir/cold").coalesce(2).rdd.mapPartitions { it =>
       val rows = it.toArray
       val order = rows.map(_.getLong(0)).zipWithIndex.sortBy(_._1).map(_._2)
       val ids = order.map(rows(_).getLong(0))

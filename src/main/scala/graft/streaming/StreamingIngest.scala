@@ -171,4 +171,37 @@ object StreamingIngest {
     q.awaitTermination()
     q
   }
+
+  /** [[indexUpsert]] with NEAR-dedup at ingest: each micro-batch of
+    * (doc_id, text) is first checked against the landed `corpus` with the
+    * batch-vs-corpus operator
+    * [[graft.operators.Dedup.incrementalSimhashDedup]] — the streaming
+    * form of the reference's add-to-existing write path
+    * (BinaryVectorDB/BinaryVectorDB.py:67-115) — and only documents with
+    * no corpus near-duplicate are upserted. Scale shape per the batch
+    * operator: the corpus side is banded on the scan and never shuffles;
+    * a micro-batch is small by construction, so it rides the gated
+    * broadcast path of the candidate join.
+    */
+  def dedupedIndexUpsert(db: VectorDB, corpus: DataFrame, docsStream: DataFrame,
+                         maxHamming: Int = 10, compactEvery: Int = 16): StreamingQuery = {
+    val q = docsStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val flagged = graft.operators.Dedup
+            .incrementalSimhashDedup(corpus, batch, maxHamming)
+            .select("doc_id")
+          val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
+          if (!clean.isEmpty) {
+            db.addDocuments(clean)
+            if (db.pendingDeltas() >= compactEvery) db.compact()
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

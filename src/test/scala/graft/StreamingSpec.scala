@@ -188,6 +188,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(db.search("the fast key order sort table", k = 3).count() == 3)
   }
 
+  test("deduped streaming upsert skips docs that near-duplicate the landed corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdbd").toFile
+    tmp.delete()
+    val db = VectorDB.openOrCreate(spark, tmp.getAbsolutePath)
+
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val split = docs.count() * 4 / 5
+    val corpus = docs.filter($"doc_id" < split).select($"doc_id", $"text")
+
+    // Stream only the "new crawl" slice; the file source re-reads the
+    // whole fixture, so filter inside the stream.
+    val schema = docs.schema
+    val docsStream = spark.readStream.schema(schema)
+      .parquet(s"$dir/documents.*")
+      .filter($"doc_id" >= split)
+      .select($"doc_id", $"text")
+    StreamingIngest.dedupedIndexUpsert(db, corpus, docsStream).stop()
+
+    // Stream result must equal the batch API on the same slice: every
+    // batch doc lands except those flagged against the corpus.
+    val batch = docs.filter($"doc_id" >= split).select($"doc_id", $"text")
+    val flagged = graft.operators.Dedup
+      .incrementalSimhashDedup(corpus, batch, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "fixture should flag some cross-boundary near-dups")
+    assert(db.count() == batch.count() - flagged.size)
+  }
+
   test("streaming upsert into MOR storage: delta commits with bounded compaction") {
     val tmp = java.nio.file.Files.createTempDirectory("graftmors").toFile
     tmp.delete()
