@@ -17,8 +17,12 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.ScanBench "$N" \
 echo "wrote $OUT" >&2
 if [ -z "${SKIP_4M:-}" ]; then
   OUT4="SCANBENCH_r${ROUND}_4m.json"
-  # the funnel tiers keep ~1.4 KB/row resident -> 48g heap at 4M
-  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM_4M:-48g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+  # 4M runs the full-box serving regime: 32 threads (the crossover claim
+  # compares against the reference's linear scaling, which assumes the
+  # whole machine) and a 24g heap — the funnel tiers keep ~1.4 KB/row
+  # resident (~6 GB at 4M), and a 48g G1 heap measured multi-second
+  # full-GC pauses that a 24g heap does not.
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM_4M:-24g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS_4M:-32}" \
     scripts/run.sh graft.ScanBench 4000000 \
     | tee /dev/stderr | grep '^{' | tail -1 > "$OUT4"
   echo "wrote $OUT4" >&2

@@ -15,8 +15,9 @@ import org.apache.spark.storage.StorageLevel
   *
   * Memory: the funnel section keeps ~1.4 KB/row resident (code tier +
   * int8 point-lookup index) — size the heap accordingly, e.g.
-  * `SPARK_DRIVER_MEM=48g` for N = 4M (scripts/run.sh defaults to 8 GiB,
-  * which fits N = 1M).
+  * `SPARK_DRIVER_MEM=24g` for N = 4M (scripts/run.sh defaults to 8 GiB,
+  * which fits N = 1M). Don't oversize: a 48g G1 heap at N = 4M measured
+  * bimodal 12-22 s full-GC pauses that a 24g heap avoids entirely.
   */
 object ScanBench {
   def main(args: Array[String]): Unit = {

@@ -55,6 +55,14 @@ class IncrementalDedupSpec extends AnyFunSuite {
       == expected)
   }
 
+  test("general API: empty batch and empty corpus both yield empty results") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val none = docs.filter(col("doc_id") < 0)
+    assert(Dedup.incrementalSimhashDedup(docs, none, 10).count() == 0)
+    assert(Dedup.incrementalSimhashDedup(none, docs, 10).count() == 0)
+  }
+
   test("batch-internal near-dups are NOT flagged (corpus-only pairing)") {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     val split = n * 4 / 5
