@@ -116,18 +116,24 @@ object Events {
     * `purchase` strictly after that click; output is users surviving
     * each step. The classic ordered-sequence product query, done without
     * any per-user event collection: three conditional-min aggregations
-    * over a SINGLE exchange — events are hash-partitioned once on
-    * `user_id`, and every later groupBy/join keys on `user_id`, so
-    * EnsureRequirements inserts no further exchange and ReuseExchange
-    * shares the one shuffle across all three step branches.
+    * over `user_id`-hash-partitioned events. The optimizer pushes each
+    * step's `event_type` filter BELOW the repartition, so the three
+    * branches shuffle DISJOINT slices (views, clicks, purchases) — in
+    * total one pass over the events table, filter-before-shuffle — and
+    * every groupBy/join above keys on `user_id`, so the aggregated
+    * per-user relations arrive co-partitioned with the next step's
+    * event slice (verified executed plan: three REPARTITION_BY_COL
+    * exchanges over disjoint filters, zero ENSURE_REQUIREMENTS
+    * exchanges on user_id).
     *
     * Deliberately NO broadcast hints: the per-user min relations (v, c)
     * grow linearly with the user base, so forcing them executor-resident
     * would OOM at large user counts even though users ≪ events. The
-    * planner may still choose to broadcast them when its size estimate
-    * says they're genuinely small — a conditional decision, which is the
-    * scale-safe one; `user_id` is high-cardinality and unskewed, so the
-    * co-partitioned fallback join is safe at any volume.
+    * planner still broadcasts them when its own size estimate says
+    * they're genuinely small (AQE does exactly that at fixture scale) —
+    * a conditional decision, which is the scale-safe one; `user_id` is
+    * high-cardinality and unskewed, so the co-partitioned fallback join
+    * is safe at any volume.
     */
   def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)

@@ -138,7 +138,14 @@ class PlanSpec extends AnyFunSuite {
       "unconditional broadcast hint resurfaced in funnelSteps")
     val p = plan(df)
     assert(p.contains("hashpartitioning(user_id"),
-      s"single user_id exchange missing — steps no longer co-partition:\n$p")
+      s"user_id exchanges missing — steps no longer co-partition:\n$p")
+    // every user_id exchange must be the deliberate REPARTITION_BY_COL
+    // (filters pushed below it — each branch shuffles a disjoint event
+    // slice); an ENSURE_REQUIREMENTS user_id exchange would mean a join
+    // or agg re-shuffled what was already co-partitioned
+    assert("""Exchange hashpartitioning\(user_id[^\n]*ENSURE_REQUIREMENTS"""
+      .r.findFirstIn(p).isEmpty,
+      s"planner inserted an extra user_id exchange:\n$p")
   }
 
   test("d5 fixture path plants no unconditional broadcast hint beyond the gated batch") {
