@@ -18,6 +18,10 @@ object ServeBench {
       .master(s"local[$cpus]")
       .appName("graft-servebench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // serving config: round-robin tasks across in-flight queries (see
+      // ScanBench — FIFO makes queued point-lookup jobs wait out earlier
+      // scans' remaining tasks)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,7 +50,23 @@ object ServeBench {
     val batch = time(db.searchMany(
       queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }, k = 10).collect())
 
-    println(f"""{"metric":"serve_latency","n":$n,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"batch16_per_query_ms":${batch / 16}%.1f,"unit":"ms"}""")
+    // 16 independent in-flight searchVector calls (each pays its own
+    // per-call planning — the API-level serving regime, unlike
+    // ScanBench's prepared-plan pool); median of 3 rounds.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val concRounds = (1 to 3).map { _ =>
+      time {
+        val futs = queries.map(q =>
+          scala.concurrent.Future(db.searchVector(q, k = 10).collect()))
+        futs.foreach(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      } / queries.size
+    }
+    pool.shutdown()
+
+    println(f"""{"metric":"serve_latency","n":$n,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"unit":"ms"}""")
     spark.stop()
   }
 }
