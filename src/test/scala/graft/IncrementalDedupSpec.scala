@@ -55,6 +55,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
       == expected)
   }
 
+  test("general API agrees with the oracled pair relation on RANDOM corpus/batch splits") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val allPairs = Dedup.simhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // ~45% corpus, ~45% batch, ~10% excluded — exercised sides overlap
+      // nothing, and excluded docs must influence neither.
+      val assign = ids.map(id => id -> rnd.nextInt(10)).toMap
+      val corpusIds = assign.collect { case (id, r) if r < 4 => id }.toSet
+      val batchIds = assign.collect { case (id, r) if r >= 4 && r < 9 => id }.toSet
+
+      val expected = allPairs.flatMap { case (a, b, h) =>
+        Seq(
+          if (corpusIds(a) && batchIds(b)) Some((b, a, h)) else None,
+          if (corpusIds(b) && batchIds(a)) Some((a, b, h)) else None
+        ).flatten
+      }.groupBy(_._1).map { case (d, ps) =>
+        (d, ps.map(_._2).distinct.length.toLong, ps.map(_._3).min)
+      }.toSet
+
+      val got = Dedup.incrementalSimhashDedup(
+          docs.filter(col("doc_id").isInCollection(corpusIds)),
+          docs.filter(col("doc_id").isInCollection(batchIds)), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("general API: empty batch and empty corpus both yield empty results") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
