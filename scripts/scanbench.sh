@@ -27,3 +27,13 @@ if [ -z "${SKIP_4M:-}" ]; then
     | tee /dev/stderr | grep '^{' | tail -1 > "$OUT4"
   echo "wrote $OUT4" >&2
 fi
+# 16M extends the crossover table one more octave (~22 GB resident funnel
+# tiers → 40g heap, <2x the live set so G1 stays off the full-GC cliff the
+# 48g/4M case measured). Opt-in: it quadruples the artifact runtime.
+if [ -n "${RUN_16M:-}" ]; then
+  OUT16="SCANBENCH_r${ROUND}_16m.json"
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM_16M:-40g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS_16M:-32}" \
+    scripts/run.sh graft.ScanBench 16000000 \
+    | tee /dev/stderr | grep '^{' | tail -1 > "$OUT16"
+  echo "wrote $OUT16" >&2
+fi

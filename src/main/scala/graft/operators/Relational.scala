@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   *
   *  - fact tables (`lineitem`, `orders`) are only ever scanned with
   *    filters/projections that push into the parquet reader;
-  *  - dimension tables (`nation`, `region`, `supplier`, `customer`) are
-  *    `broadcast()` so fact-side data never shuffles for a join;
+  *  - dimension tables are broadcast so fact-side data never shuffles
+  *    for a join — unconditionally for the schema-bounded ones
+  *    (`nation`/`region`, ≤25 rows at any SF), and behind a SIZE GATE
+  *    ([[dimBroadcast]]) for `customer`/`supplier`, which grow linearly
+  *    with SF: above the budget the hint is omitted and the planner's
+  *    shuffle join on the high-cardinality key takes over;
   *  - aggregations are partial (map-side combine) by construction;
   *  - double-valued outputs are rounded (2–4 dp) so the DuckDB oracle
   *    hash-matches despite summation-order differences.
@@ -21,6 +25,26 @@ object Relational {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Broadcast budget for SF-proportional dimensions (`customer`,
+    * `supplier`): comfortably inside a normal executor/driver broadcast
+    * allowance, far below the scale where a forced hint would OOM.
+    * `nation`/`region` are schema-bounded (≤25 rows) and stay
+    * unconditional.
+    */
+  val DimBroadcastMaxBytes: Long = 256L << 20
+
+  /** The d5 conditional-hint pattern generalized to join dimensions:
+    * apply `broadcast()` only while Catalyst's own size estimate for the
+    * relation fits `maxBytes`; otherwise plant NO hint, leaving the
+    * strategy to the planner/AQE (which at large SF picks a shuffle join
+    * on the high-cardinality dim key — the scale-safe fallback). The
+    * estimate is driver-side plan analysis only; no job runs.
+    */
+  private[graft] def dimBroadcast(df: DataFrame,
+                                  maxBytes: Long = DimBroadcastMaxBytes): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)) broadcast(df)
+    else df
 
   /** Discounted revenue in exact 10^-4 dollars: the fixture's prices and
     * discounts are 2-decimal values (verified exhaustively), so
@@ -65,15 +89,22 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3-style: top-10 order revenue for one market segment.
-    * customer is the small side → broadcast; the orders⋈lineitem join
-    * shuffles on the natural key; final top-k is TakeOrderedAndProject.
+    * customer is the small side → size-gated broadcast ([[dimBroadcast]]);
+    * the orders⋈lineitem join shuffles on the natural key; final top-k is
+    * TakeOrderedAndProject.
     */
-  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame =
+    q3TopOrders(spark, dir, DimBroadcastMaxBytes)
+
+  /** As above with an explicit broadcast budget; pass 0 to force the
+    * hint-free shuffle-join path (PlanSpec pins it stays hint-free).
+    */
+  def q3TopOrders(spark: SparkSession, dir: String, dimMaxBytes: Long): DataFrame = {
     val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(dimBroadcast(cust, dimMaxBytes), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(revenueC4).as("rev_c4"))
       .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
@@ -83,17 +114,26 @@ object Relational {
   }
 
   /** TPC-H Q5-style: revenue by nation through a 5-way join; every
-    * dimension side broadcast, so the fact scan never shuffles for joins.
+    * dimension side broadcast (supplier/customer behind the
+    * [[dimBroadcast]] size gate), so the fact scan never shuffles for
+    * joins while the dims genuinely fit.
     */
-  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame =
+    q5NationRevenue(spark, dir, DimBroadcastMaxBytes)
+
+  /** As above with an explicit broadcast budget for the SF-proportional
+    * dims; pass 0 to force their hint-free shuffle-join path (nation,
+    * schema-bounded, stays broadcast either way).
+    */
+  def q5NationRevenue(spark: SparkSession, dir: String, dimMaxBytes: Long): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val ord = t(spark, dir, "orders")
     val cust = t(spark, dir, "customer")
     val supp = t(spark, dir, "supplier")
     val nat = t(spark, dir, "nation")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(dimBroadcast(supp, dimMaxBytes), li("l_suppkey") === supp("s_suppkey"))
+      .join(dimBroadcast(cust, dimMaxBytes), ord("o_custkey") === cust("c_custkey"))
       .filter(cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name"))

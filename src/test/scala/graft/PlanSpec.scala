@@ -148,6 +148,24 @@ class PlanSpec extends AnyFunSuite {
       s"planner inserted an extra user_id exchange:\n$p")
   }
 
+  test("q3/q5 dim broadcasts are size-gated: hint-free above budget, hinted within it") {
+    // customer/supplier grow with SF — at budget 0 the operators must
+    // plant NO hint on them (q5 keeps exactly one for schema-bounded
+    // nation); at the default budget the fixture dims are hinted, which
+    // the BroadcastHashJoin test above already pins physically
+    val q3a = graft.operators.Relational.q3TopOrders(spark, dir, 0L)
+    assert(!q3a.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q3 customer hint must disappear above the broadcast budget")
+    val q5a = graft.operators.Relational.q5NationRevenue(spark, dir, 0L)
+    val hints = "ResolvedHint".r
+      .findAllIn(q5a.queryExecution.analyzed.toString).length
+    assert(hints == 1, s"q5 above budget must hint only nation, got $hints hints")
+    val q5b = graft.operators.Relational.q5NationRevenue(spark, dir)
+    val hintsDefault = "ResolvedHint".r
+      .findAllIn(q5b.queryExecution.analyzed.toString).length
+    assert(hintsDefault == 3, s"q5 within budget must hint all 3 dims, got $hintsDefault")
+  }
+
   test("d5 fixture path plants no unconditional broadcast hint beyond the gated batch") {
     // the fixture batch (20% of sf0.001) is under BroadcastMaxBatchRows, so
     // the gate legitimately broadcasts it — but the gate must exist: at
