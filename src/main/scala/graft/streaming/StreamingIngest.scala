@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.db.VectorDB
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -184,14 +184,45 @@ object StreamingIngest {
     * broadcast path of the candidate join.
     */
   def dedupedIndexUpsert(db: VectorDB, corpus: DataFrame, docsStream: DataFrame,
-                         maxHamming: Int = 10, compactEvery: Int = 16): StreamingQuery = {
+                         maxHamming: Int = 10, compactEvery: Int = 16): StreamingQuery =
+    dedupedUpsertAgainst(db, _ => corpus, docsStream, maxHamming, compactEvery)
+
+  /** The FULL continuous-crawl loop: [[dedupedIndexUpsert]] with the
+    * corpus side re-derived from the DB ITSELF before every micro-batch —
+    * batch N+1 is checked against everything landed through batch N,
+    * including this same stream's earlier micro-batches, not a frozen
+    * snapshot. This is the reference's add-to-existing write path
+    * (BinaryVectorDB/BinaryVectorDB.py:67-115) run indefinitely.
+    * `docs2text` recovers indexable text from the stored payload column
+    * `doc` (default: the payload IS the text — [[VectorDB.addDocuments]]'
+    * own default).
+    *
+    * State is bounded by construction: the loop keeps NO streaming state
+    * at all — its near-dup memory IS the landed table, re-banded on the
+    * scan each micro-batch (never shuffled, never collected), while the
+    * micro-batch side rides the gated broadcast path. A side effect of
+    * self-reference is replay idempotence: a re-delivered document is
+    * hamming-0 against its own landed copy and is skipped, so
+    * at-least-once delivery cannot double-index near-identical content.
+    */
+  def continuousDedupedUpsert(db: VectorDB, docsStream: DataFrame,
+                              maxHamming: Int = 10, compactEvery: Int = 16,
+                              docs2text: Column = col("doc")): StreamingQuery =
+    dedupedUpsertAgainst(
+      db,
+      database => database.docs.select(col("doc_id"), docs2text.cast("string").as("text")),
+      docsStream, maxHamming, compactEvery)
+
+  private def dedupedUpsertAgainst(db: VectorDB, corpusOf: VectorDB => DataFrame,
+                                   docsStream: DataFrame, maxHamming: Int,
+                                   compactEvery: Int): StreamingQuery = {
     val q = docsStream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val flagged = graft.operators.Dedup
-            .incrementalSimhashDedup(corpus, batch, maxHamming)
+            .incrementalSimhashDedup(corpusOf(db), batch, maxHamming)
             .select("doc_id")
           val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
           if (!clean.isEmpty) {

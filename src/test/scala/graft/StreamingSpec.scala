@@ -217,6 +217,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(db.count() == batch.count() - flagged.size)
   }
 
+  test("continuous crawl loop: each micro-batch dedups against everything landed so far") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graftcc").toFile
+    tmp.delete()
+    val db = VectorDB.openOrCreate(spark, tmp.getAbsolutePath,
+      storage = VectorDB.StorageMor)
+
+    // each run = one AvailableNow pass over a fresh memory stream
+    def run(docs: (Long, String)*): Unit = {
+      val in = MemoryStream[(Long, String)]
+      in.addData(docs: _*)
+      StreamingIngest.continuousDedupedUpsert(
+        db, in.toDF().toDF("doc_id", "text")).stop()
+    }
+
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "red orange yellow green blue indigo violet crimson amber teal"
+    val tC = "north south east west compass bearing heading azimuth route map"
+
+    // empty DB: nothing to dedup against, both land
+    run(1L -> tA, 2L -> tB)
+    assert(db.count() == 2)
+
+    // 3 duplicates a doc landed by a PREVIOUS micro-batch -> skipped;
+    // 4 is fresh -> lands
+    run(3L -> tA, 4L -> tC)
+    assert(db.count() == 3)
+    val landed = db.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed == Set(1L, 2L, 4L), s"got $landed")
+
+    // 5 duplicates a doc THIS STREAM's loop landed (4, not in any frozen
+    // snapshot a caller could have passed) -> skipped: the corpus side is
+    // genuinely self-referential
+    run(5L -> tC)
+    assert(db.count() == 3)
+
+    // replay idempotence: a re-delivered doc is hamming-0 against its own
+    // landed copy and is skipped, not double-indexed
+    run(1L -> tA)
+    assert(db.count() == 3)
+
+    // and the surviving index serves queries
+    assert(db.search("north south east west", k = 2).count() == 2)
+  }
+
   test("streaming upsert into MOR storage: delta commits with bounded compaction") {
     val tmp = java.nio.file.Files.createTempDirectory("graftmors").toFile
     tmp.delete()
