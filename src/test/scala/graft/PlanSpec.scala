@@ -166,6 +166,18 @@ class PlanSpec extends AnyFunSuite {
     assert(hintsDefault == 3, s"q5 within budget must hint all 3 dims, got $hintsDefault")
   }
 
+  test("dimBroadcast hints exactly at Catalyst's size estimate boundary") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val est = cust.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > 0)
+    val at = graft.operators.Relational.dimBroadcast(cust, est.toLong)
+    assert(at.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      s"estimate $est within budget $est must hint")
+    val below = graft.operators.Relational.dimBroadcast(cust, est.toLong - 1)
+    assert(!below.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      s"estimate $est above budget ${est - 1} must not hint")
+  }
+
   test("d5 fixture path plants no unconditional broadcast hint beyond the gated batch") {
     // the fixture batch (20% of sf0.001) is under BroadcastMaxBatchRows, so
     // the gate legitimately broadcasts it — but the gate must exist: at

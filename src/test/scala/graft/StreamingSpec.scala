@@ -263,6 +263,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(db.search("north south east west", k = 2).count() == 2)
   }
 
+  test("continuous crawl loop soak: read amplification stays bounded as the corpus grows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graftccs").toFile
+    tmp.delete()
+    val db = VectorDB.openOrCreate(spark, tmp.getAbsolutePath,
+      storage = VectorDB.StorageMor)
+
+    // 10 micro-batches of 5 pairwise-distinct docs each (disjoint token
+    // vocabularies — no accidental near-dups); every batch also re-sends
+    // one doc from the previous batch (an at-least-once overlap). The
+    // compaction threshold must keep pending deltas bounded the whole
+    // run — MOR read amplification cannot grow with corpus age — and the
+    // replayed doc must self-match (hamming 0) instead of re-landing.
+    def text(id: Long): String =
+      (0 until 10).map(j => s"w${id}x$j").mkString(" ")
+    (0 until 10).foreach { b =>
+      val fresh = (0 until 5).map(i => (b * 5L + i, text(b * 5L + i)))
+      val replay = if (b > 0) Seq((b * 5L - 1, text(b * 5L - 1))) else Seq.empty
+      val in = MemoryStream[(Long, String)]
+      in.addData(fresh ++ replay: _*)
+      StreamingIngest.continuousDedupedUpsert(
+        db, in.toDF().toDF("doc_id", "text"), compactEvery = 4).stop()
+      assert(db.pendingDeltas() < 4,
+        s"batch $b left ${db.pendingDeltas()} deltas pending — compaction not bounding")
+      assert(db.count() == (b + 1) * 5L,
+        s"batch $b: expected ${(b + 1) * 5} docs, got ${db.count()} — " +
+          "replay re-landed or a fresh doc was wrongly flagged")
+    }
+    assert(db.search(text(0), k = 3).count() == 3)
+  }
+
   test("streaming upsert into MOR storage: delta commits with bounded compaction") {
     val tmp = java.nio.file.Files.createTempDirectory("graftmors").toFile
     tmp.delete()
