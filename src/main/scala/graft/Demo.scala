@@ -60,11 +60,27 @@ object Demo {
     println("content-hash train/val/test split:")
     graft.operators.Pipeline.hashSplit(spark, sfDir).show(6)
 
-    // Streaming: replay events into hourly windows.
+    // Streaming: replay events into hourly windows. The memory sink
+    // registers in the events-reader session clone's catalog (isolated
+    // temp views — see Events.eventsSession), so resolve it there.
     val q = StreamingIngest.runHourlyToMemory(spark, sfDir, "demo_hourly")
     println("first 5 streamed hourly windows:")
-    spark.table("demo_hourly").orderBy("hour_epoch", "event_type").show(5)
+    graft.operators.Events.eventsSession(spark)
+      .table("demo_hourly").orderBy("hour_epoch", "event_type").show(5)
     q.stop()
+
+    // Continuous crawl: stream a "new crawl" slice into the SAME db,
+    // each micro-batch near-dedup-checked against everything already
+    // landed (the corpus is re-derived from the db itself per batch).
+    val before = db.count()
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val crawl = spark.readStream.schema(schema)
+      .parquet(s"$sfDir/documents.*")
+      .select("doc_id", "text")
+      .withColumn("doc_id", org.apache.spark.sql.functions.expr("doc_id + 1000000"))
+    StreamingIngest.continuousDedupedUpsert(db, crawl).stop()
+    println(s"continuous crawl upsert: $before docs before, ${db.count()} after " +
+      "(re-crawled near-duplicates of the landed corpus were skipped)")
     spark.stop()
   }
 }
