@@ -164,6 +164,11 @@ class PlanSpec extends AnyFunSuite {
     val hintsDefault = "ResolvedHint".r
       .findAllIn(q5b.queryExecution.analyzed.toString).length
     assert(hintsDefault == 3, s"q5 within budget must hint all 3 dims, got $hintsDefault")
+    // the gate changes only the join STRATEGY, never the answer: the
+    // hint-free shuffle path must produce the identical relation (the
+    // same both-paths pinning d5's gated batch join carries)
+    assert(q5a.collect().map(_.toSeq).toSeq == q5b.collect().map(_.toSeq).toSeq,
+      "q5 shuffle-join path diverged from the broadcast path")
   }
 
   test("dimBroadcast hints exactly at Catalyst's size estimate boundary") {
