@@ -16,9 +16,12 @@ import org.apache.spark.sql.SparkSession
   *    steady-state repetitions (a stray GC pause can't masquerade as a
   *    plan regression), with the per-query MIN alongside in
   *    `queries_min` for regression triage;
-  *  - per-query exceptions are COUNTED, not swallowed: the JSON line
-  *    carries an `errors` field (and the failing names on stderr), so a
-  *    crashing query can't time as a fast success.
+  *  - per-query exceptions are COUNTED, not swallowed: a query that
+  *    throws is EXCLUDED from `queries`/`queries_min` (its fast-failure
+  *    time would otherwise read as a speedup), its name lands in
+  *    `failed`, and ANY error forces the headline `value` to -1 — a
+  *    round-over-round diff of the total can never mistake breakage
+  *    for improvement.
   *
   * Forking reconstructs the child from this JVM's own binary, input
   * arguments, and classpath; when that's not viable (e.g. launched from
@@ -40,7 +43,10 @@ object Bench {
                        errors: Int, failed: Seq[String], sfDir: String): String = {
     def obj(m: collection.Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (qMed.nonEmpty) qMed.values.sum else 0.0
+    // any failure invalidates the headline total: a crashed family or
+    // query REDUCES the sum, so a plain value diff would read breakage
+    // as a speedup
+    val total = if (errors > 0) -1.0 else qMed.values.sum
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(qMed)},""" +
       s""""queries_min":${obj(qMin)},"errors":$errors,"failed":$failedArr,"sf":"$sfDir"}"""
@@ -90,10 +96,15 @@ object Bench {
       val code = proc.waitFor()
       out.find(_.startsWith("{")) match {
         case Some(line) if code == 0 =>
-          qMed ++= parseNumObj(line, "queries")
-          qMin ++= parseNumObj(line, "queries_min")
-          errors += parseIntField(line, "errors")
-          failed ++= parseStrArr(line, "failed")
+          parseChildLine(line) match {
+            case Some((med, min, errs, fld)) =>
+              qMed ++= med; qMin ++= min; errors += errs; failed ++= fld
+            case None =>
+              System.err.println(s"[bench] family '$fam' emitted unparseable " +
+                s"JSON — counting its ${names.size} queries as errors")
+              errors += names.size
+              failed ++= names
+          }
         case _ =>
           System.err.println(s"[bench] family '$fam' child exited $code — " +
             s"counting its ${names.size} queries as errors")
@@ -105,24 +116,37 @@ object Bench {
     true
   }
 
-  private def parseNumObj(line: String, field: String): Seq[(String, Double)] = {
-    val start = line.indexOf("\"" + field + "\":{")
-    if (start < 0) return Nil
-    val body = line.substring(start + field.length + 4, line.indexOf('}', start))
-    "\"([^\"]+)\":([-0-9.eE+]+)".r.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-  }
-
-  private def parseIntField(line: String, field: String): Int =
-    ("\"" + field + "\":(\\d+)").r.findFirstMatchIn(line)
-      .map(_.group(1).toInt).getOrElse(0)
-
-  private def parseStrArr(line: String, field: String): Seq[String] = {
-    val start = line.indexOf("\"" + field + "\":[")
-    if (start < 0) return Nil
-    val body = line.substring(start + field.length + 4, line.indexOf(']', start))
-    "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
-  }
+  /** Parse a child's JSON line with Jackson (on the Spark classpath) —
+    * a real parser fails LOUDLY on format drift where substring
+    * arithmetic would silently merge an empty family.
+    */
+  private def parseChildLine(line: String)
+      : Option[(Seq[(String, Double)], Seq[(String, Double)], Int, Seq[String])] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      def numObj(field: String): Seq[(String, Double)] = {
+        val node = root.get(field)
+        if (node == null) Nil
+        else {
+          val names = node.fieldNames()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          while (names.hasNext) {
+            val k = names.next()
+            buf += k -> node.get(k).asDouble()
+          }
+          buf.toSeq
+        }
+      }
+      def strArr(field: String): Seq[String] = {
+        val node = root.get(field)
+        if (node == null) Nil
+        else (0 until node.size()).map(i => node.get(i).asText())
+      }
+      Some((numObj("queries"), numObj("queries_min"),
+        Option(root.get("errors")).map(_.asInt()).getOrElse(0), strArr("failed")))
+    } catch {
+      case _: Exception => None
+    }
 
   // ---- in-process (child / fallback) path ----------------------------------
 
@@ -176,8 +200,12 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }
-        qMed(name) = median(samples)
-        qMin(name) = samples.min
+        // a query that threw records NO timing — its fast-failure reps
+        // would otherwise read as a speedup in the per-query diff
+        if (!failedNames.contains(name)) {
+          qMed(name) = median(samples)
+          qMin(name) = samples.min
+        }
       }
     }
     println(jsonLine(qMed, qMin, failedNames.size, failedNames.toSeq, sfDir))

@@ -19,4 +19,29 @@ object Graft {
     operators.Dedup.clearCaches(spark)
     operators.MLSimilarity.clearCaches(spark)
   }
+
+  /** Path to a scheduler allocation file declaring the DEFAULT pool's
+    * internal mode FAIR. `spark.scheduler.mode=FAIR` alone is NOT enough
+    * for concurrent serving: it only enables the fair scheduler builder,
+    * whose default pool still runs FIFO internally unless an allocation
+    * file says otherwise (Spark's `FairSchedulableBuilder` —
+    * DEFAULT_SCHEDULING_MODE is FIFO), so without this file a queued
+    * lookup job still waits out every earlier scan's remaining tasks.
+    * Serving benches pass it as `spark.scheduler.allocation.file`.
+    */
+  lazy val fairDefaultPoolFile: String = {
+    val f = java.nio.file.Files.createTempFile("graft-fairscheduler", ".xml")
+    java.nio.file.Files.writeString(f,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="default">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin)
+    f.toFile.deleteOnExit()
+    f.toString
+  }
 }

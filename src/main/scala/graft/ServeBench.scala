@@ -20,8 +20,10 @@ object ServeBench {
       .config("spark.sql.shuffle.partitions", cpus)
       // serving config: round-robin tasks across in-flight queries (see
       // ScanBench — FIFO makes queued point-lookup jobs wait out earlier
-      // scans' remaining tasks)
+      // scans' remaining tasks). Needs BOTH the mode flag and the
+      // allocation file: the default pool is internally FIFO without it.
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", Graft.fairDefaultPoolFile)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

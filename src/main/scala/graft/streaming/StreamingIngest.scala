@@ -224,11 +224,18 @@ object StreamingIngest {
           val flagged = graft.operators.Dedup
             .incrementalSimhashDedup(corpusOf(db), batch, maxHamming)
             .select("doc_id")
+          // clean feeds three evaluations (the isEmpty probe, then
+          // addDocuments' validation count and its embed pass) — persist
+          // it so the corpus-scan-and-band join behind it runs once per
+          // micro-batch, not once per consumer.
           val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
-          if (!clean.isEmpty) {
-            db.addDocuments(clean)
-            if (db.pendingDeltas() >= compactEvery) db.compact()
-          }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!clean.isEmpty) {
+              db.addDocuments(clean)
+              if (db.pendingDeltas() >= compactEvery) db.compact()
+            }
+          } finally clean.unpersist()
         }
       }
       .start()
