@@ -1,0 +1,216 @@
+package graft.db
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{array, col}
+import org.apache.spark.storage.StorageLevel
+
+/** RAM-resident PREPARED Phase-I scan over the hot tier: per-partition
+  * primitive blocks (ids + flattened code words + optional IVF cells),
+  * queried by a bare RDD job that computes hamming distances and keeps a
+  * bounded (hamming asc, doc_id asc) top-B heap per partition — the
+  * driver merges ≤ P·B small tuples. The single-query serving analogue
+  * of the reference's always-resident faiss binary index
+  * (`BinaryVectorDB.py:129-140` holds the packed codes in RAM and scans
+  * them per query with no per-query planning of any kind).
+  *
+  * Why: the measured single-query `searchVector` latency is dominated
+  * not by the popcount kernel (a few ms across the cores) but by
+  * per-call Catalyst analysis/optimization/codegen of the Phase-I
+  * plan (~40-50 ms) plus columnar materialization. [[PointLookupIndex]]
+  * already removed Catalyst from Phase III; this removes it from
+  * Phases I/II, so an `enableServing()` DB pays only two bare RDD jobs
+  * per query (scan + point lookup) — scheduling floor, no planning.
+  * Results are BIT-IDENTICAL to the Catalyst path: the per-row hamming
+  * mirrors `graft_hamming`/the flat `bit_count(cI ^ qI)` sum exactly
+  * (int sum of per-word popcounts), and tie-breaks replicate
+  * `orderBy(score_hamming asc, doc_id asc)`.
+  *
+  * Scale contract: same as [[PointLookupIndex]] — the blocks hold the
+  * hot tier in executor memory (~nWords·8 B + 8 B per row: the SAME
+  * bytes the cached hot tier already pins, ~136 B/row at 1024 bits).
+  * On a 1000-executor cluster each partition scans its local block and
+  * ships back ≤ B rows; the driver merge is O(P·B). Beyond cluster RAM,
+  * disable serving and stay on the parquet path.
+  *
+  * IVF probing: blocks carry the per-row cell and a per-block distinct
+  * cell set; a probed-cell query skips whole blocks whose cells don't
+  * intersect the probe set (the RDD analogue of the cell-partitioned
+  * snapshot's partition pruning) and filters rows inside mixed blocks.
+  */
+final class PreparedScan private (
+    private val blocks: RDD[PreparedScan.Block],
+    private val nWords: Int) {
+
+  /** Top-B rows by (hamming asc, doc_id asc) against the packed query
+    * words; `probed` (if set) restricts to rows in those IVF cells.
+    * Returns (doc_id, hamming, codeWords) sorted in rank order, ≤ B
+    * rows. One bare RDD job, no Catalyst involvement.
+    */
+  def topB(qWords: Array[Long], b: Int,
+           probed: Option[Array[Int]] = None): Array[(Long, Int, Array[Long])] = {
+    require(b > 0, s"b must be positive, got $b")
+    val nw = nWords
+    val probeSorted = probed.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }
+    val perPart: Array[Array[(Long, Int, Array[Long])]] =
+      blocks.sparkContext.runJob(blocks,
+        (it: Iterator[PreparedScan.Block]) => {
+          if (!it.hasNext) Array.empty[(Long, Int, Array[Long])]
+          else {
+            val blk = it.next()
+            val skip = probeSorted.exists(p =>
+              !blk.distinctCells.exists(c => java.util.Arrays.binarySearch(p, c) >= 0))
+            if (skip) Array.empty[(Long, Int, Array[Long])]
+            else PreparedScan.scanBlock(blk, qWords, nw, b, probeSorted.orNull)
+          }
+        })
+    // each partition's result is rank-sorted; merge and cut to B
+    val merged = perPart.flatten
+    java.util.Arrays.sort(merged, PreparedScan.rankOrder)
+    merged.take(b)
+  }
+
+  def unpersist(): Unit = blocks.unpersist()
+}
+
+object PreparedScan {
+
+  /** One partition's scan block: parallel primitive arrays; `words` is
+    * row-major flattened (row i occupies [i·nWords, (i+1)·nWords)).
+    * `cells` is empty for non-IVF layouts.
+    */
+  private[db] case class Block(ids: Array[Long], words: Array[Long],
+                               cells: Array[Int], distinctCells: Array[Int])
+
+  private[db] val rankOrder: java.util.Comparator[(Long, Int, Array[Long])] =
+    (x: (Long, Int, Array[Long]), y: (Long, Int, Array[Long])) => {
+      val c = java.lang.Integer.compare(x._2, y._2)
+      if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+    }
+
+  /** Bounded-heap scan of one block. The heap keeps the B smallest
+    * (hamming, doc_id) pairs as a max-heap on that order, so the root is
+    * the current worst kept row; a row whose RUNNING word-sum already
+    * exceeds the root's hamming abandons the remaining words (the sum
+    * only grows). Mirrors the Catalyst kernels bit-for-bit: int sum of
+    * `Long.bitCount(word ^ qWord)` over min(nWords, |q|) words.
+    */
+  private[db] def scanBlock(blk: Block, qWords: Array[Long], nWords: Int,
+                            b: Int, probeSorted: Array[Int]): Array[(Long, Int, Array[Long])] = {
+    val n = blk.ids.length
+    val cap = math.min(b, math.max(n, 1))
+    // parallel-array binary max-heap on (hamming, id)
+    val heapH = new Array[Int](cap)
+    val heapId = new Array[Long](cap)
+    val heapRow = new Array[Int](cap)
+    var size = 0
+
+    def worseThanRoot(h: Int, id: Long): Boolean =
+      h > heapH(0) || (h == heapH(0) && id > heapId(0))
+
+    def siftDown(i0: Int): Unit = {
+      var i = i0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < size && (heapH(l) > heapH(m) ||
+          (heapH(l) == heapH(m) && heapId(l) > heapId(m)))) m = l
+        if (r < size && (heapH(r) > heapH(m) ||
+          (heapH(r) == heapH(m) && heapId(r) > heapId(m)))) m = r
+        if (m == i) done = true
+        else {
+          val th = heapH(i); heapH(i) = heapH(m); heapH(m) = th
+          val ti = heapId(i); heapId(i) = heapId(m); heapId(m) = ti
+          val tr = heapRow(i); heapRow(i) = heapRow(m); heapRow(m) = tr
+          i = m
+        }
+      }
+    }
+
+    def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) / 2
+        if (heapH(i) > heapH(p) || (heapH(i) == heapH(p) && heapId(i) > heapId(p))) {
+          val th = heapH(i); heapH(i) = heapH(p); heapH(p) = th
+          val ti = heapId(i); heapId(i) = heapId(p); heapId(p) = ti
+          val tr = heapRow(i); heapRow(i) = heapRow(p); heapRow(p) = tr
+          i = p
+        } else i = 0
+      }
+    }
+
+    val filterCells = probeSorted != null && blk.cells.length > 0
+    var row = 0
+    while (row < n) {
+      if (!filterCells ||
+          java.util.Arrays.binarySearch(probeSorted, blk.cells(row)) >= 0) {
+        val base = row * nWords
+        val bound = if (size == cap) heapH(0) else Int.MaxValue
+        var acc = 0
+        var w = 0
+        while (w < nWords && acc <= bound) {
+          acc += java.lang.Long.bitCount(blk.words(base + w) ^ qWords(w))
+          w += 1
+        }
+        if (w == nWords) {
+          val id = blk.ids(row)
+          if (size < cap) {
+            heapH(size) = acc; heapId(size) = id; heapRow(size) = row
+            size += 1
+            siftUp(size - 1)
+          } else if (!worseThanRoot(acc, id)) {
+            heapH(0) = acc; heapId(0) = id; heapRow(0) = row
+            siftDown(0)
+          }
+        }
+      }
+      row += 1
+    }
+
+    val out = new Array[(Long, Int, Array[Long])](size)
+    var i = 0
+    while (i < size) {
+      val r = heapRow(i)
+      out(i) = (heapId(i), heapH(i),
+        java.util.Arrays.copyOfRange(blk.words, r * nWords, (r + 1) * nWords))
+      i += 1
+    }
+    java.util.Arrays.sort(out, rankOrder)
+    out
+  }
+
+  /** Build (and materialize) the prepared scan from the hot tier.
+    * `codes` must expose either `code:array<long>` (array layout) or
+    * `c0..c{nWords-1}:long` (flat layout), plus `cell:int` under IVF.
+    * Each source partition becomes one block; no shuffle.
+    */
+  def build(codes: DataFrame, nWords: Int, isFlat: Boolean,
+            isIvf: Boolean): PreparedScan = {
+    val wordsCol =
+      if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*).as("w")
+      else col("code").as("w")
+    val cols =
+      if (isIvf) codes.select(col("doc_id"), wordsCol, col("cell"))
+      else codes.select(col("doc_id"), wordsCol)
+    val blocks = cols.rdd.mapPartitions { it =>
+      val ids = scala.collection.mutable.ArrayBuilder.make[Long]
+      val words = scala.collection.mutable.ArrayBuilder.make[Long]
+      val cells = scala.collection.mutable.ArrayBuilder.make[Int]
+      it.foreach { r =>
+        ids += r.getLong(0)
+        val w = r.getSeq[Long](1)
+        var i = 0
+        while (i < w.length) { words += w(i); i += 1 }
+        if (isIvf) cells += r.getInt(2)
+      }
+      val cellArr = cells.result()
+      Iterator.single(Block(ids.result(), words.result(), cellArr,
+        cellArr.distinct.sorted))
+    }.persist(StorageLevel.MEMORY_ONLY)
+    blocks.count() // materialize eagerly: serving opts into RAM residency
+    new PreparedScan(blocks, nWords)
+  }
+}

@@ -64,6 +64,7 @@ class VectorDB private (
   @volatile private var countCache: Long = -1L
   @volatile private var servingEnabled = false
   @volatile private var servingIdx: Option[PointLookupIndex] = None
+  @volatile private var preparedIdx: Option[PreparedScan] = None
 
   private def hasData: Boolean =
     if (isMor) codesMor.exists else fs.exists(new Path(codesPath))
@@ -251,10 +252,12 @@ class VectorDB private (
     codesCache.foreach(_.unpersist())
     codesCache = None
     countCache = -1L
-    // A commit changed the cold tier: drop the serving index; it
-    // rebuilds lazily on the next search if serving stays enabled.
+    // A commit changed the tiers: drop the serving indexes; they
+    // rebuild lazily on the next search if serving stays enabled.
     servingIdx.foreach(_.unpersist())
     servingIdx = None
+    preparedIdx.foreach(_.unpersist())
+    preparedIdx = None
   }
 
   /** Opt into the RAM-resident serving regime: phase III of
@@ -267,12 +270,16 @@ class VectorDB private (
     * reference's published numbers assume. Rebuilt automatically after
     * each commit; [[disableServing]] releases the memory.
     */
-  def enableServing(): this.type = { servingEnabled = true; servingIndex(); this }
+  def enableServing(): this.type = {
+    servingEnabled = true; servingIndex(); preparedScan(); this
+  }
 
   def disableServing(): Unit = {
     servingEnabled = false
     servingIdx.foreach(_.unpersist())
     servingIdx = None
+    preparedIdx.foreach(_.unpersist())
+    preparedIdx = None
   }
 
   private def servingIndex(): Option[PointLookupIndex] = {
@@ -280,6 +287,21 @@ class VectorDB private (
     else servingIdx.orElse(synchronized {
       if (servingIdx.isEmpty && hasData) servingIdx = Some(PointLookupIndex.build(docs))
       servingIdx
+    })
+  }
+
+  /** Serving-mode Phase-I/II companion of [[servingIndex]]: a
+    * [[PreparedScan]] over the hot tier (per-partition primitive
+    * blocks + bounded heaps), so a served single query pays NO
+    * per-call Catalyst work anywhere in the funnel. Same lifecycle:
+    * built on [[enableServing]] or lazily, dropped on commit.
+    */
+  private def preparedScan(): Option[PreparedScan] = {
+    if (!servingEnabled) None
+    else preparedIdx.orElse(synchronized {
+      if (preparedIdx.isEmpty && hasData)
+        preparedIdx = Some(PreparedScan.build(codes, nWords, isFlat, isIvf))
+      preparedIdx
     })
   }
 
@@ -336,36 +358,59 @@ class VectorDB private (
     val qWords = graft.operators.Search.packQuery(q)
     val qCode = typedlit(qWords)
 
-    val scanned =
-      if (isIvf && nprobe < ivfCells) {
-        val probed = probeOrder(qWords).take(nprobe)
-        codes.filter(col("cell").isin(probed: _*))
-      } else codes
+    // Phases I+II → ≤ k·int8Oversample driver-side candidates of
+    // (doc_id, score_hamming, score_binary). Under serving the PREPARED
+    // scan runs them as one bare RDD job + ~130k driver flops (zero
+    // per-query Catalyst); otherwise the Catalyst path plans the scan
+    // per call. Both are bit-identical (ServingIndexSpec pins it).
+    val candidates: Array[(Long, Int, Double)] = preparedScan() match {
+      case Some(ps) =>
+        val probed =
+          if (isIvf && nprobe < ivfCells)
+            Some(probeOrder(qWords).take(nprobe).toArray)
+          else None
+        val top = ps.topB(qWords.toArray, k * binaryOversample, probed)
+        // Phase II over ≤ k·binaryOversample rows: exact driver-side
+        // mirror of graft_sign_dot (MSB-first bit order, left-to-right
+        // double accumulation), then the same (score desc, id asc) rank.
+        val scored = top.map { case (id, h, words) =>
+          (id, h, signDotWords(q, words))
+        }
+        java.util.Arrays.sort(scored, phase2Order)
+        scored.take(k * int8Oversample)
+      case None =>
+        val scanned =
+          if (isIvf && nprobe < ivfCells) {
+            val probed = probeOrder(qWords).take(nprobe)
+            codes.filter(col("cell").isin(probed: _*))
+          } else codes
 
-    // Flat layout: hamming as a codegen'd sum of builtin bit_count(xor)
-    // terms over primitive columns; the code array is reassembled only
-    // for the <=100 phase-II candidates.
-    val hammingCol =
-      if (isFlat) (0 until nWords).map(i =>
-        expr(s"bit_count(c$i ^ ${qWords(i)}L)")).reduce(_ + _).cast("int")
-      else Kernels.hamming(col("code"), qCode)
-    val withCode =
-      if (isFlat) scanned.withColumn("score_hamming", hammingCol)
-        .withColumn("code", array((0 until nWords).map(i => col(s"c$i")): _*))
-      else scanned.withColumn("score_hamming", hammingCol)
-    val phase1 = withCode
-      .orderBy(col("score_hamming").asc, col("doc_id").asc)
-      .limit(math.min(k * binaryOversample, Int.MaxValue))
-    // Phase II runs on ≤ k·binaryOversample rows; materialize the ≤
-    // k·int8Oversample winners driver-side (the reference holds the same
-    // candidate list in a Python list, BinaryVectorDB.py:236).
-    val candidates = phase1
-      .withColumn("score_binary", Kernels.signDot(qLit, col("code")))
-      .orderBy(col("score_binary").desc, col("doc_id").asc)
-      .limit(k * int8Oversample)
-      .select("doc_id", "score_hamming", "score_binary")
-      .collect()
-    val ids = candidates.map(_.getLong(0)).toSeq
+        // Flat layout: hamming as a codegen'd sum of builtin
+        // bit_count(xor) terms over primitive columns; the code array is
+        // reassembled only for the <=100 phase-II candidates.
+        val hammingCol =
+          if (isFlat) (0 until nWords).map(i =>
+            expr(s"bit_count(c$i ^ ${qWords(i)}L)")).reduce(_ + _).cast("int")
+          else Kernels.hamming(col("code"), qCode)
+        val withCode =
+          if (isFlat) scanned.withColumn("score_hamming", hammingCol)
+            .withColumn("code", array((0 until nWords).map(i => col(s"c$i")): _*))
+          else scanned.withColumn("score_hamming", hammingCol)
+        val phase1 = withCode
+          .orderBy(col("score_hamming").asc, col("doc_id").asc)
+          .limit(math.min(k * binaryOversample, Int.MaxValue))
+        // Phase II runs on ≤ k·binaryOversample rows; materialize the ≤
+        // k·int8Oversample winners driver-side (the reference holds the
+        // same candidate list in a Python list, BinaryVectorDB.py:236).
+        phase1
+          .withColumn("score_binary", Kernels.signDot(qLit, col("code")))
+          .orderBy(col("score_binary").desc, col("doc_id").asc)
+          .limit(k * int8Oversample)
+          .select("doc_id", "score_hamming", "score_binary")
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    }
+    val ids = candidates.map(_._1).toSeq
 
     servingIndex() match {
       case Some(idx) =>
@@ -375,10 +420,9 @@ class VectorDB private (
         // (BinaryVectorDB.py:236-252); ~130k flops.
         val byId = idx.lookup(ids.toArray)
           .map(t => t._1 -> (t._2, t._3)).toMap
-        val out = candidates.toSeq.flatMap { r =>
-          val id = r.getLong(0)
+        val out = candidates.toSeq.flatMap { case (id, h, sb) =>
           byId.get(id).map { case (bytes, doc) =>
-            (id, r.getInt(1), r.getDouble(2), cosSimInt8(q, bytes), doc)
+            (id, h, sb, cosSimInt8(q, bytes), doc)
           }
         }.sortBy(t => (-t._4, t._1)).take(k)
         spark.createDataFrame(out)
@@ -389,8 +433,7 @@ class VectorDB private (
         // doc_id-sorted layout), so the per-query cold-tier read is
         // proportional to the candidate set — the batch analogue of the
         // reference's RocksDB point reads — NOT a full scan.
-        val scores = spark.createDataFrame(
-          candidates.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq)
+        val scores = spark.createDataFrame(candidates.toSeq)
           .toDF("doc_id", "score_hamming", "score_binary")
         docs
           .filter(col("doc_id").isin(ids: _*))
@@ -402,6 +445,33 @@ class VectorDB private (
           .select("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
     }
   }
+
+  /** Exact driver-side mirror of the phase-II `graft_sign_dot` kernel
+    * over the packed code words (MSB-first within each 64-bit word,
+    * left-to-right double accumulation) — the serving path's prepared
+    * scan and the Catalyst path produce bit-identical scores.
+    */
+  private def signDotWords(q: Seq[Double], words: Array[Long]): Double = {
+    val qa = q.toArray
+    val n = math.min(qa.length, words.length * 64)
+    var j = 0
+    var acc = 0.0
+    while (j < n) {
+      val bit = (words(j >> 6) >>> (63 - (j & 63))) & 1L
+      acc += qa(j) * (2.0 * bit - 1.0)
+      j += 1
+    }
+    acc
+  }
+
+  /** Phase-II rank: (score_binary desc, doc_id asc), matching the
+    * Catalyst `orderBy(col("score_binary").desc, col("doc_id").asc)`.
+    */
+  private val phase2Order: java.util.Comparator[(Long, Int, Double)] =
+    (x: (Long, Int, Double), y: (Long, Int, Double)) => {
+      val c = java.lang.Double.compare(y._3, x._3)
+      if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+    }
 
   /** Batched multi-query funnel over the stored tiers: one scan of the
     * hot tier serves every query (Phase I via the bounded-heap aggregate,

@@ -1,0 +1,110 @@
+package graft.db
+
+// package graft.db: the scanBlock law exercises private[db] internals
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity spec for the serving-mode PREPARED Phase-I/II scan
+  * ([[graft.db.PreparedScan]]): with serving enabled, `searchVector`
+  * runs phases I+II as one bare RDD job over per-partition primitive
+  * blocks (bounded (hamming, doc_id) heaps + driver merge, then a
+  * driver-side `graft_sign_dot` mirror) and must stay BIT-IDENTICAL to
+  * the per-call Catalyst plan — across both code layouts, under IVF
+  * probing (block skip + in-block cell filter), and through commits.
+  * ServingIndexSpec already pins the default-config path; this spec
+  * covers the configuration matrix the prepared scan branches on.
+  */
+class PreparedScanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftdb").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def fixture(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map(i => (i.toLong, s"document number $i about topic ${i % 7} " +
+      s"with extra words ${"y" * (i % 6)}")).toDF("doc_id", "text")
+
+  private def asComparable(rows: Array[Row]): Seq[Seq[Any]] =
+    rows.toSeq.map(_.toSeq)
+
+  private def parity(db: VectorDB, qv: Seq[Double], k: Int = 7,
+                     bos: Int = 4, ios: Int = 2, nprobe: Int = Int.MaxValue): Unit = {
+    db.disableServing()
+    val plain = asComparable(
+      db.searchVector(qv, k, bos, ios, nprobe).collect())
+    db.enableServing()
+    val served = asComparable(
+      db.searchVector(qv, k, bos, ios, nprobe).collect())
+    db.disableServing()
+    assert(served == plain, s"prepared scan diverged:\n$served\nvs\n$plain")
+  }
+
+  test("flat layout: prepared scan == catalyst path, bit-identical") {
+    val db = VectorDB.openOrCreate(spark, freshDir(), layout = VectorDB.LayoutFlat)
+    db.addDocuments(fixture(180))
+    parity(db, (0 until 64).map(i => math.sin(i * 1.3) / 8.0))
+  }
+
+  test("ivf index: prepared scan honors nprobe probing, bit-identical") {
+    val db = VectorDB.openOrCreate(spark, freshDir(),
+      index = VectorDB.IndexIvf, ivfCells = 8)
+    db.addDocuments(fixture(240))
+    val qv = (0 until 64).map(i => math.cos(i * 0.7) / 6.0)
+    parity(db, qv) // full probe
+    parity(db, qv, nprobe = 2) // pruned probe: block skip + cell filter
+    parity(db, qv, nprobe = 1)
+  }
+
+  test("ivf + flat layout: prepared scan parity under probing") {
+    val db = VectorDB.openOrCreate(spark, freshDir(),
+      index = VectorDB.IndexIvf, layout = VectorDB.LayoutFlat, ivfCells = 4)
+    db.addDocuments(fixture(160))
+    parity(db, (0 until 64).map(i => math.sin(i * 2.1) / 5.0), nprobe = 2)
+  }
+
+  test("prepared scan is invalidated by a commit and rebuilt fresh") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(80))
+    db.enableServing()
+    val qv = (0 until 64).map(i => math.sin(i * 0.9) / 8.0)
+    db.searchVector(qv, k = 3).collect() // build + use
+    db.addDocuments(Seq((5000L, "an entirely new document about quasars"))
+      .toDF("doc_id", "text"))
+    val hit = db.search("new document quasars", k = 1).head()
+    assert(hit.getAs[Long]("doc_id") == 5000L)
+    parity(db, qv, k = 5)
+  }
+
+  test("scanBlock: bounded heap == brute-force sort on random blocks") {
+    val rnd = new scala.util.Random(42)
+    val nWords = 2
+    (1 to 25).foreach { trial =>
+      val n = 1 + rnd.nextInt(300)
+      val b = 1 + rnd.nextInt(20)
+      val ids = Array.tabulate(n)(i => i.toLong * 3)
+      // narrow value range forces massed hamming TIES — the heap's
+      // (hamming, id) tie-break is the part a sloppy top-k gets wrong
+      val words = Array.fill(n * nWords)(rnd.nextInt(4).toLong)
+      val q = Array.fill(nWords)(rnd.nextInt(4).toLong)
+      val blk = PreparedScan.Block(ids, words, Array.empty, Array.empty)
+      val got = PreparedScan.scanBlock(blk, q, nWords, b, null)
+        .map(t => (t._1, t._2)).toSeq
+      val expect = (0 until n).map { r =>
+        val h = (0 until nWords).map(w =>
+          java.lang.Long.bitCount(words(r * nWords + w) ^ q(w))).sum
+        (ids(r), h)
+      }.sortBy { case (id, h) => (h, id) }.take(b)
+      assert(got == expect, s"trial $trial: heap top-$b of $n diverged")
+      // returned code words must be the scanned rows' own words
+      PreparedScan.scanBlock(blk, q, nWords, b, null).foreach { case (id, _, w) =>
+        val r = (id / 3).toInt
+        assert(w.toSeq == words.slice(r * nWords, (r + 1) * nWords).toSeq)
+      }
+    }
+  }
+}
