@@ -84,19 +84,23 @@ object ScanBench {
     val fmedian = ftimes.sorted.apply(ftimes.size / 2)
     println(f"flat_layout_runs_ms=${ftimes.map(t => f"$t%.1f").mkString(",")}")
 
-    // Prepared-plan execution floor: scanFlat re-analyzes/optimizes the
-    // query each call; a serving layer reuses the resolved plan and pays
-    // only execution (collect() re-runs the cached physical plan). The
-    // gap between this and the numbers above is pure per-call planning.
-    val preparedDf = flat.select(col("doc_id"), hammingFlat.as("d"))
-      .orderBy(col("d").asc, col("doc_id").asc)
-      .limit(100)
-    preparedDf.collect()
+    // Prepared-SERVING floor: the shipped serving layer
+    // ([[graft.db.PreparedScan]] — the same blocks `enableServing()`
+    // builds) scans per-partition primitive arrays with bounded heaps in
+    // one bare RDD job: no per-call Catalyst work of any kind. The gap
+    // between this and `flat_layout_runs_ms` is per-call planning plus
+    // columnar-cache materialization; this is the regime the reference's
+    // published numbers assume (its faiss index is always RAM-resident).
+    val psFlat = graft.db.PreparedScan.build(flat, 16,
+      isFlat = true, isIvf = false)
+    val qWordsFlat = Array.tabulate(16)(i => qf.getLong(i + 1))
     def scanPrepared(): Double = {
       val t0 = System.nanoTime()
-      preparedDf.collect()
+      val top = psFlat.topB(qWordsFlat, 100)
+      require(top.length == 100)
       (System.nanoTime() - t0) / 1e6
     }
+    scanPrepared() // warm the block cache path once, outside the window
     val ptimes = (1 to 7).map(_ => scanPrepared())
     val pmedian = ptimes.sorted.apply(ptimes.size / 2)
     println(f"prepared_flat_runs_ms=${ptimes.map(t => f"$t%.1f").mkString(",")}")
@@ -104,12 +108,9 @@ object ScanBench {
     // Concurrent queries: the engine's serving model amortizes fixed
     // job-scheduling overhead across in-flight queries (the reference
     // serves one query per 24 ms; Spark overlaps them). Each in-flight
-    // query is a DISTINCT query vector with its OWN prepared plan,
-    // resolved once at setup — the serving layer's warm plan pool (the
-    // per-call planning cost is what `flat_layout_runs_ms` measures;
-    // re-paying it per query under concurrency also serializes the
-    // threads on analyzer/optimizer shared state). No plan object is
-    // shared across threads, so no executePlan state races.
+    // slot is a DISTINCT query vector against the SAME shipped
+    // PreparedScan blocks — the serving layer benched exactly where it
+    // ships; FAIR scheduling round-robins the in-flight scan jobs.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -117,14 +118,9 @@ object ScanBench {
     val scanSlots = (0 until nConc).map { s =>
       val seed = (n / 2 + s * 1000 + 1) % n
       val qRow = flat.filter(col("doc_id") === seed).head()
-      val ham = (0 until 16).map(i =>
-        bit_count(col(s"c$i").bitwiseXOR(lit(qRow.getLong(i + 1))))).reduce(_ + _)
-      val df = flat.select(col("doc_id"), ham.as("d"))
-        .orderBy(col("d").asc, col("doc_id").asc)
-        .limit(100)
-      df.collect() // resolve + codegen once, outside the timed window
-      df
+      Array.tabulate(16)(i => qRow.getLong(i + 1))
     }
+    scanSlots.foreach(q => psFlat.topB(q, 100)) // warm outside the window
     // Median of 3 concurrency rounds: a single 16-query batch is one
     // ~0.5 s wall sample — any box-load blip lands on it whole.
     def concurrentRound[A](work: Seq[() => A]): Double = {
@@ -135,10 +131,11 @@ object ScanBench {
       (System.nanoTime() - t0) / 1e6 / work.size
     }
     val concRounds = (1 to 3).map(_ =>
-      concurrentRound(scanSlots.map(df => () => df.collect())))
+      concurrentRound(scanSlots.map(q => () => psFlat.topB(q, 100))))
     val concPerQuery = concRounds.sorted.apply(concRounds.size / 2)
     println(f"concurrent_rounds_ms=${concRounds.map(t => f"$t%.1f").mkString(",")}")
     println(f"concurrent_per_query_ms=$concPerQuery%.1f")
+    psFlat.unpersist()
 
     // ---- Full three-phase funnel at the same scale --------------------------
     // The reference's SECOND headline: 28 ms for the binary+int8 funnel at
@@ -288,29 +285,58 @@ object ScanBench {
     val funMedian = funTimes.sorted.apply(funTimes.size / 2)
     println(f"funnel_runs_ms=${funTimes.map(t => f"$t%.1f").mkString(",")}")
 
-    // Serving pool for the funnel: one DISTINCT query vector per
-    // in-flight slot, its Phase-I plan prepared once at setup (same
-    // rationale as the scan pool above — the reference's per-query cost
-    // is pure kernel execution, so the comparable Spark number is pure
-    // plan execution; `funnel_runs_ms` keeps the fresh-plan cost
-    // visible).
+    // Serving pool for the funnel: the SHIPPED serving funnel end to end
+    // — Phase I via the library PreparedScan blocks (one bare RDD job,
+    // bounded heaps, code words returned in-band), phase II a driver
+    // sign-dot over those words (keep 30), phase III the indexed point
+    // lookup of just the 30 survivors + int8 rescore (keep 10). This is
+    // exactly `enableServing()`'s searchVector shape; `funnel_runs_ms`
+    // above keeps the fresh-Catalyst-plan cost visible for contrast.
+    val psTier = graft.db.PreparedScan.build(tier, 16,
+      isFlat = true, isIvf = false)
+    def funnelServed(qv: IndexedSeq[Double], qWords: Array[Long]): Double = {
+      val t0 = System.nanoTime()
+      val top = psTier.topB(qWords, 100)
+      def signDot(code: Array[Long]): Double = {
+        var s = 0.0
+        var j = 0
+        while (j < dims) {
+          val bit = (code(j >> 6) >>> (63 - (j & 63))) & 1L
+          s += (if (bit == 1L) qv(j) else -qv(j))
+          j += 1
+        }
+        s
+      }
+      val p2 = top.map { case (id, h, code) => (id, h, signDot(code)) }
+        .sortBy(t => (-t._3, t._1)).take(30)
+      val rows = lookup(p2.map(_._1))
+      val bytesById = rows.map(t => t._1 -> t._3).toMap
+      val p3 = p2.map { case (id, h, sb) =>
+        val bytes = bytesById(id)
+        var dot = 0.0; var nrm = 0.0; var j = 0
+        while (j < dims) {
+          dot += qv(j) * bytes(j); nrm += bytes(j).toDouble * bytes(j); j += 1
+        }
+        (id, h, sb, dot / math.sqrt(nrm))
+      }.sortBy(t => (-t._4, t._1)).take(10)
+      require(p3.length == 10)
+      (System.nanoTime() - t0) / 1e6
+    }
     val funnelSlots = (0 until nConc).map { s =>
       val qv = qvFor((n / 2 + s * 1000 + 1) % n)
-      val df = tier.select(col("doc_id"),
-          hammingFor(graft.operators.Search.packQuery(qv)).as("h"))
-        .orderBy(col("h").asc, col("doc_id").asc).limit(100)
-      df.collect() // resolve + codegen once, outside the timed window
-      (qv, df)
+      (qv, graft.operators.Search.packQuery(qv).toArray)
     }
+    funnelSlots.foreach { case (qv, qw) => funnelServed(qv, qw) } // warm
     val fpTimes = (1 to 7).map(_ =>
-      funnelCore(funnelSlots.head._1, () => funnelSlots.head._2.collect()))
+      funnelServed(funnelSlots.head._1, funnelSlots.head._2))
     val fpMedian = fpTimes.sorted.apply(fpTimes.size / 2)
     println(f"funnel_prepared_runs_ms=${fpTimes.map(t => f"$t%.1f").mkString(",")}")
 
     val funConcRounds = (1 to 3).map(_ => concurrentRound(
-      funnelSlots.map { case (qv, df) => () => funnelCore(qv, () => df.collect()) }))
+      funnelSlots.map { case (qv, qw) => () => funnelServed(qv, qw) }))
     val funConc = funConcRounds.sorted.apply(funConcRounds.size / 2)
     pool.shutdown()
+    psTier.unpersist()
     println(f"funnel_concurrent_rounds_ms=${funConcRounds.map(t => f"$t%.1f").mkString(",")}")
     println(f"funnel_concurrent_per_query_ms=$funConc%.1f")
 
@@ -366,7 +392,7 @@ object ScanBench {
         fl.sorted.apply(fl.size / 2)
       }
 
-    println(f"""{"metric":"phase1_scan_1m_ms","value":$fmedian%.1f,"unit":"ms","n":$n,"array_layout_ms":$median%.1f,"prepared_flat_ms":$pmedian%.1f,"concurrent_per_query_ms":$concPerQuery%.1f,"baseline_ms":24,"funnel_1m_ms":$funMedian%.1f,"funnel_prepared_1m_ms":$fpMedian%.1f,"funnel_concurrent_per_query_ms":$funConc%.1f,"funnel_baseline_ms":28,"float_scan_1m_ms":$floatMedian%.1f,"float_baseline_ms":460,"note":"reference README.md:13-15 - 1M x 1024-bit exhaustive hamming scan, 3-phase funnel, and float32 brute force (float row measured at 1M only, -1 elsewhere); concurrent modes use a per-slot prepared-plan pool over distinct query vectors"}""")
+    println(f"""{"metric":"phase1_scan_1m_ms","value":$fmedian%.1f,"unit":"ms","n":$n,"array_layout_ms":$median%.1f,"prepared_flat_ms":$pmedian%.1f,"concurrent_per_query_ms":$concPerQuery%.1f,"baseline_ms":24,"funnel_1m_ms":$funMedian%.1f,"funnel_prepared_1m_ms":$fpMedian%.1f,"funnel_concurrent_per_query_ms":$funConc%.1f,"funnel_baseline_ms":28,"float_scan_1m_ms":$floatMedian%.1f,"float_baseline_ms":460,"note":"reference README.md:13-15 - 1M x 1024-bit exhaustive hamming scan, 3-phase funnel, and float32 brute force (float row measured at 1M only, -1 elsewhere); prepared/concurrent modes bench the shipped graft.db.PreparedScan serving layer (bare RDD block scans, distinct query vectors per slot)"}""")
     spark.stop()
   }
 }

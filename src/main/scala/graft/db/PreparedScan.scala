@@ -70,6 +70,47 @@ final class PreparedScan private (
     merged.take(b)
   }
 
+  /** Batched [[topB]]: all Q queries scan the SAME blocks inside ONE
+    * bare RDD job — each partition runs [[PreparedScan.scanBlock]] once
+    * per query over its resident block (the words stay hot in cache
+    * across queries), so a batch pays a single job-scheduling floor
+    * instead of Q. `probed(qi)`, when given, restricts query qi to its
+    * own IVF cells (per-query block skip + in-block filter, exactly as
+    * the single-query path). Returns per-query rank-sorted top-B
+    * arrays, index-aligned with `qs`.
+    */
+  def topBMany(qs: Array[Array[Long]], b: Int,
+               probed: Option[Array[Array[Int]]] = None): Array[Array[(Long, Int, Array[Long])]] = {
+    require(b > 0, s"b must be positive, got $b")
+    require(qs.nonEmpty, "topBMany needs at least one query")
+    require(probed.forall(_.length == qs.length),
+      "probed cell sets must align one-to-one with the queries")
+    val nw = nWords
+    val nq = qs.length
+    val probeSorted: Array[Array[Int]] =
+      probed.map(_.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }).orNull
+    val perPart: Array[Array[Array[(Long, Int, Array[Long])]]] =
+      blocks.sparkContext.runJob(blocks,
+        (it: Iterator[PreparedScan.Block]) => {
+          if (!it.hasNext) Array.fill(nq)(Array.empty[(Long, Int, Array[Long])])
+          else {
+            val blk = it.next()
+            Array.tabulate(nq) { qi =>
+              val p = if (probeSorted == null) null else probeSorted(qi)
+              val skip = p != null && !blk.distinctCells.exists(c =>
+                java.util.Arrays.binarySearch(p, c) >= 0)
+              if (skip) Array.empty[(Long, Int, Array[Long])]
+              else PreparedScan.scanBlock(blk, qs(qi), nw, b, p)
+            }
+          }
+        })
+    Array.tabulate(nq) { qi =>
+      val merged = perPart.flatMap(_(qi))
+      java.util.Arrays.sort(merged, PreparedScan.rankOrder)
+      merged.take(b)
+    }
+  }
+
   def unpersist(): Unit = blocks.unpersist()
 }
 

@@ -478,6 +478,11 @@ class VectorDB private (
     * Q heaps built map-side), then phases II/III run per query under
     * window ranks on the ≤ Q×(k·binaryOversample) candidates. The serving
     * shape — per-query cost beyond the shared scan is O(k·oversample).
+    * Under [[enableServing]] the whole batch drops Catalyst entirely:
+    * Phase I is ONE bare RDD job over the prepared blocks
+    * ([[PreparedScan.topBMany]] — Q bounded heaps per partition), phases
+    * II/III driver-side mirrors, payloads via the point-lookup index —
+    * so a batch pays two job floors total, independent of Q.
     * Returns (qid, rank, doc_id, score_hamming, score_binary,
     * score_cossim, doc).
     *
@@ -508,48 +513,81 @@ class VectorDB private (
       (qid, qv, graft.operators.Search.packQuery(qv), qcells)
     }.toDF("qid", "qvec", "qcode", "qcells")
 
-    // IVF probe-union: ONE shared scan covers the cells probed by ANY
-    // in-flight query (partition pruning on the union), and the
-    // per-query mask below keeps each query's candidate pool exactly its
-    // own probed cells.
-    val scanned =
-      if (masking) {
-        val probed = queries.flatMap { case (_, qv) =>
-          probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe)
-        }.distinct
-        codes.filter(col("cell").isin(probed: _*))
-      } else codes
+    // Phases I+II → per query ≤ k·int8Oversample candidates of
+    // (qid, doc_id, score_hamming, score_binary). Under serving the
+    // PREPARED blocks run EVERY query's Phase-I bounded heap inside ONE
+    // bare RDD job ([[PreparedScan.topBMany]]) and phase II driver-side
+    // — zero per-batch Catalyst anywhere in the funnel; otherwise one
+    // shared Catalyst scan builds all heaps map-side
+    // (HammingTopKCodeAgg). Bit-identical either way (PreparedScanSpec
+    // pins the batched parity across layouts and IVF probing).
+    val candTuples: Seq[(Long, Long, Int, Double)] = preparedScan() match {
+      case Some(ps) =>
+        val qWordsArr = queries.map { case (_, qv) =>
+          graft.operators.Search.packQuery(qv).toArray }.toArray
+        val probed =
+          if (masking)
+            Some(queries.map { case (_, qv) =>
+              probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe).toArray
+            }.toArray)
+          else None
+        val topPerQ = ps.topBMany(qWordsArr, k * binaryOversample, probed)
+        queries.toIndexedSeq.zipWithIndex.flatMap { case ((qid, qv), qi) =>
+          // Phase II mirror of graft_sign_dot + (score desc, id asc) rank
+          // — identical to the single-query serving path.
+          val scored = topPerQ(qi).map { case (id, h, words) =>
+            (id, h, signDotWords(qv, words)) }
+          java.util.Arrays.sort(scored, phase2Order)
+          scored.take(k * int8Oversample).toSeq.map { case (id, h, sb) =>
+            (qid, id, h, sb) }
+        }
+      case None =>
+        // IVF probe-union: ONE shared scan covers the cells probed by ANY
+        // in-flight query (partition pruning on the union), and the
+        // per-query mask below keeps each query's candidate pool exactly
+        // its own probed cells.
+        val scanned =
+          if (masking) {
+            val probed = queries.flatMap { case (_, qv) =>
+              probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe)
+            }.distinct
+            codes.filter(col("cell").isin(probed: _*))
+          } else codes
 
-    val codeArr =
-      if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*)
-      else col("code")
-    // The heap carries each candidate's packed code as payload
-    // (HammingTopKCodeAgg), so phase II reads codes straight out of the
-    // aggregate output — the hot tier is scanned exactly once.
-    val phase1 = scanned
-      .withColumn("__code", codeArr)
-      .crossJoin(broadcast(qdf.select("qid", "qcode", "qcells")))
-      .filter(if (masking) array_contains(col("qcells"), col("cell")) else lit(true))
-      .select(col("qid"), col("doc_id"), col("__code"),
-        Kernels.hamming(col("__code"), col("qcode")).as("h"))
-      .groupBy("qid")
-      .agg(Kernels.hammingTopKWithCode(col("h"), col("doc_id"), col("__code"),
-        k * binaryOversample).as("topk"))
-      .select(col("qid"), explode(col("topk")).as("c"))
-      .select(col("qid"), col("c.vec_id").as("doc_id"),
-        col("c.score").as("score_hamming"), col("c.code").as("__code"))
+        val codeArr =
+          if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*)
+          else col("code")
+        // The heap carries each candidate's packed code as payload
+        // (HammingTopKCodeAgg), so phase II reads codes straight out of
+        // the aggregate output — the hot tier is scanned exactly once.
+        val phase1 = scanned
+          .withColumn("__code", codeArr)
+          .crossJoin(broadcast(qdf.select("qid", "qcode", "qcells")))
+          .filter(if (masking) array_contains(col("qcells"), col("cell")) else lit(true))
+          .select(col("qid"), col("doc_id"), col("__code"),
+            Kernels.hamming(col("__code"), col("qcode")).as("h"))
+          .groupBy("qid")
+          .agg(Kernels.hammingTopKWithCode(col("h"), col("doc_id"), col("__code"),
+            k * binaryOversample).as("topk"))
+          .select(col("qid"), explode(col("topk")).as("c"))
+          .select(col("qid"), col("c.vec_id").as("doc_id"),
+            col("c.score").as("score_hamming"), col("c.code").as("__code"))
 
-    val wB = Window.partitionBy("qid").orderBy(col("score_binary").desc, col("doc_id").asc)
-    // Materialize the ≤ Q×(k·int8Oversample) survivors driver-side (the
-    // reference holds the same candidate lists in Python lists).
-    val candidates = phase1
-      .join(broadcast(qdf.select("qid", "qvec")), "qid")
-      .withColumn("score_binary", Kernels.signDot(col("qvec"), col("__code")))
-      .withColumn("r2", row_number().over(wB))
-      .filter(col("r2") <= k * int8Oversample)
-      .select("qid", "doc_id", "score_hamming", "score_binary")
-      .collect()
-    val ids = candidates.map(_.getLong(1)).distinct.toSeq
+        val wB = Window.partitionBy("qid")
+          .orderBy(col("score_binary").desc, col("doc_id").asc)
+        // Materialize the ≤ Q×(k·int8Oversample) survivors driver-side
+        // (the reference holds the same candidate lists in Python lists).
+        phase1
+          .join(broadcast(qdf.select("qid", "qvec")), "qid")
+          .withColumn("score_binary", Kernels.signDot(col("qvec"), col("__code")))
+          .withColumn("r2", row_number().over(wB))
+          .filter(col("r2") <= k * int8Oversample)
+          .select("qid", "doc_id", "score_hamming", "score_binary")
+          .collect()
+          .toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    }
+    val ids = candTuples.map(_._2).distinct
 
     servingIndex() match {
       case Some(idx) =>
@@ -558,12 +596,9 @@ class VectorDB private (
         val byId = idx.lookup(ids.toArray)
           .map(t => t._1 -> (t._2, t._3)).toMap
         val qvecById = queries.toMap
-        val out = candidates.toSeq.flatMap { r =>
-          val qid = r.getLong(0)
-          val id = r.getLong(1)
+        val out = candTuples.flatMap { case (qid, id, h, sb) =>
           byId.get(id).map { case (bytes, doc) =>
-            (qid, id, r.getInt(2), r.getDouble(3),
-              cosSimInt8(qvecById(qid), bytes), doc)
+            (qid, id, h, sb, cosSimInt8(qvecById(qid), bytes), doc)
           }
         }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
           g.sortBy(t => (-t._5, t._2)).take(k).zipWithIndex.map { case (t, i) =>
@@ -573,8 +608,7 @@ class VectorDB private (
         spark.createDataFrame(out).toDF("qid", "rank", "doc_id",
           "score_hamming", "score_binary", "score_cossim", "doc")
       case None =>
-        val scores = spark.createDataFrame(candidates.map(r =>
-            (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq)
+        val scores = spark.createDataFrame(candTuples)
           .toDF("qid", "doc_id", "score_hamming", "score_binary")
 
         // Point-lookup batch against the cold tier (pushed-down id filter).

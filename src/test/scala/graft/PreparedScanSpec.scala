@@ -80,6 +80,54 @@ class PreparedScanSpec extends AnyFunSuite {
     parity(db, qv, k = 5)
   }
 
+  private def batchParity(db: VectorDB, qs: Seq[(Long, Seq[Double])], k: Int = 6,
+                          bos: Int = 4, ios: Int = 2,
+                          nprobe: Int = Int.MaxValue): Unit = {
+    db.disableServing()
+    val plain = asComparable(
+      db.searchMany(qs, k, bos, ios, nprobe).orderBy("qid", "rank").collect())
+    db.enableServing()
+    val served = asComparable(
+      db.searchMany(qs, k, bos, ios, nprobe).orderBy("qid", "rank").collect())
+    db.disableServing()
+    assert(served == plain, s"batched prepared scan diverged:\n$served\nvs\n$plain")
+  }
+
+  private def queriesFixture(q: Int): Seq[(Long, Seq[Double])] =
+    (0 until q).map(s => (s.toLong + 10,
+      (0 until 64).map(i => math.sin(i * 0.31 + s * 1.7) / 6.0)))
+
+  test("searchMany: batched prepared scan == catalyst path, both layouts") {
+    val dbA = VectorDB.openOrCreate(spark, freshDir())
+    dbA.addDocuments(fixture(200))
+    batchParity(dbA, queriesFixture(5))
+    val dbF = VectorDB.openOrCreate(spark, freshDir(), layout = VectorDB.LayoutFlat)
+    dbF.addDocuments(fixture(200))
+    batchParity(dbF, queriesFixture(5))
+  }
+
+  test("searchMany: batched prepared scan honors per-query IVF probing") {
+    val db = VectorDB.openOrCreate(spark, freshDir(),
+      index = VectorDB.IndexIvf, ivfCells = 8)
+    db.addDocuments(fixture(260))
+    val qs = queriesFixture(6)
+    batchParity(db, qs) // full probe
+    batchParity(db, qs, nprobe = 2) // per-query cell masks diverge by query
+    batchParity(db, qs, nprobe = 1)
+    // batched-served must also equal single-query served results
+    db.enableServing()
+    val batched = asComparable(
+      db.searchMany(qs, 6, 4, 2, nprobe = 2).orderBy("qid", "rank").collect())
+    val singly = qs.flatMap { case (qid, qv) =>
+      db.searchVector(qv, 6, 4, 2, nprobe = 2).collect().toSeq.zipWithIndex.map {
+        case (r, i) => Seq[Any](qid, i + 1) ++ r.toSeq
+      }
+    }
+    db.disableServing()
+    assert(batched == singly,
+      "batched serving != single-query serving under pruned probes")
+  }
+
   test("scanBlock: bounded heap == brute-force sort on random blocks") {
     val rnd = new scala.util.Random(42)
     val nWords = 2
