@@ -1,0 +1,112 @@
+package graft
+
+import graft.db.VectorDB
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Long-horizon soak of the continuous-crawl loop
+  * ([[StreamingIngest.continuousDedupedUpsert]]): drive N micro-batches
+  * through the self-referential dedup-then-upsert path and record how
+  * per-batch latency moves as the landed corpus grows N×.
+  *
+  * Two series, reported as first-quartile vs last-quartile medians:
+  *  - `commit_ms` — [[VectorDB.addDocuments]] alone on a commit-only MOR
+  *    DB fed the same batches (no dedup): isolates the MOR delta-commit
+  *    cost, which must stay O(batch) — FLAT as the corpus grows (the
+  *    reference's add-to-existing write path is the same contract,
+  *    BinaryVectorDB/BinaryVectorDB.py:67-115).
+  *  - `loop_ms` — the full streaming pass (incremental simhash dedup
+  *    against everything landed so far + commit). The dedup's corpus
+  *    side is a per-row band on the scan (never shuffled), so locally
+  *    this grows with corpus size but only linearly-scan-shaped; on a
+  *    cluster that scan parallelizes across executors.
+  *
+  * The first `warmup` batches are EXCLUDED from the first-quartile
+  * window: JVM/codegen warmup inflates early samples, which would bias
+  * the late/early ratio *downward* and flatter the flatness claim.
+  *
+  * Usage: graft.SoakBench [nBatches] [batchSize]
+  */
+object SoakBench {
+  def main(args: Array[String]): Unit = {
+    val nBatches = if (args.nonEmpty) args(0).toInt else 100
+    val batchSize = if (args.length > 1) args(1).toInt else 200
+    val warmup = 5
+    require(nBatches >= 4 * warmup, s"need >= ${4 * warmup} batches for quartiles")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-soakbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def freshDir(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"graftsoak$tag").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    val loopDb = VectorDB.openOrCreate(spark, freshDir("loop"),
+      storage = VectorDB.StorageMor)
+    val commitDb = VectorDB.openOrCreate(spark, freshDir("commit"),
+      storage = VectorDB.StorageMor)
+
+    // pairwise-distinct token vocabularies — no accidental near-dups;
+    // each batch re-sends the previous batch's last doc (an
+    // at-least-once overlap the loop must self-match, not re-land).
+    def text(id: Long): String = (0 until 12).map(j => s"w${id}x$j").mkString(" ")
+    val compactEvery = 16
+
+    val loopMs = new Array[Double](nBatches)
+    val commitMs = new Array[Double](nBatches)
+    var pendingMax = 0
+    (0 until nBatches).foreach { b =>
+      val fresh = (0 until batchSize).map(i => (b.toLong * batchSize + i,
+        text(b.toLong * batchSize + i)))
+      val replay =
+        if (b > 0) Seq((b.toLong * batchSize - 1, text(b.toLong * batchSize - 1)))
+        else Seq.empty
+      val batch = fresh ++ replay
+
+      val in = MemoryStream[(Long, String)]
+      in.addData(batch: _*)
+      val t0 = System.nanoTime()
+      StreamingIngest.continuousDedupedUpsert(
+        loopDb, in.toDF().toDF("doc_id", "text"), compactEvery = compactEvery).stop()
+      loopMs(b) = (System.nanoTime() - t0) / 1e6
+
+      val t1 = System.nanoTime()
+      commitDb.addDocuments(fresh.toDF("doc_id", "text"))
+      commitMs(b) = (System.nanoTime() - t1) / 1e6
+      if (commitDb.pendingDeltas() >= compactEvery) commitDb.compact()
+
+      pendingMax = math.max(pendingMax, loopDb.pendingDeltas())
+      if ((b + 1) % 10 == 0)
+        println(f"[soak] batch ${b + 1}/$nBatches loop=${loopMs(b)}%.0fms " +
+          f"commit=${commitMs(b)}%.0fms landed=${loopDb.count()}")
+    }
+
+    require(loopDb.count() == nBatches.toLong * batchSize,
+      s"replay re-landed or a fresh doc was wrongly flagged: " +
+        s"${loopDb.count()} != ${nBatches.toLong * batchSize}")
+    require(pendingMax < compactEvery,
+      s"compaction not bounding read amplification: $pendingMax deltas pending")
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val q = (nBatches - warmup) / 4
+    val commitQ1 = median(commitMs.slice(warmup, warmup + q).toSeq)
+    val commitQ4 = median(commitMs.takeRight(q).toSeq)
+    val loopQ1 = median(loopMs.slice(warmup, warmup + q).toSeq)
+    val loopQ4 = median(loopMs.takeRight(q).toSeq)
+    val commitRatio = commitQ4 / commitQ1
+    val flat = commitRatio < 2.0
+
+    println(f"""{"metric":"soak_commit_flatness","n_batches":$nBatches,"batch_size":$batchSize,"commit_ms_q1_median":$commitQ1%.1f,"commit_ms_q4_median":$commitQ4%.1f,"commit_ratio":$commitRatio%.2f,"commit_flat":$flat,"loop_ms_q1_median":$loopQ1%.1f,"loop_ms_q4_median":$loopQ4%.1f,"final_count":${loopDb.count()},"pending_deltas_max":$pendingMax,"unit":"ms","note":"MOR delta commits must stay O(batch) as the corpus grows (commit_ratio ~ 1); loop_ms includes the incremental dedup whose corpus side is a linear scan locally and parallelizes on a cluster"}""")
+    spark.stop()
+  }
+}
