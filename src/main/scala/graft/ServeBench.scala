@@ -49,8 +49,12 @@ object ServeBench {
     db.enableServing()
     db.searchVector(queries.head, k = 10).collect()
     val served = queries.map(q => time(db.searchVector(q, k = 10).collect()))
-    val batch = time(db.searchMany(
-      queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }, k = 10).collect())
+    // batched funnel: under serving this is ONE topBMany RDD job + one
+    // indexed lookup for the whole 16-query batch (no per-batch Catalyst)
+    val qBatch = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+    db.searchMany(qBatch, k = 10).collect() // warm
+    val batch = median((1 to 3).map(_ =>
+      time(db.searchMany(qBatch, k = 10).collect())))
 
     // 16 independent in-flight searchVector calls (each pays its own
     // per-call planning — the API-level serving regime, unlike

@@ -183,6 +183,16 @@ object Dedup {
       simhashesFromShingled(shingled(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** PUBLIC simhash projection for an arbitrary (doc_id, text) relation:
+    * the precomputable per-document state of
+    * [[incrementalSimhashDedupPrecomputed]] — schema (doc_id: long,
+    * sha: long, shb: long), the two 60-bit halves. Docs with no
+    * 3-shingles (too short) are dropped, exactly as every dedup path
+    * drops them: they can neither flag nor be flagged. Caller owns the
+    * lifecycle (persist/unpersist).
+    */
+  def simhashRelation(docsDf: DataFrame): DataFrame = simhashesOf(docsDf)
+
   /** 120-bit simhashes for an ARBITRARY document relation (doc_id, text) —
     * the general-API path; not memoized (caller-owned lifecycle).
     */
@@ -292,6 +302,21 @@ object Dedup {
       maxHamming,
       broadcastBatch = (n - splitId) <= BroadcastMaxBatchRows)
   }
+
+  /** As the (corpus, batch) overload, but against PRECOMPUTED simhash
+    * relations (schema per [[simhashRelation]]) — the cross-micro-batch
+    * state path of
+    * [[graft.streaming.StreamingIngest.continuousDedupedUpsert]]: a
+    * long-lived crawl loop shingles/hashes each corpus document ONCE
+    * over its lifetime (appending each landed batch's already-computed
+    * simhashes to its state) instead of re-deriving the whole corpus's
+    * simhashes every micro-batch. Same candidate geometry and
+    * pigeonhole-exactness as [[incrementalSimhashDedup]].
+    */
+  def incrementalSimhashDedupPrecomputed(corpusSim: DataFrame, batchSim: DataFrame,
+                                         maxHamming: Int,
+                                         broadcastBatch: Boolean): DataFrame =
+    incrementalFromSimhashes(corpusSim, batchSim, maxHamming, broadcastBatch)
 
   private def incrementalFromSimhashes(corpusSim: DataFrame, batchSim: DataFrame,
                                        maxHamming: Int, broadcastBatch: Boolean): DataFrame = {

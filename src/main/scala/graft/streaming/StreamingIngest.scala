@@ -185,7 +185,8 @@ object StreamingIngest {
     */
   def dedupedIndexUpsert(db: VectorDB, corpus: DataFrame, docsStream: DataFrame,
                          maxHamming: Int = 10, compactEvery: Int = 16): StreamingQuery =
-    dedupedUpsertAgainst(db, _ => corpus, docsStream, maxHamming, compactEvery)
+    new CrawlLoop(db, _ => corpus, selfRef = false, maxHamming, compactEvery)
+      .stream(docsStream)
 
   /** The FULL continuous-crawl loop: [[dedupedIndexUpsert]] with the
     * corpus side re-derived from the DB ITSELF before every micro-batch —
@@ -197,49 +198,118 @@ object StreamingIngest {
     * `doc` (default: the payload IS the text — [[VectorDB.addDocuments]]'
     * own default).
     *
-    * State is bounded by construction: the loop keeps NO streaming state
-    * at all — its near-dup memory IS the landed table, re-banded on the
-    * scan each micro-batch (never shuffled, never collected), while the
-    * micro-batch side rides the gated broadcast path. A side effect of
-    * self-reference is replay idempotence: a re-delivered document is
-    * hamming-0 against its own landed copy and is skipped, so
-    * at-least-once delivery cannot double-index near-identical content.
+    * State: one distributed relation of ~24 B/doc — the corpus-side
+    * simhashes, computed ONCE per document over the loop's lifetime
+    * (each landed batch's already-computed simhashes are folded in), so
+    * per-micro-batch text processing is O(batch), not O(corpus). This
+    * is NOT a Spark streaming state store: on restart (or a fresh call)
+    * the state re-derives from the landed table itself, so it can never
+    * diverge from the DB — provided the loop is the DB's only writer
+    * while it runs (the reference's add-to-existing path assumes the
+    * same, BinaryVectorDB.py:67-115). A side effect of self-reference
+    * is replay idempotence: a re-delivered document is hamming-0
+    * against its own landed copy and is skipped, so at-least-once
+    * delivery cannot double-index near-identical content.
     */
   def continuousDedupedUpsert(db: VectorDB, docsStream: DataFrame,
                               maxHamming: Int = 10, compactEvery: Int = 16,
                               docs2text: Column = col("doc")): StreamingQuery =
-    dedupedUpsertAgainst(
+    crawlLoop(db, maxHamming, compactEvery, docs2text).stream(docsStream)
+
+  /** A reusable [[CrawlLoop]] handle over `db`: call [[CrawlLoop.stream]]
+    * repeatedly (or embed [[CrawlLoop.processBatch]] in a service) and
+    * the corpus-side simhash state carries across calls instead of being
+    * re-derived per stream start. [[continuousDedupedUpsert]] is the
+    * one-shot form.
+    */
+  def crawlLoop(db: VectorDB, maxHamming: Int = 10, compactEvery: Int = 16,
+                docs2text: Column = col("doc")): CrawlLoop =
+    new CrawlLoop(
       db,
       database => database.docs.select(col("doc_id"), docs2text.cast("string").as("text")),
-      docsStream, maxHamming, compactEvery)
+      selfRef = true, maxHamming, compactEvery)
 
-  private def dedupedUpsertAgainst(db: VectorDB, corpusOf: VectorDB => DataFrame,
-                                   docsStream: DataFrame, maxHamming: Int,
-                                   compactEvery: Int): StreamingQuery = {
-    val q = docsStream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val flagged = graft.operators.Dedup
-            .incrementalSimhashDedup(corpusOf(db), batch, maxHamming)
-            .select("doc_id")
-          // clean feeds three evaluations (the isEmpty probe, then
-          // addDocuments' validation count and its embed pass) — persist
-          // it so the corpus-scan-and-band join behind it runs once per
-          // micro-batch, not once per consumer.
-          val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            if (!clean.isEmpty) {
-              db.addDocuments(clean)
-              if (db.pendingDeltas() >= compactEvery) db.compact()
+  /** The dedup-then-upsert micro-batch engine behind
+    * [[dedupedIndexUpsert]] (frozen corpus, `selfRef = false`) and
+    * [[continuousDedupedUpsert]] (self-referential, `selfRef = true`).
+    *
+    * Cross-batch simhash state: the corpus side's (doc_id, sha, shb)
+    * relation is derived once — from `corpusOf(db)` at the first
+    * micro-batch — and thereafter (self-referential loops only) each
+    * landed batch's simhashes, already computed for its own dedup
+    * check, are appended. Each new state is `localCheckpoint`ed: the
+    * union is materialized (~24 B/doc memory traffic) and its lineage
+    * truncated, so the plan stays flat over an unbounded run and an
+    * evicted block can never silently recompute against the by-then
+    * GROWN table (which would double-count the appended batches).
+    * Re-banding the state per batch stays (band explode on the scan,
+    * never shuffled); what the state removes is the O(corpus)
+    * re-shingling/re-hashing of text every micro-batch.
+    */
+  final class CrawlLoop private[streaming] (db: VectorDB,
+                                            corpusOf: VectorDB => DataFrame,
+                                            selfRef: Boolean, maxHamming: Int,
+                                            compactEvery: Int) {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    private var corpusSim: Option[DataFrame] = None
+
+    private def baseSim(): DataFrame = corpusSim.getOrElse {
+      val s = graft.operators.Dedup.simhashRelation(corpusOf(db))
+        .localCheckpoint(true)
+      corpusSim = Some(s)
+      s
+    }
+
+    /** Release the state blocks (the loop rebuilds lazily if reused). */
+    def close(): Unit = {
+      corpusSim.foreach(_.unpersist())
+      corpusSim = None
+    }
+
+    /** One micro-batch of (doc_id, text): flag against the state, land
+      * the clean docs, fold their simhashes into the state (self-
+      * referential loops only).
+      */
+    def processBatch(batch: DataFrame): Unit = if (!batch.isEmpty) {
+      val dedup = graft.operators.Dedup
+      val batchSim = dedup.simhashRelation(batch).persist(MEMORY_AND_DISK)
+      try {
+        val base = baseSim()
+        val flagged = dedup.incrementalSimhashDedupPrecomputed(
+            base, batchSim, maxHamming,
+            broadcastBatch = batch.count() <= dedup.BroadcastMaxBatchRows)
+          .select("doc_id")
+        // clean feeds three evaluations (the isEmpty probe, then
+        // addDocuments' validation count and its embed pass) — persist
+        // it so the banded candidate join behind it runs once per
+        // micro-batch, not once per consumer.
+        val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
+          .persist(MEMORY_AND_DISK)
+        try {
+          if (!clean.isEmpty) {
+            db.addDocuments(clean)
+            if (db.pendingDeltas() >= compactEvery) db.compact()
+            if (selfRef) {
+              val landedSim = batchSim
+                .join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
+              val next = base.unionByName(landedSim).localCheckpoint(true)
+              base.unpersist()
+              corpusSim = Some(next)
             }
-          } finally clean.unpersist()
-        }
-      }
-      .start()
-    q.awaitTermination()
-    q
+          }
+        } finally clean.unpersist()
+      } finally batchSim.unpersist()
+    }
+
+    /** Run one AvailableNow pass of `docsStream` through the loop. */
+    def stream(docsStream: DataFrame): StreamingQuery = {
+      val q = docsStream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 }

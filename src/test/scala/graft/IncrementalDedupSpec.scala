@@ -55,6 +55,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
       == expected)
   }
 
+  test("precomputed-simhash API equals the (corpus, batch) API on both join paths") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val split = docs.count() * 4 / 5
+    val corpus = docs.filter(col("doc_id") < split)
+    val batch = docs.filter(col("doc_id") >= split)
+    val expected = Dedup.incrementalSimhashDedup(corpus, batch, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val corpusSim = Dedup.simhashRelation(corpus)
+    val batchSim = Dedup.simhashRelation(batch)
+    Seq(true, false).foreach { bcast =>
+      val got = Dedup
+        .incrementalSimhashDedupPrecomputed(corpusSim, batchSim, 10, bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"precomputed path (broadcastBatch=$bcast) diverged")
+    }
+  }
+
   test("general API agrees with the oracled pair relation on RANDOM corpus/batch splits") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

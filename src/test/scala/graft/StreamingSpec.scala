@@ -263,6 +263,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(db.search("north south east west", k = 2).count() == 2)
   }
 
+  test("crawl loop handle: cross-batch simhash state equals the stateless per-call loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def freshDb() = {
+      val tmp = java.nio.file.Files.createTempDirectory("graftcls").toFile
+      tmp.delete()
+      VectorDB.openOrCreate(spark, tmp.getAbsolutePath, storage = VectorDB.StorageMor)
+    }
+    val statefulDb = freshDb()
+    val statelessDb = freshDb()
+    // ONE handle for the stateful side: its corpus-side simhash state is
+    // derived once and folded forward; the stateless side re-derives the
+    // corpus from the DB on every call. Landed sets must be identical.
+    val loop = StreamingIngest.crawlLoop(statefulDb)
+
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "red orange yellow green blue indigo violet crimson amber teal"
+    val tC = "north south east west compass bearing heading azimuth route map"
+    val waves = Seq(
+      Seq(1L -> tA, 2L -> tB), // empty state: both land
+      Seq(3L -> tA, 4L -> tC), // 3 dups wave-1's landed doc; 4 fresh
+      Seq(5L -> tC), // dups a doc the STATE folded in (4), not the initial corpus
+      Seq(1L -> tA)) // replay: self-match via state, not re-land
+
+    waves.foreach { docs =>
+      val inS = MemoryStream[(Long, String)]
+      inS.addData(docs: _*)
+      loop.stream(inS.toDF().toDF("doc_id", "text")).stop()
+      val inP = MemoryStream[(Long, String)]
+      inP.addData(docs: _*)
+      StreamingIngest.continuousDedupedUpsert(
+        statelessDb, inP.toDF().toDF("doc_id", "text")).stop()
+      val got = statefulDb.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = statelessDb.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"stateful loop diverged after wave $docs")
+    }
+    assert(statefulDb.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L))
+    loop.close()
+  }
+
   test("continuous crawl loop soak: read amplification stays bounded as the corpus grows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
