@@ -504,6 +504,9 @@ class VectorDB private (
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     validateFunnelParams(k, binaryOversample, int8Oversample)
     require(queries.nonEmpty, "searchMany needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "searchMany qids must be distinct (duplicate qids would silently " +
+        "merge two queries' candidate pools)")
     import spark.implicits._
     val masking = isIvf && nprobe < ivfCells
     val qdf = queries.map { case (qid, qv) =>

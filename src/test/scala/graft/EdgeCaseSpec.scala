@@ -67,6 +67,17 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("guard: searchMany rejects duplicate qids instead of silently merging pools") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftqid").toFile
+    tmp.delete()
+    val db = graft.db.VectorDB.openOrCreate(spark, tmp.getAbsolutePath)
+    db.addDocuments(Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text"))
+    val qv = (0 until 64).map(i => math.sin(i) / 8.0)
+    intercept[IllegalArgumentException] {
+      db.searchMany(Seq((7L, qv), (7L, qv)), k = 1)
+    }
+  }
+
   test("guard: reopening with contradicting explicit config errors instead of ignoring it") {
     val tmp = java.nio.file.Files.createTempDirectory("graftconf").toFile
     tmp.delete()
