@@ -290,9 +290,18 @@ object StreamingIngest {
             db.addDocuments(clean)
             if (db.pendingDeltas() >= compactEvery) db.compact()
             if (selfRef) {
+              // REPLACE, not append: addDocuments upserts, so a landed
+              // id that already existed in the DB just swapped payloads
+              // — its old simhash row is stale and must go, or a later
+              // batch could be flagged against content the corpus no
+              // longer holds (the stateless loop, re-deriving from the
+              // DB, never sees it). The anti join's small side is the
+              // batch's ids, so the planner broadcasts it.
+              val landedIds = clean.select("doc_id")
               val landedSim = batchSim
-                .join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
-              val next = base.unionByName(landedSim).localCheckpoint(true)
+                .join(landedIds, Seq("doc_id"), "left_semi")
+              val next = base.join(landedIds, Seq("doc_id"), "left_anti")
+                .unionByName(landedSim).localCheckpoint(true)
               base.unpersist()
               corpusSim = Some(next)
             }

@@ -281,11 +281,15 @@ class StreamingSpec extends AnyFunSuite {
     val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val tB = "red orange yellow green blue indigo violet crimson amber teal"
     val tC = "north south east west compass bearing heading azimuth route map"
+    val tD = "quark lepton boson hadron meson photon gluon neutrino spin charm"
     val waves = Seq(
       Seq(1L -> tA, 2L -> tB), // empty state: both land
       Seq(3L -> tA, 4L -> tC), // 3 dups wave-1's landed doc; 4 fresh
       Seq(5L -> tC), // dups a doc the STATE folded in (4), not the initial corpus
-      Seq(1L -> tA)) // replay: self-match via state, not re-land
+      Seq(1L -> tA), // replay: self-match via state, not re-land
+      Seq(2L -> tD), // UPSERT: doc 2's content replaced — old tB sim must leave the state
+      Seq(6L -> tB), // near-dups doc 2's REPLACED content: must land (corpus no longer holds tB)
+      Seq(7L -> tD)) // near-dups doc 2's CURRENT content: must be flagged
 
     waves.foreach { docs =>
       val inS = MemoryStream[(Long, String)]
@@ -300,7 +304,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want, s"stateful loop diverged after wave $docs")
     }
     assert(statefulDb.docs.select("doc_id").collect().map(_.getLong(0)).toSet
-      == Set(1L, 2L, 4L))
+      == Set(1L, 2L, 4L, 6L))
     loop.close()
   }
 
