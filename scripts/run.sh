@@ -11,7 +11,8 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# SPARK_JVM_OPTS: extra JVM flags (e.g. GC tuning for the 16M bench runs)
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" ${SPARK_JVM_OPTS:-} \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
