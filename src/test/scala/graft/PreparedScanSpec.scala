@@ -128,6 +128,26 @@ class PreparedScanSpec extends AnyFunSuite {
       "batched serving != single-query serving under pruned probes")
   }
 
+  test("topBMany == per-query topB on a multi-partition prepared scan") {
+    val rnd = new scala.util.Random(7)
+    // 3 partitions of (doc_id, c0, c1) rows → PreparedScan over a real RDD
+    val rows = (0 until 240).map(i =>
+      (i.toLong, rnd.nextLong(), rnd.nextLong()))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "c0", "c1")
+      .repartition(3)
+    val ps = PreparedScan.build(df, nWords = 2, isFlat = true, isIvf = false)
+    try {
+      val qs = Array.fill(5)(Array.fill(2)(rnd.nextLong()))
+      val many = ps.topBMany(qs, 17)
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val single = ps.topB(q, 17)
+        assert(many(i).map(t => (t._1, t._2)).toSeq
+          == single.map(t => (t._1, t._2)).toSeq,
+          s"query $i: batched result diverged from single-query topB")
+      }
+    } finally ps.unpersist()
+  }
+
   test("scanBlock: bounded heap == brute-force sort on random blocks") {
     val rnd = new scala.util.Random(42)
     val nWords = 2
