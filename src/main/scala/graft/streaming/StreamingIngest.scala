@@ -312,13 +312,22 @@ object StreamingIngest {
 
     /** Run one AvailableNow pass of `docsStream` through the loop. */
     def stream(docsStream: DataFrame): StreamingQuery = {
-      val q = docsStream.writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
-        .start()
+      val q = start(docsStream, Trigger.AvailableNow())
       q.awaitTermination()
       q
     }
+
+    /** Long-running form: start the loop with a caller-chosen trigger
+      * (e.g. `Trigger.ProcessingTime(0)` over a queue/rate source) and
+      * return WITHOUT blocking — the caller owns the query lifecycle.
+      * The simhash state hands across the query's micro-batches exactly
+      * as it does across [[stream]] calls.
+      */
+    def start(docsStream: DataFrame, trigger: Trigger): StreamingQuery =
+      docsStream.writeStream
+        .outputMode("append")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
+        .start()
   }
 }

@@ -308,6 +308,44 @@ class StreamingSpec extends AnyFunSuite {
     loop.close()
   }
 
+  test("crawl loop in ONE long-running query: state hands across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graftlrq").toFile
+    tmp.delete()
+    val db = VectorDB.openOrCreate(spark, tmp.getAbsolutePath,
+      storage = VectorDB.StorageMor)
+    val loop = StreamingIngest.crawlLoop(db)
+
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "red orange yellow green blue indigo violet crimson amber teal"
+    // one query, ProcessingTime trigger; micro-batches driven explicitly
+    // via processAllAvailable between addData calls
+    val in = MemoryStream[(Long, String)]
+    val q = loop.start(in.toDF().toDF("doc_id", "text"), Trigger.ProcessingTime(0))
+    try {
+      in.addData(1L -> tA, 2L -> tB)
+      q.processAllAvailable()
+      assert(db.count() == 2)
+      // second micro-batch of the SAME query: 3 dups a doc the FIRST
+      // micro-batch landed — the state must have handed forward
+      in.addData(3L -> tA,
+        4L -> "quasar pulsar nebula galaxy comet meteor asteroid nova dwarf cluster")
+      q.processAllAvailable()
+      val landed = db.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!landed.contains(3L), "state did not hand across micro-batches")
+      assert(landed.contains(4L))
+      // third micro-batch: replay of 1 self-matches via state
+      in.addData(1L -> tA)
+      q.processAllAvailable()
+      assert(db.count() == landed.size)
+    } finally {
+      q.stop()
+      loop.close()
+    }
+  }
+
   test("continuous crawl loop soak: read amplification stays bounded as the corpus grows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
