@@ -223,11 +223,12 @@ object StreamingIngest {
     * one-shot form.
     */
   def crawlLoop(db: VectorDB, maxHamming: Int = 10, compactEvery: Int = 16,
-                docs2text: Column = col("doc")): CrawlLoop =
+                docs2text: Column = col("doc"),
+                checkpointDir: Option[String] = None): CrawlLoop =
     new CrawlLoop(
       db,
       database => database.docs.select(col("doc_id"), docs2text.cast("string").as("text")),
-      selfRef = true, maxHamming, compactEvery)
+      selfRef = true, maxHamming, compactEvery, checkpointDir)
 
   /** The dedup-then-upsert micro-batch engine behind
     * [[dedupedIndexUpsert]] (frozen corpus, `selfRef = false`) and
@@ -249,13 +250,32 @@ object StreamingIngest {
   final class CrawlLoop private[streaming] (db: VectorDB,
                                             corpusOf: VectorDB => DataFrame,
                                             selfRef: Boolean, maxHamming: Int,
-                                            compactEvery: Int) {
+                                            compactEvery: Int,
+                                            checkpointDir: Option[String] = None) {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     private var corpusSim: Option[DataFrame] = None
 
+    /** Materialize a state generation with truncated lineage. Default:
+      * `localCheckpoint` (executor block store — fastest; blocks die
+      * with an executor, which local mode never loses). With
+      * `checkpointDir` set: a RELIABLE checkpoint to that shared-FS
+      * path — the cluster-durable option; survives executor loss, at
+      * the cost of one ~24 B/doc FS write per fold. Each fold writes a
+      * new generation; set
+      * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+      * unreferenced generations are deleted as the old state is
+      * garbage-collected.
+      */
+    private def pin(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+
     private def baseSim(): DataFrame = corpusSim.getOrElse {
-      val s = graft.operators.Dedup.simhashRelation(corpusOf(db))
-        .localCheckpoint(true)
+      val s = pin(graft.operators.Dedup.simhashRelation(corpusOf(db)))
       corpusSim = Some(s)
       s
     }
@@ -300,8 +320,8 @@ object StreamingIngest {
               val landedIds = clean.select("doc_id")
               val landedSim = batchSim
                 .join(landedIds, Seq("doc_id"), "left_semi")
-              val next = base.join(landedIds, Seq("doc_id"), "left_anti")
-                .unionByName(landedSim).localCheckpoint(true)
+              val next = pin(base.join(landedIds, Seq("doc_id"), "left_anti")
+                .unionByName(landedSim))
               base.unpersist()
               corpusSim = Some(next)
             }

@@ -308,6 +308,36 @@ class StreamingSpec extends AnyFunSuite {
     loop.close()
   }
 
+  test("crawl loop with a reliable checkpoint dir: same results, state on shared FS") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graftrcp").toFile
+    tmp.delete()
+    val ckpt = java.nio.file.Files.createTempDirectory("graftckpt").toFile
+    val db = VectorDB.openOrCreate(spark, tmp.getAbsolutePath,
+      storage = VectorDB.StorageMor)
+    val loop = StreamingIngest.crawlLoop(db,
+      checkpointDir = Some(ckpt.getAbsolutePath))
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tC = "north south east west compass bearing heading azimuth route map"
+    def run(docs: (Long, String)*): Unit = {
+      val in = MemoryStream[(Long, String)]
+      in.addData(docs: _*)
+      loop.stream(in.toDF().toDF("doc_id", "text")).stop()
+    }
+    run(1L -> tA)
+    run(2L -> tA, 3L -> tC) // 2 dups state-held doc 1; 3 lands
+    assert(db.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L))
+    // the state generations really went to the reliable dir
+    def files(d: java.io.File): Seq[java.io.File] = {
+      val xs = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      xs.filter(_.isFile) ++ xs.filter(_.isDirectory).flatMap(files)
+    }
+    assert(files(ckpt).nonEmpty, "no reliable checkpoint files written")
+    loop.close()
+  }
+
   test("crawl loop in ONE long-running query: state hands across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
