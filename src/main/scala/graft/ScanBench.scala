@@ -286,14 +286,17 @@ object ScanBench {
     println(f"funnel_runs_ms=${funTimes.map(t => f"$t%.1f").mkString(",")}")
 
     // Serving pool for the funnel: the SHIPPED serving funnel end to end
-    // — Phase I via the library PreparedScan blocks (one bare RDD job,
-    // bounded heaps, code words returned in-band), phase II a driver
-    // sign-dot over those words (keep 30), phase III the indexed point
-    // lookup of just the 30 survivors + int8 rescore (keep 10). This is
-    // exactly `enableServing()`'s searchVector shape; `funnel_runs_ms`
-    // above keeps the fresh-Catalyst-plan cost visible for contrast.
-    val psTier = graft.db.PreparedScan.build(tier, 16,
-      isFlat = true, isIvf = false)
+    // — ONE bare RDD job over payload-carrying PreparedScan blocks
+    // (bounded heaps; each hit returns its code words AND int8 bytes
+    // in-band), then phases II/III driver-side: sign-dot keep 30, int8
+    // rescore keep 10. This is exactly `enableServing()`'s searchVector
+    // shape — zero second job, zero Catalyst; `funnel_runs_ms` above
+    // keeps the fresh-Catalyst-plan cost visible for contrast.
+    val psTier = graft.db.PreparedScan.build(
+      spark.range(n).select(col("id").as("doc_id") +:
+        ((0 until 16).map(i => element_at(packed, i + 1).as(s"c$i")) :+
+          Kernels.int8(embV, lit(1.0)).as("emb_int8")): _*),
+      16, isFlat = true, isIvf = false, withBytes = true)
     def funnelServed(qv: IndexedSeq[Double], qWords: Array[Long]): Double = {
       val t0 = System.nanoTime()
       val top = psTier.topB(qWords, 100)
@@ -307,17 +310,15 @@ object ScanBench {
         }
         s
       }
-      val p2 = top.map { case (id, h, code) => (id, h, signDot(code)) }
-        .sortBy(t => (-t._3, t._1)).take(30)
-      val rows = lookup(p2.map(_._1))
-      val bytesById = rows.map(t => t._1 -> t._3).toMap
-      val p3 = p2.map { case (id, h, sb) =>
-        val bytes = bytesById(id)
+      val p2 = top.map(h => (h, signDot(h.words)))
+        .sortBy { case (h, sb) => (-sb, h.id) }.take(30)
+      val p3 = p2.map { case (h, sb) =>
+        val bytes = h.bytes
         var dot = 0.0; var nrm = 0.0; var j = 0
         while (j < dims) {
           dot += qv(j) * bytes(j); nrm += bytes(j).toDouble * bytes(j); j += 1
         }
-        (id, h, sb, dot / math.sqrt(nrm))
+        (h.id, h.hamming, sb, dot / math.sqrt(nrm))
       }.sortBy(t => (-t._4, t._1)).take(10)
       require(p3.length == 10)
       (System.nanoTime() - t0) / 1e6

@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Serving-latency microbench at the `VectorDB` API level: per-query
-  * `searchVector` latency with the default Catalyst phase-III path vs
-  * the [[graft.db.PointLookupIndex]] serving path (`enableServing()`),
-  * plus batched `searchMany` per-query cost. Usage:
+  * `searchVector` latency with the default per-call Catalyst plans vs
+  * the `enableServing()` regime (the whole funnel as ONE bare RDD job
+  * over payload-carrying [[graft.db.PreparedScan]] blocks), plus
+  * batched `searchMany` per-query cost. Usage:
   * `graft.ServeBench [nDocs]` (default 100k).
   */
 object ServeBench {

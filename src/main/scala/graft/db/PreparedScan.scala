@@ -6,32 +6,32 @@ import org.apache.spark.sql.functions.{array, col}
 import org.apache.spark.storage.StorageLevel
 
 /** RAM-resident PREPARED Phase-I scan over the hot tier: per-partition
-  * primitive blocks (ids + flattened code words + optional IVF cells),
-  * queried by a bare RDD job that computes hamming distances and keeps a
-  * bounded (hamming asc, doc_id asc) top-B heap per partition — the
-  * driver merges ≤ P·B small tuples. The single-query serving analogue
-  * of the reference's always-resident faiss binary index
-  * (`BinaryVectorDB.py:129-140` holds the packed codes in RAM and scans
-  * them per query with no per-query planning of any kind).
+  * primitive blocks (ids + flattened code words + optional IVF cells +
+  * optional in-band payloads), queried by a bare RDD job that computes
+  * hamming distances and keeps a bounded (hamming asc, doc_id asc)
+  * top-B heap per partition — the driver merges ≤ P·B small hits. The
+  * serving analogue of the reference's always-resident faiss binary
+  * index (`BinaryVectorDB.py:129-140` holds the packed codes in RAM and
+  * scans them per query with no per-query planning of any kind).
   *
   * Why: the measured single-query `searchVector` latency is dominated
   * not by the popcount kernel (a few ms across the cores) but by
   * per-call Catalyst analysis/optimization/codegen of the Phase-I
-  * plan (~40-50 ms) plus columnar materialization. [[PointLookupIndex]]
-  * already removed Catalyst from Phase III; this removes it from
-  * Phases I/II, so an `enableServing()` DB pays only two bare RDD jobs
-  * per query (scan + point lookup) — scheduling floor, no planning.
-  * Results are BIT-IDENTICAL to the Catalyst path: the per-row hamming
-  * mirrors `graft_hamming`/the flat `bit_count(cI ^ qI)` sum exactly
-  * (int sum of per-word popcounts), and tie-breaks replicate
-  * `orderBy(score_hamming asc, doc_id asc)`.
+  * plan (~40-50 ms) plus columnar materialization; removing Catalyst
+  * left TWO bare RDD jobs (scan + candidate point lookup). With
+  * `withBytes`/`withDoc` the blocks ALSO carry each row's int8
+  * embedding and doc payload, and the winners come back with their
+  * payloads IN-BAND — the whole three-phase funnel is then ONE job plus
+  * ~130k driver flops (phases II/III where the reference's own Python
+  * layer runs them, `BinaryVectorDB.py:236-252`).
   *
-  * Scale contract: same as [[PointLookupIndex]] — the blocks hold the
-  * hot tier in executor memory (~nWords·8 B + 8 B per row: the SAME
-  * bytes the cached hot tier already pins, ~136 B/row at 1024 bits).
-  * On a 1000-executor cluster each partition scans its local block and
-  * ships back ≤ B rows; the driver merge is O(P·B). Beyond cluster RAM,
-  * disable serving and stay on the parquet path.
+  * Scale contract: the blocks hold the hot tier in executor memory
+  * (~nWords·8 + 8 B/row bare; + dim bytes + doc payload with in-band
+  * payloads — the SAME bytes the former separate point-lookup index
+  * pinned, now stored once). On a 1000-executor cluster each partition
+  * scans its local block and ships back ≤ B hits; the driver merge is
+  * O(P·B). Beyond cluster RAM, disable serving and stay on the parquet
+  * path.
   *
   * IVF probing: blocks carry the per-row cell and a per-block distinct
   * cell set; a probed-cell query skips whole blocks whose cells don't
@@ -42,25 +42,26 @@ final class PreparedScan private (
     private val blocks: RDD[PreparedScan.Block],
     private val nWords: Int) {
 
-  /** Top-B rows by (hamming asc, doc_id asc) against the packed query
+  /** Top-B hits by (hamming asc, doc_id asc) against the packed query
     * words; `probed` (if set) restricts to rows in those IVF cells.
-    * Returns (doc_id, hamming, codeWords) sorted in rank order, ≤ B
-    * rows. One bare RDD job, no Catalyst involvement.
+    * Hits carry code words always, bytes/doc when the scan was built
+    * with payloads. Rank-sorted, ≤ B hits. One bare RDD job, no
+    * Catalyst involvement.
     */
   def topB(qWords: Array[Long], b: Int,
-           probed: Option[Array[Int]] = None): Array[(Long, Int, Array[Long])] = {
+           probed: Option[Array[Int]] = None): Array[PreparedScan.Hit] = {
     require(b > 0, s"b must be positive, got $b")
     val nw = nWords
     val probeSorted = probed.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }
-    val perPart: Array[Array[(Long, Int, Array[Long])]] =
+    val perPart: Array[Array[PreparedScan.Hit]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
-          if (!it.hasNext) Array.empty[(Long, Int, Array[Long])]
+          if (!it.hasNext) Array.empty[PreparedScan.Hit]
           else {
             val blk = it.next()
             val skip = probeSorted.exists(p =>
               !blk.distinctCells.exists(c => java.util.Arrays.binarySearch(p, c) >= 0))
-            if (skip) Array.empty[(Long, Int, Array[Long])]
+            if (skip) Array.empty[PreparedScan.Hit]
             else PreparedScan.scanBlock(blk, qWords, nw, b, probeSorted.orNull)
           }
         })
@@ -80,7 +81,7 @@ final class PreparedScan private (
     * arrays, index-aligned with `qs`.
     */
   def topBMany(qs: Array[Array[Long]], b: Int,
-               probed: Option[Array[Array[Int]]] = None): Array[Array[(Long, Int, Array[Long])]] = {
+               probed: Option[Array[Array[Int]]] = None): Array[Array[PreparedScan.Hit]] = {
     require(b > 0, s"b must be positive, got $b")
     require(qs.nonEmpty, "topBMany needs at least one query")
     require(probed.forall(_.length == qs.length),
@@ -89,17 +90,17 @@ final class PreparedScan private (
     val nq = qs.length
     val probeSorted: Array[Array[Int]] =
       probed.map(_.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }).orNull
-    val perPart: Array[Array[Array[(Long, Int, Array[Long])]]] =
+    val perPart: Array[Array[Array[PreparedScan.Hit]]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
-          if (!it.hasNext) Array.fill(nq)(Array.empty[(Long, Int, Array[Long])])
+          if (!it.hasNext) Array.fill(nq)(Array.empty[PreparedScan.Hit])
           else {
             val blk = it.next()
             Array.tabulate(nq) { qi =>
               val p = if (probeSorted == null) null else probeSorted(qi)
               val skip = p != null && !blk.distinctCells.exists(c =>
                 java.util.Arrays.binarySearch(p, c) >= 0)
-              if (skip) Array.empty[(Long, Int, Array[Long])]
+              if (skip) Array.empty[PreparedScan.Hit]
               else PreparedScan.scanBlock(blk, qs(qi), nw, b, p)
             }
           }
@@ -116,17 +117,34 @@ final class PreparedScan private (
 
 object PreparedScan {
 
+  /** One ranked scan hit. `words` is the row's packed code; `bytes` its
+    * int8 embedding and `doc` its payload — null unless the scan was
+    * built `withBytes`/`withDoc`.
+    */
+  final case class Hit(id: Long, hamming: Int, words: Array[Long],
+                       bytes: Array[Byte], doc: String)
+
   /** One partition's scan block: parallel primitive arrays; `words` is
     * row-major flattened (row i occupies [i·nWords, (i+1)·nWords)).
-    * `cells` is empty for non-IVF layouts.
+    * `cells` is empty for non-IVF layouts; `bytes` (row-major, constant
+    * `byteLen` per row) and `docs` are empty unless built with
+    * payloads.
     */
   private[db] case class Block(ids: Array[Long], words: Array[Long],
-                               cells: Array[Int], distinctCells: Array[Int])
+                               cells: Array[Int], distinctCells: Array[Int],
+                               bytes: Array[Byte], byteLen: Int,
+                               docs: Array[String])
 
-  private[db] val rankOrder: java.util.Comparator[(Long, Int, Array[Long])] =
-    (x: (Long, Int, Array[Long]), y: (Long, Int, Array[Long])) => {
-      val c = java.lang.Integer.compare(x._2, y._2)
-      if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+  private[db] object Block {
+    def bare(ids: Array[Long], words: Array[Long], cells: Array[Int],
+             distinctCells: Array[Int]): Block =
+      Block(ids, words, cells, distinctCells, Array.emptyByteArray, 0, null)
+  }
+
+  private[db] val rankOrder: java.util.Comparator[Hit] =
+    (x: Hit, y: Hit) => {
+      val c = java.lang.Integer.compare(x.hamming, y.hamming)
+      if (c != 0) c else java.lang.Long.compare(x.id, y.id)
     }
 
   /** Bounded-heap scan of one block. The heap keeps the B smallest
@@ -137,7 +155,7 @@ object PreparedScan {
     * `Long.bitCount(word ^ qWord)` over min(nWords, |q|) words.
     */
   private[db] def scanBlock(blk: Block, qWords: Array[Long], nWords: Int,
-                            b: Int, probeSorted: Array[Int]): Array[(Long, Int, Array[Long])] = {
+                            b: Int, probeSorted: Array[Int]): Array[Hit] = {
     val n = blk.ids.length
     val cap = math.min(b, math.max(n, 1))
     // parallel-array binary max-heap on (hamming, id)
@@ -211,46 +229,71 @@ object PreparedScan {
       row += 1
     }
 
-    val out = new Array[(Long, Int, Array[Long])](size)
+    val withPayload = blk.byteLen > 0
+    val out = new Array[Hit](size)
     var i = 0
     while (i < size) {
       val r = heapRow(i)
-      out(i) = (heapId(i), heapH(i),
-        java.util.Arrays.copyOfRange(blk.words, r * nWords, (r + 1) * nWords))
+      out(i) = Hit(heapId(i), heapH(i),
+        java.util.Arrays.copyOfRange(blk.words, r * nWords, (r + 1) * nWords),
+        if (withPayload)
+          java.util.Arrays.copyOfRange(blk.bytes, r * blk.byteLen, (r + 1) * blk.byteLen)
+        else null,
+        if (blk.docs != null) blk.docs(r) else null)
       i += 1
     }
     java.util.Arrays.sort(out, rankOrder)
     out
   }
 
-  /** Build (and materialize) the prepared scan from the hot tier.
-    * `codes` must expose either `code:array<long>` (array layout) or
-    * `c0..c{nWords-1}:long` (flat layout), plus `cell:int` under IVF.
-    * Each source partition becomes one block; no shuffle.
+  /** Build (and materialize) the prepared scan. `codes` must expose
+    * either `code:array<long>` (array layout) or `c0..c{nWords-1}:long`
+    * (flat layout), plus `cell:int` under IVF; with `withBytes` also
+    * `emb_int8:binary` (constant length — the index dim) and with
+    * `withDoc` also `doc:string`. Each source partition becomes one
+    * block; no shuffle beyond whatever produced `codes`.
     */
   def build(codes: DataFrame, nWords: Int, isFlat: Boolean,
-            isIvf: Boolean): PreparedScan = {
+            isIvf: Boolean, withBytes: Boolean = false,
+            withDoc: Boolean = false): PreparedScan = {
     val wordsCol =
       if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*).as("w")
       else col("code").as("w")
-    val cols =
-      if (isIvf) codes.select(col("doc_id"), wordsCol, col("cell"))
-      else codes.select(col("doc_id"), wordsCol)
+    val baseCols = Seq(col("doc_id"), wordsCol) ++
+      (if (isIvf) Seq(col("cell")) else Seq.empty) ++
+      (if (withBytes) Seq(col("emb_int8")) else Seq.empty) ++
+      (if (withDoc) Seq(col("doc")) else Seq.empty)
+    val cols = codes.select(baseCols: _*)
+    val cellAt = if (isIvf) 2 else -1
+    val bytesAt = if (withBytes) (if (isIvf) 3 else 2) else -1
+    val docAt = if (withDoc) bytesAt.max(cellAt).max(1) + 1 else -1
     val blocks = cols.rdd.mapPartitions { it =>
       val ids = scala.collection.mutable.ArrayBuilder.make[Long]
       val words = scala.collection.mutable.ArrayBuilder.make[Long]
       val cells = scala.collection.mutable.ArrayBuilder.make[Int]
+      val bytes = scala.collection.mutable.ArrayBuilder.make[Byte]
+      val docs = scala.collection.mutable.ArrayBuilder.make[String]
+      var byteLen = 0
       it.foreach { r =>
         ids += r.getLong(0)
         val w = r.getSeq[Long](1)
         var i = 0
         while (i < w.length) { words += w(i); i += 1 }
-        if (isIvf) cells += r.getInt(2)
+        if (isIvf) cells += r.getInt(cellAt)
+        if (withBytes) {
+          val ba = r.getAs[Array[Byte]](bytesAt)
+          if (byteLen == 0) byteLen = ba.length
+          else require(ba.length == byteLen,
+            s"in-band payload rows must share one length: $byteLen vs ${ba.length}")
+          bytes ++= ba
+        }
+        if (withDoc) docs += r.getString(docAt)
       }
       val cellArr = cells.result()
       Iterator.single(Block(ids.result(), words.result(), cellArr,
-        cellArr.distinct.sorted))
-    }.persist(StorageLevel.MEMORY_ONLY)
+        cellArr.distinct.sorted, bytes.result(), byteLen,
+        if (withDoc) docs.result() else null))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     blocks.count() // materialize eagerly: serving opts into RAM residency
     new PreparedScan(blocks, nWords)
   }

@@ -63,7 +63,6 @@ class VectorDB private (
   @volatile private var codesCache: Option[DataFrame] = None
   @volatile private var countCache: Long = -1L
   @volatile private var servingEnabled = false
-  @volatile private var servingIdx: Option[PointLookupIndex] = None
   @volatile private var preparedIdx: Option[PreparedScan] = None
 
   private def hasData: Boolean =
@@ -252,55 +251,49 @@ class VectorDB private (
     codesCache.foreach(_.unpersist())
     codesCache = None
     countCache = -1L
-    // A commit changed the tiers: drop the serving indexes; they
-    // rebuild lazily on the next search if serving stays enabled.
-    servingIdx.foreach(_.unpersist())
-    servingIdx = None
+    // A commit changed the tiers: drop the serving index; it rebuilds
+    // lazily on the next search if serving stays enabled.
     preparedIdx.foreach(_.unpersist())
     preparedIdx = None
   }
 
-  /** Opt into the RAM-resident serving regime: phase III of
-    * [[searchVector]]/[[searchMany]] fetches candidate payloads through
-    * a [[PointLookupIndex]] (per-partition sorted arrays + binary
-    * search, one bare RDD job) instead of a per-query Catalyst plan
-    * over the parquet cold tier. Results are bit-identical either way
-    * (spec-pinned); this trades executor memory (~1 KB/row) for
-    * serving latency — the same index-resident-in-RAM regime the
-    * reference's published numbers assume. Rebuilt automatically after
-    * each commit; [[disableServing]] releases the memory.
+  /** Opt into the RAM-resident serving regime: the whole three-phase
+    * funnel of [[searchVector]]/[[searchMany]] runs as ONE bare RDD job
+    * over a [[PreparedScan]] whose per-partition blocks carry the codes
+    * AND each row's int8 embedding + doc payload IN-BAND — candidates
+    * come back with everything phases II/III need, which then run as
+    * driver-side mirrors of the Catalyst kernels (~130k flops). Zero
+    * per-query Catalyst work, zero second job. Results are
+    * bit-identical to the default Catalyst path (spec-pinned); this
+    * trades executor memory (~1.2 KB/row at 1024-dim — codes + int8 +
+    * payload, stored once) for serving latency — the
+    * index-resident-in-RAM regime the reference's published numbers
+    * assume. Rebuilt automatically after each commit (one codes⋈docs
+    * join per rebuild); [[disableServing]] releases the memory.
     */
   def enableServing(): this.type = {
-    servingEnabled = true; servingIndex(); preparedScan(); this
+    servingEnabled = true; preparedScan(); this
   }
 
   def disableServing(): Unit = {
     servingEnabled = false
-    servingIdx.foreach(_.unpersist())
-    servingIdx = None
     preparedIdx.foreach(_.unpersist())
     preparedIdx = None
   }
 
-  private def servingIndex(): Option[PointLookupIndex] = {
-    if (!servingEnabled) None
-    else servingIdx.orElse(synchronized {
-      if (servingIdx.isEmpty && hasData) servingIdx = Some(PointLookupIndex.build(docs))
-      servingIdx
-    })
-  }
-
-  /** Serving-mode Phase-I/II companion of [[servingIndex]]: a
-    * [[PreparedScan]] over the hot tier (per-partition primitive
-    * blocks + bounded heaps), so a served single query pays NO
-    * per-call Catalyst work anywhere in the funnel. Same lifecycle:
-    * built on [[enableServing]] or lazily, dropped on commit.
+  /** The fused serving index: [[PreparedScan]] blocks over
+    * codes ⋈ docs with in-band payloads. Built on [[enableServing]] or
+    * lazily, dropped on commit.
     */
   private def preparedScan(): Option[PreparedScan] = {
     if (!servingEnabled) None
     else preparedIdx.orElse(synchronized {
-      if (preparedIdx.isEmpty && hasData)
-        preparedIdx = Some(PreparedScan.build(codes, nWords, isFlat, isIvf))
+      if (preparedIdx.isEmpty && hasData) {
+        val fused = codes.join(docs.select(col("doc_id"), col("doc"), col("emb_int8")),
+          Seq("doc_id"))
+        preparedIdx = Some(PreparedScan.build(fused, nWords, isFlat, isIvf,
+          withBytes = true, withDoc = true))
+      }
       preparedIdx
     })
   }
@@ -358,26 +351,31 @@ class VectorDB private (
     val qWords = graft.operators.Search.packQuery(q)
     val qCode = typedlit(qWords)
 
-    // Phases I+II → ≤ k·int8Oversample driver-side candidates of
-    // (doc_id, score_hamming, score_binary). Under serving the PREPARED
-    // scan runs them as one bare RDD job + ~130k driver flops (zero
-    // per-query Catalyst); otherwise the Catalyst path plans the scan
-    // per call. Both are bit-identical (ServingIndexSpec pins it).
-    val candidates: Array[(Long, Int, Double)] = preparedScan() match {
+    preparedScan() match {
       case Some(ps) =>
+        // Serving path: the WHOLE funnel is one bare RDD job. Phase I's
+        // bounded heaps return each candidate WITH its code words, int8
+        // bytes, and doc payload in-band; phases II/III then run
+        // driver-side as exact mirrors of the Catalyst kernels —
+        // exactly where the reference's Python layer runs them
+        // (BinaryVectorDB.py:236-252); ~130k flops, zero further jobs.
+        // Bit-identical to the Catalyst path (ServingIndexSpec pins it).
         val probed =
           if (isIvf && nprobe < ivfCells)
             Some(probeOrder(qWords).take(nprobe).toArray)
           else None
         val top = ps.topB(qWords.toArray, k * binaryOversample, probed)
-        // Phase II over ≤ k·binaryOversample rows: exact driver-side
-        // mirror of graft_sign_dot (MSB-first bit order, left-to-right
-        // double accumulation), then the same (score desc, id asc) rank.
-        val scored = top.map { case (id, h, words) =>
-          (id, h, signDotWords(q, words))
-        }
-        java.util.Arrays.sort(scored, phase2Order)
-        scored.take(k * int8Oversample)
+        // Phase II: graft_sign_dot mirror (MSB-first bit order,
+        // left-to-right double accumulation), (score desc, id asc) rank.
+        val out = top.map { h => (h, signDotWords(q, h.words)) }
+          .sortBy { case (h, sb) => (-sb, h.id) }
+          .take(k * int8Oversample)
+          .map { case (h, sb) =>
+            (h.id, h.hamming, sb, cosSimInt8(q, h.bytes), h.doc)
+          }
+          .sortBy(t => (-t._4, t._1)).take(k).toSeq
+        spark.createDataFrame(out)
+          .toDF("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
       case None =>
         val scanned =
           if (isIvf && nprobe < ivfCells) {
@@ -402,32 +400,15 @@ class VectorDB private (
         // Phase II runs on ≤ k·binaryOversample rows; materialize the ≤
         // k·int8Oversample winners driver-side (the reference holds the
         // same candidate list in a Python list, BinaryVectorDB.py:236).
-        phase1
+        val candidates = phase1
           .withColumn("score_binary", Kernels.signDot(qLit, col("code")))
           .orderBy(col("score_binary").desc, col("doc_id").asc)
           .limit(k * int8Oversample)
           .select("doc_id", "score_hamming", "score_binary")
           .collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-    }
-    val ids = candidates.map(_._1).toSeq
+        val ids = candidates.map(_._1).toSeq
 
-    servingIndex() match {
-      case Some(idx) =>
-        // Serving path: indexed point lookup (one bare RDD job), then
-        // phase III over the ≤ k·int8Oversample candidates driver-side —
-        // exactly where the reference's Python layer runs it
-        // (BinaryVectorDB.py:236-252); ~130k flops.
-        val byId = idx.lookup(ids.toArray)
-          .map(t => t._1 -> (t._2, t._3)).toMap
-        val out = candidates.toSeq.flatMap { case (id, h, sb) =>
-          byId.get(id).map { case (bytes, doc) =>
-            (id, h, sb, cosSimInt8(q, bytes), doc)
-          }
-        }.sortBy(t => (-t._4, t._1)).take(k)
-        spark.createDataFrame(out)
-          .toDF("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
-      case None =>
         // Point-lookup batch against the cold tier: the id filter pushes
         // into the parquet scan (min/max row-group pruning on the
         // doc_id-sorted layout), so the per-query cold-tier read is
@@ -463,15 +444,6 @@ class VectorDB private (
     }
     acc
   }
-
-  /** Phase-II rank: (score_binary desc, doc_id asc), matching the
-    * Catalyst `orderBy(col("score_binary").desc, col("doc_id").asc)`.
-    */
-  private val phase2Order: java.util.Comparator[(Long, Int, Double)] =
-    (x: (Long, Int, Double), y: (Long, Int, Double)) => {
-      val c = java.lang.Double.compare(y._3, x._3)
-      if (c != 0) c else java.lang.Long.compare(x._1, y._1)
-    }
 
   /** Batched multi-query funnel over the stored tiers: one scan of the
     * hot tier serves every query (Phase I via the bounded-heap aggregate,
@@ -516,15 +488,15 @@ class VectorDB private (
       (qid, qv, graft.operators.Search.packQuery(qv), qcells)
     }.toDF("qid", "qvec", "qcode", "qcells")
 
-    // Phases I+II → per query ≤ k·int8Oversample candidates of
-    // (qid, doc_id, score_hamming, score_binary). Under serving the
-    // PREPARED blocks run EVERY query's Phase-I bounded heap inside ONE
-    // bare RDD job ([[PreparedScan.topBMany]]) and phase II driver-side
-    // — zero per-batch Catalyst anywhere in the funnel; otherwise one
-    // shared Catalyst scan builds all heaps map-side
-    // (HammingTopKCodeAgg). Bit-identical either way (PreparedScanSpec
-    // pins the batched parity across layouts and IVF probing).
-    val candTuples: Seq[(Long, Long, Int, Double)] = preparedScan() match {
+    // Under serving the PREPARED blocks run EVERY query's Phase-I
+    // bounded heap inside ONE bare RDD job ([[PreparedScan.topBMany]])
+    // with payloads in-band, and phases II/III run driver-side per
+    // query — a batch of ANY size pays exactly one job, zero per-batch
+    // Catalyst. Otherwise one shared Catalyst scan builds all heaps
+    // map-side (HammingTopKCodeAgg) and the cold tier serves phase III.
+    // Bit-identical either way (PreparedScanSpec pins the batched
+    // parity across layouts and IVF probing).
+    preparedScan() match {
       case Some(ps) =>
         val qWordsArr = queries.map { case (_, qv) =>
           graft.operators.Search.packQuery(qv).toArray }.toArray
@@ -535,15 +507,20 @@ class VectorDB private (
             }.toArray)
           else None
         val topPerQ = ps.topBMany(qWordsArr, k * binaryOversample, probed)
-        queries.toIndexedSeq.zipWithIndex.flatMap { case ((qid, qv), qi) =>
-          // Phase II mirror of graft_sign_dot + (score desc, id asc) rank
-          // — identical to the single-query serving path.
-          val scored = topPerQ(qi).map { case (id, h, words) =>
-            (id, h, signDotWords(qv, words)) }
-          java.util.Arrays.sort(scored, phase2Order)
-          scored.take(k * int8Oversample).toSeq.map { case (id, h, sb) =>
-            (qid, id, h, sb) }
-        }
+        val out = queries.toIndexedSeq.zipWithIndex.flatMap { case ((qid, qv), qi) =>
+          // Phases II/III mirrors + ranking — identical to the
+          // single-query serving path, per query.
+          topPerQ(qi).map(h => (h, signDotWords(qv, h.words)))
+            .sortBy { case (h, sb) => (-sb, h.id) }
+            .take(k * int8Oversample)
+            .map { case (h, sb) =>
+              (qid, h.id, h.hamming, sb, cosSimInt8(qv, h.bytes), h.doc)
+            }
+            .sortBy(t => (-t._5, t._2)).take(k).zipWithIndex
+            .map { case (t, i) => (t._1, i + 1, t._2, t._3, t._4, t._5, t._6) }
+        }.sortBy(t => (t._1, t._2))
+        spark.createDataFrame(out).toDF("qid", "rank", "doc_id",
+          "score_hamming", "score_binary", "score_cossim", "doc")
       case None =>
         // IVF probe-union: ONE shared scan covers the cells probed by ANY
         // in-flight query (partition pruning on the union), and the
@@ -580,7 +557,7 @@ class VectorDB private (
           .orderBy(col("score_binary").desc, col("doc_id").asc)
         // Materialize the ≤ Q×(k·int8Oversample) survivors driver-side
         // (the reference holds the same candidate lists in Python lists).
-        phase1
+        val candTuples = phase1
           .join(broadcast(qdf.select("qid", "qvec")), "qid")
           .withColumn("score_binary", Kernels.signDot(col("qvec"), col("__code")))
           .withColumn("r2", row_number().over(wB))
@@ -589,28 +566,7 @@ class VectorDB private (
           .collect()
           .toSeq
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-    }
-    val ids = candTuples.map(_._2).distinct
-
-    servingIndex() match {
-      case Some(idx) =>
-        // Serving path: one indexed lookup for the union of all queries'
-        // candidates, phases III + ranking driver-side per query.
-        val byId = idx.lookup(ids.toArray)
-          .map(t => t._1 -> (t._2, t._3)).toMap
-        val qvecById = queries.toMap
-        val out = candTuples.flatMap { case (qid, id, h, sb) =>
-          byId.get(id).map { case (bytes, doc) =>
-            (qid, id, h, sb, cosSimInt8(qvecById(qid), bytes), doc)
-          }
-        }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
-          g.sortBy(t => (-t._5, t._2)).take(k).zipWithIndex.map { case (t, i) =>
-            (t._1, i + 1, t._2, t._3, t._4, t._5, t._6)
-          }
-        }.sortBy(t => (t._1, t._2))
-        spark.createDataFrame(out).toDF("qid", "rank", "doc_id",
-          "score_hamming", "score_binary", "score_cossim", "doc")
-      case None =>
+        val ids = candTuples.map(_._2).distinct
         val scores = spark.createDataFrame(candTuples)
           .toDF("qid", "doc_id", "score_hamming", "score_binary")
 

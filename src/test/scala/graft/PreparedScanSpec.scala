@@ -141,8 +141,8 @@ class PreparedScanSpec extends AnyFunSuite {
       val many = ps.topBMany(qs, 17)
       qs.zipWithIndex.foreach { case (q, i) =>
         val single = ps.topB(q, 17)
-        assert(many(i).map(t => (t._1, t._2)).toSeq
-          == single.map(t => (t._1, t._2)).toSeq,
+        assert(many(i).map(h => (h.id, h.hamming)).toSeq
+          == single.map(h => (h.id, h.hamming)).toSeq,
           s"query $i: batched result diverged from single-query topB")
       }
     } finally ps.unpersist()
@@ -159,9 +159,9 @@ class PreparedScanSpec extends AnyFunSuite {
       // (hamming, id) tie-break is the part a sloppy top-k gets wrong
       val words = Array.fill(n * nWords)(rnd.nextInt(4).toLong)
       val q = Array.fill(nWords)(rnd.nextInt(4).toLong)
-      val blk = PreparedScan.Block(ids, words, Array.empty, Array.empty)
+      val blk = PreparedScan.Block.bare(ids, words, Array.empty, Array.empty)
       val got = PreparedScan.scanBlock(blk, q, nWords, b, null)
-        .map(t => (t._1, t._2)).toSeq
+        .map(h => (h.id, h.hamming)).toSeq
       val expect = (0 until n).map { r =>
         val h = (0 until nWords).map(w =>
           java.lang.Long.bitCount(words(r * nWords + w) ^ q(w))).sum
@@ -169,9 +169,9 @@ class PreparedScanSpec extends AnyFunSuite {
       }.sortBy { case (id, h) => (h, id) }.take(b)
       assert(got == expect, s"trial $trial: heap top-$b of $n diverged")
       // returned code words must be the scanned rows' own words
-      PreparedScan.scanBlock(blk, q, nWords, b, null).foreach { case (id, _, w) =>
-        val r = (id / 3).toInt
-        assert(w.toSeq == words.slice(r * nWords, (r + 1) * nWords).toSeq)
+      PreparedScan.scanBlock(blk, q, nWords, b, null).foreach { h =>
+        val r = (h.id / 3).toInt
+        assert(h.words.toSeq == words.slice(r * nWords, (r + 1) * nWords).toSeq)
       }
     }
   }

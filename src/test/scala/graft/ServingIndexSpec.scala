@@ -5,11 +5,11 @@ import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Parity spec for the RAM-resident serving path: with
-  * [[VectorDB.enableServing]] phase III runs through the
-  * [[graft.db.PointLookupIndex]] (sorted-block binary-search RDD job +
-  * driver-side rescoring) and must produce BIT-IDENTICAL results to the
-  * default Catalyst plan over the parquet cold tier — same ids, same
-  * ranks, same double scores (the driver-side cosine mirrors the
+  * [[VectorDB.enableServing]] the whole funnel runs as one bare RDD job
+  * over the payload-carrying [[graft.db.PreparedScan]] blocks (phases
+  * II/III driver-side) and must produce BIT-IDENTICAL results to the
+  * default Catalyst plan over the parquet tiers — same ids, same
+  * ranks, same double scores (the driver-side mirrors replicate the
   * kernels' left-to-right double accumulation exactly).
   */
 class ServingIndexSpec extends AnyFunSuite {
