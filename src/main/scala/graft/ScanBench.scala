@@ -284,6 +284,10 @@ object ScanBench {
     val funTimes = (1 to 7).map(_ => funnelFresh())
     val funMedian = funTimes.sorted.apply(funTimes.size / 2)
     println(f"funnel_runs_ms=${funTimes.map(t => f"$t%.1f").mkString(",")}")
+    // the served funnel below carries payloads IN its blocks — the
+    // point-lookup tier is only the fresh row's phase III; release it
+    // before the serving rows so its ~1 KB/row doesn't inflate GC there
+    coldIdx.unpersist()
 
     // Serving pool for the funnel: the SHIPPED serving funnel end to end
     // — ONE bare RDD job over payload-carrying PreparedScan blocks
