@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * the `enableServing()` regime (the whole funnel as ONE bare RDD job
   * over payload-carrying [[graft.db.PreparedScan]] blocks), plus
   * batched `searchMany` per-query cost. Usage:
-  * `graft.ServeBench [nDocs]` (default 100k).
+  * `graft.ServeBench [nDocs] [dim]` (default 100k × 64; pass dim 1024
+  * for the reference's native geometry — 16-long packed codes, 1 KB
+  * int8 tier per row).
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 100000
+    val dim = if (args.length > 1) args(1).toInt else 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,14 +33,14 @@ object ServeBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = java.nio.file.Files.createTempDirectory("graft-servebench").toString
-    val db = VectorDB.openOrCreate(spark, dir)
+    val db = VectorDB.openOrCreate(spark, dir, model = s"graft-hash-$dim", dim = dim)
     val docs = spark.range(n).select(col("id").as("doc_id"),
       concat(lit("synthetic document "), col("id"),
         lit(" topic "), col("id") % 97).as("text"))
-    db.addDocuments(docs)
+    db.addDocuments(docs, new graft.db.HashingEmbedder(dim))
 
     val queries = (0 until 16).map { s =>
-      (0 until 64).map(i => math.sin(i * 0.37 + s) / 8.0)
+      (0 until dim).map(i => math.sin(i * 0.37 + s) / 8.0)
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def time(f: => Unit): Double = {
@@ -73,7 +76,7 @@ object ServeBench {
     }
     pool.shutdown()
 
-    println(f"""{"metric":"serve_latency","n":$n,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"unit":"ms"}""")
+    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"unit":"ms"}""")
     spark.stop()
   }
 }
