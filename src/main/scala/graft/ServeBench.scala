@@ -53,6 +53,10 @@ object ServeBench {
     db.enableServing()
     db.searchVector(queries.head, k = 10).collect()
     val served = queries.map(q => time(db.searchVector(q, k = 10).collect()))
+    // typed-result serving API: same one-job funnel, no per-query
+    // DataFrame wrap (the reference returns a plain hit list too)
+    db.searchHits(queries.head, k = 10)
+    val hits = queries.map(q => time(db.searchHits(q, k = 10)))
     // batched funnel: under serving this is ONE topBMany RDD job + one
     // indexed lookup for the whole 16-query batch (no per-batch Catalyst)
     val qBatch = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
@@ -74,9 +78,17 @@ object ServeBench {
           scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
       } / queries.size
     }
+    val hitsConcRounds = (1 to 3).map { _ =>
+      time {
+        val futs = queries.map(q =>
+          scala.concurrent.Future(db.searchHits(q, k = 10)))
+        futs.foreach(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      } / queries.size
+    }
     pool.shutdown()
 
-    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"unit":"ms"}""")
+    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"hits_ms":${median(hits)}%.1f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"hits_concurrent_per_query_ms":${median(hitsConcRounds)}%.1f,"unit":"ms"}""")
     spark.stop()
   }
 }

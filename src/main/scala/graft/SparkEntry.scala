@@ -21,6 +21,9 @@ object SparkEntry {
     // Reference surface: the similarity-search funnel and its phases.
     "v1_hamming_topk" -> ((s, d) => Search.hammingTopK(s, d)),
     "v2_funnel" -> ((s, d) => Search.funnel(s, d)),
+    // Metadata-filtered funnel: same three phases over the 'en' subset
+    // (semi-join with the pushed-down documents filter).
+    "v11_filtered_funnel" -> ((s, d) => Search.filteredFunnel(s, d)),
     "v3_knn_cosine" -> ((s, d) => Search.knnCosine(s, d)),
     "v4_knn_per_label" -> ((s, d) => Search.knnPerLabel(s, d)),
     "v5_neardup_embedding" -> ((s, d) => Search.nearDupEmbeddings(s, d)),

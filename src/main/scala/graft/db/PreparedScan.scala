@@ -1,5 +1,6 @@
 package graft.db
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{array, col}
@@ -43,16 +44,23 @@ final class PreparedScan private (
     private val nWords: Int) {
 
   /** Top-B hits by (hamming asc, doc_id asc) against the packed query
-    * words; `probed` (if set) restricts to rows in those IVF cells.
-    * Hits carry code words always, bytes/doc when the scan was built
-    * with payloads. Rank-sorted, ≤ B hits. One bare RDD job, no
-    * Catalyst involvement.
+    * words; `probed` (if set) restricts to rows in those IVF cells;
+    * `sel` (if set) is a BROADCAST sorted doc_id allowlist — the faiss
+    * `IDSelectorBatch` analogue — and only rows in it may enter the
+    * heap. The membership probe runs AFTER the early-exit hamming loop,
+    * only for rows that would otherwise be kept, so unfiltered scans
+    * pay nothing and filtered scans pay O(kept · log |sel|), not
+    * O(rows · log |sel|). Hits carry code words always, bytes/doc when
+    * the scan was built with payloads. Rank-sorted, ≤ B hits. One bare
+    * RDD job, no Catalyst involvement.
     */
   def topB(qWords: Array[Long], b: Int,
-           probed: Option[Array[Int]] = None): Array[PreparedScan.Hit] = {
+           probed: Option[Array[Int]] = None,
+           sel: Option[Broadcast[Array[Long]]] = None): Array[PreparedScan.Hit] = {
     require(b > 0, s"b must be positive, got $b")
     val nw = nWords
     val probeSorted = probed.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }
+    val selBc = sel.orNull
     val perPart: Array[Array[PreparedScan.Hit]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
@@ -62,7 +70,8 @@ final class PreparedScan private (
             val skip = probeSorted.exists(p =>
               !blk.distinctCells.exists(c => java.util.Arrays.binarySearch(p, c) >= 0))
             if (skip) Array.empty[PreparedScan.Hit]
-            else PreparedScan.scanBlock(blk, qWords, nw, b, probeSorted.orNull)
+            else PreparedScan.scanBlock(blk, qWords, nw, b, probeSorted.orNull,
+              if (selBc == null) null else selBc.value)
           }
         })
     // each partition's result is rank-sorted; merge and cut to B
@@ -81,7 +90,8 @@ final class PreparedScan private (
     * arrays, index-aligned with `qs`.
     */
   def topBMany(qs: Array[Array[Long]], b: Int,
-               probed: Option[Array[Array[Int]]] = None): Array[Array[PreparedScan.Hit]] = {
+               probed: Option[Array[Array[Int]]] = None,
+               sel: Option[Broadcast[Array[Long]]] = None): Array[Array[PreparedScan.Hit]] = {
     require(b > 0, s"b must be positive, got $b")
     require(qs.nonEmpty, "topBMany needs at least one query")
     require(probed.forall(_.length == qs.length),
@@ -90,18 +100,20 @@ final class PreparedScan private (
     val nq = qs.length
     val probeSorted: Array[Array[Int]] =
       probed.map(_.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }).orNull
+    val selBc = sel.orNull
     val perPart: Array[Array[Array[PreparedScan.Hit]]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
           if (!it.hasNext) Array.fill(nq)(Array.empty[PreparedScan.Hit])
           else {
             val blk = it.next()
+            val selArr = if (selBc == null) null else selBc.value
             Array.tabulate(nq) { qi =>
               val p = if (probeSorted == null) null else probeSorted(qi)
               val skip = p != null && !blk.distinctCells.exists(c =>
                 java.util.Arrays.binarySearch(p, c) >= 0)
               if (skip) Array.empty[PreparedScan.Hit]
-              else PreparedScan.scanBlock(blk, qs(qi), nw, b, p)
+              else PreparedScan.scanBlock(blk, qs(qi), nw, b, p, selArr)
             }
           }
         })
@@ -153,9 +165,14 @@ object PreparedScan {
     * exceeds the root's hamming abandons the remaining words (the sum
     * only grows). Mirrors the Catalyst kernels bit-for-bit: int sum of
     * `Long.bitCount(word ^ qWord)` over min(nWords, |q|) words.
+    * `selSorted` (nullable) is a sorted doc_id allowlist consulted only
+    * when a row has survived the hamming bound — rejected rows never
+    * tighten the heap, so the filtered result is exactly the top-B of
+    * the allowlisted subset.
     */
   private[db] def scanBlock(blk: Block, qWords: Array[Long], nWords: Int,
-                            b: Int, probeSorted: Array[Int]): Array[Hit] = {
+                            b: Int, probeSorted: Array[Int],
+                            selSorted: Array[Long] = null): Array[Hit] = {
     val n = blk.ids.length
     val cap = math.min(b, math.max(n, 1))
     // parallel-array binary max-heap on (hamming, id)
@@ -216,13 +233,16 @@ object PreparedScan {
         }
         if (w == nWords) {
           val id = blk.ids(row)
-          if (size < cap) {
-            heapH(size) = acc; heapId(size) = id; heapRow(size) = row
-            size += 1
-            siftUp(size - 1)
-          } else if (!worseThanRoot(acc, id)) {
-            heapH(0) = acc; heapId(0) = id; heapRow(0) = row
-            siftDown(0)
+          if (selSorted == null ||
+              java.util.Arrays.binarySearch(selSorted, id) >= 0) {
+            if (size < cap) {
+              heapH(size) = acc; heapId(size) = id; heapRow(size) = row
+              size += 1
+              siftUp(size - 1)
+            } else if (!worseThanRoot(acc, id)) {
+              heapH(0) = acc; heapId(0) = id; heapRow(0) = row
+              siftDown(0)
+            }
           }
         }
       }

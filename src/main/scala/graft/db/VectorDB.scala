@@ -331,6 +331,23 @@ class VectorDB private (
     searchVector(qRow, k, binaryOversample, int8Oversample, nprobe)
   }
 
+  /** [[search]] restricted to cold-tier rows satisfying `where` — the
+    * text-query face of [[searchVectorWhere]].
+    */
+  def searchWhere(text: String, where: org.apache.spark.sql.Column,
+                  k: Int = 10, binaryOversample: Int = 10,
+                  int8Oversample: Int = 3,
+                  embedder: Embedder = new HashingEmbedder(),
+                  nprobe: Int = Int.MaxValue): DataFrame = {
+    Kernels.install(spark)
+    require(embedder.dim == dim, s"embedder dim ${embedder.dim} != index dim $dim")
+    require(count() > 0, "search on empty index (BinaryVectorDB.py:190-191 guard)")
+    val qRow = spark.range(1).select(
+      embedder.embed(lit(text)).cast("array<double>").as("q"))
+      .head().getSeq[Double](0)
+    searchVectorWhere(qRow, where, k, binaryOversample, int8Oversample, nprobe)
+  }
+
   /** O8–O10 with a caller-supplied query vector. Under the `ivf` index
     * strategy, `nprobe` limits the Phase-I scan to the nprobe cells
     * nearest the query's code prefix (cells probed in hamming order);
@@ -341,62 +358,174 @@ class VectorDB private (
     */
   def searchVector(q: Seq[Double], k: Int = 10, binaryOversample: Int = 10,
                    int8Oversample: Int = 3, nprobe: Int = Int.MaxValue): DataFrame = {
+    validateSearch(k, binaryOversample, int8Oversample, nprobe)
+    preparedScan() match {
+      case Some(ps) =>
+        hitsToDf(servedHits(ps, q, k, binaryOversample, int8Oversample, nprobe, None))
+      case None =>
+        catalystFunnel(q, k, binaryOversample, int8Oversample, nprobe, None)
+    }
+  }
+
+  /** Filtered search, predicate form: the funnel restricted to cold-tier
+    * rows satisfying `where` (any Column over doc_id/doc/emb_int8).
+    * Always the Catalyst path: the predicate filters the cold tier with
+    * full pushdown and the matching ids reach Phase I as a semi-join —
+    * nothing is materialized driver-side, so ANY selectivity scales.
+    * Serving callers with a selective, reused predicate should compile
+    * it once with [[selector]] and use the [[DocSelector]] overload,
+    * which pushes the id allowlist into the prepared scan's heaps.
+    */
+  def searchVectorWhere(q: Seq[Double], where: org.apache.spark.sql.Column,
+                        k: Int = 10, binaryOversample: Int = 10,
+                        int8Oversample: Int = 3,
+                        nprobe: Int = Int.MaxValue): DataFrame = {
+    validateSearch(k, binaryOversample, int8Oversample, nprobe)
+    catalystFunnel(q, k, binaryOversample, int8Oversample, nprobe, Some(where))
+  }
+
+  /** Filtered search, compiled-selector form: under serving the sorted
+    * id allowlist rides the prepared scan's heap-insert check (the faiss
+    * `IDSelectorBatch` shape — zero extra jobs, zero Catalyst); without
+    * serving it falls back to the predicate path.
+    */
+  def searchVectorWhere(q: Seq[Double], sel: DocSelector, k: Int,
+                        binaryOversample: Int, int8Oversample: Int,
+                        nprobe: Int): DataFrame = {
+    validateSearch(k, binaryOversample, int8Oversample, nprobe)
+    preparedScan() match {
+      case Some(ps) =>
+        hitsToDf(servedHits(ps, q, k, binaryOversample, int8Oversample, nprobe, Some(sel)))
+      case None =>
+        catalystFunnel(q, k, binaryOversample, int8Oversample, nprobe, Some(sel.pred))
+    }
+  }
+
+  def searchVectorWhere(q: Seq[Double], sel: DocSelector): DataFrame =
+    searchVectorWhere(q, sel, 10, 10, 3, Int.MaxValue)
+
+  /** Typed result API — the reference's own return shape (`search`
+    * returns a plain Python list of hit dicts, `BinaryVectorDB.py:252`),
+    * for serving callers: a ≤k-element list must not pay a per-query
+    * DataFrame materialization + collect round-trip (measured ~30 ms of
+    * the 47 ms API serve latency at 1M×1024). Under serving this is the
+    * one-job funnel returning its hits directly; without serving it
+    * collects the Catalyst result. Results are identical to
+    * [[searchVector]] row for row (ServingIndexSpec pins it).
+    */
+  def searchHits(q: Seq[Double], k: Int = 10, binaryOversample: Int = 10,
+                 int8Oversample: Int = 3, nprobe: Int = Int.MaxValue,
+                 sel: Option[DocSelector] = None): Seq[VectorDB.SearchHit] = {
+    validateSearch(k, binaryOversample, int8Oversample, nprobe)
+    preparedScan() match {
+      case Some(ps) =>
+        servedHits(ps, q, k, binaryOversample, int8Oversample, nprobe, sel)
+      case None =>
+        catalystFunnel(q, k, binaryOversample, int8Oversample, nprobe, sel.map(_.pred))
+          .collect().toIndexedSeq.map(r => VectorDB.SearchHit(r.getLong(0),
+            r.getInt(1), r.getDouble(2), r.getDouble(3), r.getString(4)))
+    }
+  }
+
+  /** Compile a cold-tier predicate into a reusable id selector: evaluate
+    * it ONCE (filter pushed into the cold-tier scan), sort the matching
+    * ids, broadcast them (8 B/id). The handle amortizes across any
+    * number of queries — build cost is one Catalyst job. Bounded at
+    * [[VectorDB.MaxSelectorIds]] matches (driver + broadcast memory is
+    * O(matches)); for broader predicates use the predicate overload of
+    * [[searchVectorWhere]], whose semi-join never materializes the ids.
+    */
+  def selector(pred: org.apache.spark.sql.Column): DocSelector = {
+    val ids = docs.filter(pred).select("doc_id").collect().map(_.getLong(0))
+    require(ids.length <= VectorDB.MaxSelectorIds,
+      s"selector matches ${ids.length} ids > ${VectorDB.MaxSelectorIds}; " +
+        "use searchVectorWhere(q, pred) — the semi-join path — for " +
+        "non-selective predicates")
+    java.util.Arrays.sort(ids)
+    new DocSelector(pred, spark.sparkContext.broadcast(ids))
+  }
+
+  private def validateSearch(k: Int, binaryOversample: Int,
+                             int8Oversample: Int, nprobe: Int): Unit = {
     Kernels.install(spark)
     require(count() > 0, "search on empty index")
     require(isIvf || nprobe == Int.MaxValue,
       s"nprobe is an '${VectorDB.IndexIvf}' index parameter; this DB uses '$index'")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     validateFunnelParams(k, binaryOversample, int8Oversample)
+  }
+
+  private def hitsToDf(hits: Seq[VectorDB.SearchHit]): DataFrame =
+    spark.createDataFrame(hits.map(h =>
+        (h.docId, h.scoreHamming, h.scoreBinary, h.scoreCossim, h.doc)))
+      .toDF("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
+
+  /** Serving path: the WHOLE funnel is one bare RDD job. Phase I's
+    * bounded heaps return each candidate WITH its code words, int8
+    * bytes, and doc payload in-band; phases II/III then run driver-side
+    * as exact mirrors of the Catalyst kernels — exactly where the
+    * reference's Python layer runs them (BinaryVectorDB.py:236-252);
+    * ~130k flops, zero further jobs. Bit-identical to the Catalyst path
+    * (ServingIndexSpec pins it). `sel`, when given, restricts Phase I to
+    * the allowlisted ids inside the heap loop.
+    */
+  private def servedHits(ps: PreparedScan, q: Seq[Double], k: Int,
+                         binaryOversample: Int, int8Oversample: Int,
+                         nprobe: Int,
+                         sel: Option[DocSelector]): IndexedSeq[VectorDB.SearchHit] = {
+    val qWords = graft.operators.Search.packQuery(q)
+    val probed =
+      if (isIvf && nprobe < ivfCells)
+        Some(probeOrder(qWords).take(nprobe).toArray)
+      else None
+    val top = ps.topB(qWords.toArray, k * binaryOversample, probed, sel.map(_.idsBc))
+    // Phase II: graft_sign_dot mirror (MSB-first bit order,
+    // left-to-right double accumulation), (score desc, id asc) rank.
+    top.map { h => (h, signDotWords(q, h.words)) }
+      .sortBy { case (h, sb) => (-sb, h.id) }
+      .take(k * int8Oversample)
+      .map { case (h, sb) =>
+        VectorDB.SearchHit(h.id, h.hamming, sb, cosSimInt8(q, h.bytes), h.doc)
+      }
+      .sortBy(h => (-h.scoreCossim, h.docId)).take(k).toIndexedSeq
+  }
+
+  /** The Catalyst funnel over the stored tiers; `where`, when given,
+    * restricts Phase I to cold-tier rows satisfying it via a semi-join
+    * (the predicate itself pushes into the cold-tier scan; under AQE the
+    * join side is broadcast exactly when its runtime size fits).
+    */
+  private def catalystFunnel(q: Seq[Double], k: Int, binaryOversample: Int,
+                             int8Oversample: Int, nprobe: Int,
+                             where: Option[org.apache.spark.sql.Column]): DataFrame = {
     val qLit = typedlit(q)
     val qWords = graft.operators.Search.packQuery(q)
     val qCode = typedlit(qWords)
+    val probeFiltered =
+      if (isIvf && nprobe < ivfCells) {
+        val probed = probeOrder(qWords).take(nprobe)
+        codes.filter(col("cell").isin(probed: _*))
+      } else codes
+    val scanned = where match {
+      case Some(pred) =>
+        probeFiltered.join(docs.filter(pred).select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => probeFiltered
+    }
 
-    preparedScan() match {
-      case Some(ps) =>
-        // Serving path: the WHOLE funnel is one bare RDD job. Phase I's
-        // bounded heaps return each candidate WITH its code words, int8
-        // bytes, and doc payload in-band; phases II/III then run
-        // driver-side as exact mirrors of the Catalyst kernels —
-        // exactly where the reference's Python layer runs them
-        // (BinaryVectorDB.py:236-252); ~130k flops, zero further jobs.
-        // Bit-identical to the Catalyst path (ServingIndexSpec pins it).
-        val probed =
-          if (isIvf && nprobe < ivfCells)
-            Some(probeOrder(qWords).take(nprobe).toArray)
-          else None
-        val top = ps.topB(qWords.toArray, k * binaryOversample, probed)
-        // Phase II: graft_sign_dot mirror (MSB-first bit order,
-        // left-to-right double accumulation), (score desc, id asc) rank.
-        val out = top.map { h => (h, signDotWords(q, h.words)) }
-          .sortBy { case (h, sb) => (-sb, h.id) }
-          .take(k * int8Oversample)
-          .map { case (h, sb) =>
-            (h.id, h.hamming, sb, cosSimInt8(q, h.bytes), h.doc)
-          }
-          .sortBy(t => (-t._4, t._1)).take(k).toSeq
-        spark.createDataFrame(out)
-          .toDF("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
-      case None =>
-        val scanned =
-          if (isIvf && nprobe < ivfCells) {
-            val probed = probeOrder(qWords).take(nprobe)
-            codes.filter(col("cell").isin(probed: _*))
-          } else codes
-
-        // Flat layout: hamming as a codegen'd sum of builtin
-        // bit_count(xor) terms over primitive columns; the code array is
-        // reassembled only for the <=100 phase-II candidates.
-        val hammingCol =
-          if (isFlat) (0 until nWords).map(i =>
-            expr(s"bit_count(c$i ^ ${qWords(i)}L)")).reduce(_ + _).cast("int")
-          else Kernels.hamming(col("code"), qCode)
-        val withCode =
-          if (isFlat) scanned.withColumn("score_hamming", hammingCol)
-            .withColumn("code", array((0 until nWords).map(i => col(s"c$i")): _*))
-          else scanned.withColumn("score_hamming", hammingCol)
-        val phase1 = withCode
-          .orderBy(col("score_hamming").asc, col("doc_id").asc)
-          .limit(math.min(k * binaryOversample, Int.MaxValue))
+    // Flat layout: hamming as a codegen'd sum of builtin
+    // bit_count(xor) terms over primitive columns; the code array is
+    // reassembled only for the <=100 phase-II candidates.
+    val hammingCol =
+      if (isFlat) (0 until nWords).map(i =>
+        expr(s"bit_count(c$i ^ ${qWords(i)}L)")).reduce(_ + _).cast("int")
+      else Kernels.hamming(col("code"), qCode)
+    val withCode =
+      if (isFlat) scanned.withColumn("score_hamming", hammingCol)
+        .withColumn("code", array((0 until nWords).map(i => col(s"c$i")): _*))
+      else scanned.withColumn("score_hamming", hammingCol)
+    val phase1 = withCode
+      .orderBy(col("score_hamming").asc, col("doc_id").asc)
+      .limit(math.min(k * binaryOversample, Int.MaxValue))
         // Phase II runs on ≤ k·binaryOversample rows; materialize the ≤
         // k·int8Oversample winners driver-side (the reference holds the
         // same candidate list in a Python list, BinaryVectorDB.py:236).
@@ -424,7 +553,6 @@ class VectorDB private (
           .orderBy(col("score_cossim").desc, col("doc_id").asc)
           .limit(k)
           .select("doc_id", "score_hamming", "score_binary", "score_cossim", "doc")
-    }
   }
 
   /** Exact driver-side mirror of the phase-II `graft_sign_dot` kernel
@@ -467,7 +595,8 @@ class VectorDB private (
     */
   def searchMany(queries: Seq[(Long, Seq[Double])], k: Int = 10,
                  binaryOversample: Int = 10, int8Oversample: Int = 3,
-                 nprobe: Int = Int.MaxValue): DataFrame = {
+                 nprobe: Int = Int.MaxValue,
+                 sel: Option[DocSelector] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Kernels.install(spark)
     require(count() > 0, "search on empty index")
@@ -506,7 +635,8 @@ class VectorDB private (
               probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe).toArray
             }.toArray)
           else None
-        val topPerQ = ps.topBMany(qWordsArr, k * binaryOversample, probed)
+        val topPerQ = ps.topBMany(qWordsArr, k * binaryOversample, probed,
+          sel.map(_.idsBc))
         val out = queries.toIndexedSeq.zipWithIndex.flatMap { case ((qid, qv), qi) =>
           // Phases II/III mirrors + ranking — identical to the
           // single-query serving path, per query.
@@ -526,13 +656,20 @@ class VectorDB private (
         // in-flight query (partition pruning on the union), and the
         // per-query mask below keeps each query's candidate pool exactly
         // its own probed cells.
-        val scanned =
+        val probeFiltered =
           if (masking) {
             val probed = queries.flatMap { case (_, qv) =>
               probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe)
             }.distinct
             codes.filter(col("cell").isin(probed: _*))
           } else codes
+        // Selector: same semi-join restriction as the single-query
+        // predicate path, applied once to the shared scan.
+        val scanned = sel match {
+          case Some(s) => probeFiltered.join(
+            docs.filter(s.pred).select("doc_id"), Seq("doc_id"), "left_semi")
+          case None => probeFiltered
+        }
 
         val codeArr =
           if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*)
@@ -612,7 +749,38 @@ class VectorDB private (
   }
 }
 
+/** A compiled cold-tier predicate — the faiss `IDSelectorBatch`
+  * analogue for filtered search. Built by [[VectorDB.selector]]: the
+  * predicate is evaluated once (pushed into the cold-tier scan) and the
+  * sorted matching ids are broadcast; the handle is then reused across
+  * any number of [[VectorDB.searchVectorWhere]] / [[VectorDB.searchHits]]
+  * calls with zero further Catalyst involvement. Memory is 8 B/match on
+  * the driver and per executor.
+  */
+final class DocSelector private[db] (
+    private[db] val pred: org.apache.spark.sql.Column,
+    private[db] val idsBc: org.apache.spark.broadcast.Broadcast[Array[Long]]) {
+  /** Number of ids the predicate matched at compile time. */
+  def size: Int = idsBc.value.length
+  /** Release the broadcast (the handle must not be used afterwards). */
+  def release(): Unit = idsBc.unpersist()
+}
+
 object VectorDB {
+
+  /** One typed search hit — the reference's own result shape (`search`
+    * returns a plain list of dicts, `BinaryVectorDB.py:252`). Field
+    * order matches the DataFrame column order of [[VectorDB.searchVector]].
+    */
+  final case class SearchHit(docId: Long, scoreHamming: Int,
+                             scoreBinary: Double, scoreCossim: Double,
+                             doc: String)
+
+  /** Ceiling on [[VectorDB.selector]] materialized matches (80 MB of
+    * ids broadcast). Non-selective predicates belong on the semi-join
+    * path, which streams.
+    */
+  val MaxSelectorIds: Int = 10 * 1000 * 1000
 
   /** Typed row of the hot tier. */
   case class CodeRecord(doc_id: Long, code: Seq[Long])

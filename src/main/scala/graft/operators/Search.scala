@@ -102,15 +102,52 @@ object Search {
              int8Oversample: Int = Int8Oversample): DataFrame = {
     Kernels.install(spark)
     val emb = packedEmb(spark, dir)
-    val qv = queryVector(emb, queryVecId)
+    funnelOver(emb, queryVector(emb, queryVecId), maxAbs(spark, dir),
+      k, binaryOversample, int8Oversample)
+  }
+
+  /** Metadata-filtered funnel: the three-phase search restricted to
+    * vectors whose document row satisfies a payload predicate (here:
+    * `documents.lang = lang`) — the filtered-ANN shape every production
+    * vector store needs. Spark-first plan: the predicate filters the
+    * documents scan WITH pushdown (`PushedFilters: [EqualTo(lang,..)]`,
+    * PlanSpec-pinned), the surviving ids reach Phase I as a LEFT SEMI
+    * join (broadcast at fixture scale by Catalyst's own size estimate,
+    * shuffle join above threshold — no forced hint), and the funnel
+    * stages are shared verbatim with [[funnel]]. Quantizer calibration
+    * stays FULL-corpus `maxAbs` — filtering restricts the search set,
+    * never the stored int8 codes. The API-level analogue with an
+    * arbitrary `Column` predicate and heap-time selector pushdown lives
+    * in [[graft.db.VectorDB.searchVectorWhere]].
+    */
+  def filteredFunnel(spark: SparkSession, dir: String, queryVecId: Long = 0,
+                     k: Int = K, binaryOversample: Int = BinaryOversample,
+                     int8Oversample: Int = Int8Oversample,
+                     lang: String = "en"): DataFrame = {
+    Kernels.install(spark)
+    val emb = packedEmb(spark, dir)
+    val allowed = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    funnelOver(emb.join(allowed, Seq("vec_id"), "left_semi"),
+      queryVector(emb, queryVecId), maxAbs(spark, dir),
+      k, binaryOversample, int8Oversample)
+  }
+
+  /** The shared three-phase funnel stages over an arbitrary base
+    * relation of (vec_id, embedding, code) rows.
+    */
+  private def funnelOver(base: DataFrame, qv: Seq[Double], maxAbsVal: Double,
+                         k: Int, binaryOversample: Int,
+                         int8Oversample: Int): DataFrame = {
     val q = typedlit(qv)
     val qCode = typedlit(packQuery(qv))
-    val ma = lit(maxAbs(spark, dir))
+    val ma = lit(maxAbsVal)
 
     // Phase I — exhaustive hamming over the cached packed codes, top
     // k*binaryOversample. Codegen'd kernel + TakeOrderedAndProject; the
     // only full scan.
-    val phase1 = emb
+    val phase1 = base
       .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
       .orderBy(col("score_hamming").asc, col("vec_id").asc)
       .limit(k * binaryOversample)
@@ -479,6 +516,39 @@ object Search {
          |     WHERE (v.embedding[i] > 0) <> (qv.e[i] > 0))::INT AS score_hamming
          |FROM embeddings v, qv
          |ORDER BY score_hamming ASC, vec_id ASC LIMIT 100""".stripMargin,
+
+    // Same funnel pipeline restricted to the 'en' documents: the filter
+    // lives in the candidate base (CTE f); calibration (s) stays
+    // full-corpus, matching the engine's stored-quantizer semantics.
+    "v11_filtered_funnel" ->
+      s"""WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT max(abs(x))::DOUBLE ma FROM (SELECT unnest(embedding) x FROM embeddings)),
+         |f AS (SELECT v.* FROM embeddings v
+         |      WHERE v.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+         |p1 AS (
+         |  SELECT v.vec_id, v.embedding,
+         |    (SELECT count(*) FROM range(1,65) t(i)
+         |       WHERE (v.embedding[i] > 0) <> (qv.e[i] > 0))::INT AS score_hamming
+         |  FROM f v, qv
+         |  ORDER BY score_hamming ASC, vec_id ASC LIMIT 100),
+         |p2 AS (
+         |  SELECT p1.*, round((SELECT sum(qv.e[i]::DOUBLE *
+         |      (CASE WHEN p1.embedding[i] > 0 THEN 1 ELSE -1 END))
+         |     FROM range(1,65) t(i)), 4) AS score_binary
+         |  FROM p1, qv
+         |  ORDER BY score_binary DESC, vec_id ASC LIMIT 30),
+         |p3 AS (
+         |  SELECT p2.vec_id, p2.score_hamming, p2.score_binary,
+         |    round((SELECT sum(qv.e[i]::DOUBLE *
+         |        least(127.0, greatest(-127.0, floor(p2.embedding[i]::DOUBLE * 127.0 / s.ma + 0.5))))
+         |       FROM range(1,65) t(i)) /
+         |      sqrt((SELECT sum(power(least(127.0, greatest(-127.0,
+         |          floor(p2.embedding[i]::DOUBLE * 127.0 / s.ma + 0.5))), 2))
+         |       FROM range(1,65) t(i))), 4) AS score_cossim
+         |  FROM p2, qv, s
+         |  ORDER BY score_cossim DESC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, score_hamming, score_binary, score_cossim
+         |FROM p3 ORDER BY score_cossim DESC, vec_id ASC""".stripMargin,
 
     "v2_funnel" ->
       s"""WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),

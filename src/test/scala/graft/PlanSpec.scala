@@ -52,6 +52,19 @@ class PlanSpec extends AnyFunSuite {
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
   }
 
+  test("filtered funnel: lang predicate pushed to the documents scan, ids semi-joined") {
+    val p = plan(graft.operators.Search.filteredFunnel(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)"),
+      s"lang filter not pushed:\n$p")
+    // documents scan reads only the two needed columns (pruned schema)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"documents scan not pruned to (doc_id, lang):\n$p")
+    assert(p.contains("LeftSemi"), s"expected a semi-join restriction:\n$p")
+    // the restriction must not change the top-k shape: still a
+    // per-partition top-k + driver merge, no global sort
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+  }
+
   test("VectorDB search: cold tier read is a pushed-down point-lookup batch, not a scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graftplan").toFile
     tmp.delete()
