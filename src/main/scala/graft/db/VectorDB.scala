@@ -303,7 +303,7 @@ class VectorDB private (
     * kernels accumulate doubles left-to-right, so the serving path and
     * the Catalyst path produce bit-identical scores.
     */
-  private def cosSimInt8(q: Seq[Double], bytes: Array[Byte]): Double = {
+  private def cosSimInt8(q: Array[Double], bytes: Array[Byte]): Double = {
     val n = math.min(q.length, bytes.length)
     var i = 0
     var dot = 0.0
@@ -481,11 +481,12 @@ class VectorDB private (
     val top = ps.topB(qWords.toArray, k * binaryOversample, probed, sel.map(_.idsBc))
     // Phase II: graft_sign_dot mirror (MSB-first bit order,
     // left-to-right double accumulation), (score desc, id asc) rank.
-    top.map { h => (h, signDotWords(q, h.words)) }
+    val qa = q.toArray
+    top.map { h => (h, signDotWords(qa, h.words)) }
       .sortBy { case (h, sb) => (-sb, h.id) }
       .take(k * int8Oversample)
       .map { case (h, sb) =>
-        VectorDB.SearchHit(h.id, h.hamming, sb, cosSimInt8(q, h.bytes), h.doc)
+        VectorDB.SearchHit(h.id, h.hamming, sb, cosSimInt8(qa, h.bytes), h.doc)
       }
       .sortBy(h => (-h.scoreCossim, h.docId)).take(k).toIndexedSeq
   }
@@ -560,8 +561,7 @@ class VectorDB private (
     * left-to-right double accumulation) — the serving path's prepared
     * scan and the Catalyst path produce bit-identical scores.
     */
-  private def signDotWords(q: Seq[Double], words: Array[Long]): Double = {
-    val qa = q.toArray
+  private def signDotWords(qa: Array[Double], words: Array[Long]): Double = {
     val n = math.min(qa.length, words.length * 64)
     var j = 0
     var acc = 0.0
@@ -640,11 +640,12 @@ class VectorDB private (
         val out = queries.toIndexedSeq.zipWithIndex.flatMap { case ((qid, qv), qi) =>
           // Phases II/III mirrors + ranking — identical to the
           // single-query serving path, per query.
-          topPerQ(qi).map(h => (h, signDotWords(qv, h.words)))
+          val qa = qv.toArray
+          topPerQ(qi).map(h => (h, signDotWords(qa, h.words)))
             .sortBy { case (h, sb) => (-sb, h.id) }
             .take(k * int8Oversample)
             .map { case (h, sb) =>
-              (qid, h.id, h.hamming, sb, cosSimInt8(qv, h.bytes), h.doc)
+              (qid, h.id, h.hamming, sb, cosSimInt8(qa, h.bytes), h.doc)
             }
             .sortBy(t => (-t._5, t._2)).take(k).zipWithIndex
             .map { case (t, i) => (t._1, i + 1, t._2, t._3, t._4, t._5, t._6) }

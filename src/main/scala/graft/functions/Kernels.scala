@@ -66,10 +66,21 @@ object Kernels {
     k
   }
 
+  /** Sessions whose registry already holds every kernel. Keyed by the
+    * session object (clones via `newSession()` carry their own registry
+    * and register on first use); guards the serving hot path — `install`
+    * sits on every search call, and re-registering 16 functions
+    * per query is avoidable registry mutation (and WARN-log spam).
+    */
+  private val installedSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotent per-session registration of all kernels. */
-  def install(spark: SparkSession): Unit = registrations.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
-  }
+  def install(spark: SparkSession): Unit =
+    if (installedSessions.add(spark)) registrations.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
 
   // ---- vector kernels -----------------------------------------------------
 
