@@ -24,6 +24,9 @@ object SparkEntry {
     // Metadata-filtered funnel: same three phases over the 'en' subset
     // (semi-join with the pushed-down documents filter).
     "v11_filtered_funnel" -> ((s, d) => Search.filteredFunnel(s, d)),
+    // Hamming range search (faiss range_search analogue): all vectors
+    // within 24 bits of the query — a pure codegen'd filter scan.
+    "v12_range_search" -> ((s, d) => Search.hammingWithinRadius(s, d)),
     "v3_knn_cosine" -> ((s, d) => Search.knnCosine(s, d)),
     "v4_knn_per_label" -> ((s, d) => Search.knnPerLabel(s, d)),
     "v5_neardup_embedding" -> ((s, d) => Search.nearDupEmbeddings(s, d)),

@@ -124,6 +124,38 @@ final class PreparedScan private (
     }
   }
 
+  /** All rows within `radius` hamming bits of the query — the faiss
+    * `range_search` analogue on the serving tier. Unlike [[topB]] the
+    * per-row early-exit bound is FIXED at `radius` from the first row
+    * (no heap warm-up), so word-loop pruning is strictly stronger; the
+    * result size is whatever matches (possibly zero, possibly the
+    * block). `probed`/`sel` behave as in [[topB]]. Rank-sorted.
+    */
+  def withinRadius(qWords: Array[Long], radius: Int,
+                   probed: Option[Array[Int]] = None,
+                   sel: Option[Broadcast[Array[Long]]] = None): Array[PreparedScan.Hit] = {
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    val nw = nWords
+    val probeSorted = probed.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }
+    val selBc = sel.orNull
+    val perPart: Array[Array[PreparedScan.Hit]] =
+      blocks.sparkContext.runJob(blocks,
+        (it: Iterator[PreparedScan.Block]) => {
+          if (!it.hasNext) Array.empty[PreparedScan.Hit]
+          else {
+            val blk = it.next()
+            val skip = probeSorted.exists(p =>
+              !blk.distinctCells.exists(c => java.util.Arrays.binarySearch(p, c) >= 0))
+            if (skip) Array.empty[PreparedScan.Hit]
+            else PreparedScan.rangeScanBlock(blk, qWords, nw, radius,
+              probeSorted.orNull, if (selBc == null) null else selBc.value)
+          }
+        })
+    val merged = perPart.flatten
+    java.util.Arrays.sort(merged, PreparedScan.rankOrder)
+    merged
+  }
+
   def unpersist(): Unit = blocks.unpersist()
 }
 
@@ -264,6 +296,48 @@ object PreparedScan {
     }
     java.util.Arrays.sort(out, rankOrder)
     out
+  }
+
+  /** Range scan of one block: every row with hamming ≤ `radius`,
+    * abandoning each row's word loop the moment the running sum exceeds
+    * the fixed radius. Same membership semantics as [[scanBlock]] for
+    * `probeSorted`/`selSorted`.
+    */
+  private[db] def rangeScanBlock(blk: Block, qWords: Array[Long], nWords: Int,
+                                 radius: Int, probeSorted: Array[Int],
+                                 selSorted: Array[Long] = null): Array[Hit] = {
+    val n = blk.ids.length
+    val out = scala.collection.mutable.ArrayBuilder.make[Hit]
+    val withPayload = blk.byteLen > 0
+    val filterCells = probeSorted != null && blk.cells.length > 0
+    var row = 0
+    while (row < n) {
+      if (!filterCells ||
+          java.util.Arrays.binarySearch(probeSorted, blk.cells(row)) >= 0) {
+        val base = row * nWords
+        var acc = 0
+        var w = 0
+        while (w < nWords && acc <= radius) {
+          acc += java.lang.Long.bitCount(blk.words(base + w) ^ qWords(w))
+          w += 1
+        }
+        if (w == nWords && acc <= radius) {
+          val id = blk.ids(row)
+          if (selSorted == null ||
+              java.util.Arrays.binarySearch(selSorted, id) >= 0) {
+            out += Hit(id, acc,
+              java.util.Arrays.copyOfRange(blk.words, base, base + nWords),
+              if (withPayload)
+                java.util.Arrays.copyOfRange(blk.bytes, row * blk.byteLen,
+                  (row + 1) * blk.byteLen)
+              else null,
+              if (blk.docs != null) blk.docs(row) else null)
+          }
+        }
+      }
+      row += 1
+    }
+    out.result()
   }
 
   /** Build (and materialize) the prepared scan. `codes` must expose

@@ -427,6 +427,46 @@ class VectorDB private (
     }
   }
 
+  /** Hamming RANGE search over the stored codes — the faiss
+    * `range_search` analogue: (doc_id, hamming) for EVERY indexed
+    * vector within `radius` bits of the query's sign code, however many
+    * match. This is the ingest-time near-duplicate probe ("is anything
+    * this close already indexed?") where top-k has the wrong contract —
+    * the right answer may be empty or thousands. Under serving it's one
+    * bare RDD job with the early-exit bound FIXED at `radius` (strictly
+    * stronger pruning than top-k's adaptive bound); otherwise a
+    * codegen'd filter over the cached hot tier. `sel` restricts the
+    * scan to a compiled allowlist. Results sorted (hamming asc, id asc).
+    */
+  def searchRadius(q: Seq[Double], radius: Int,
+                   sel: Option[DocSelector] = None): Seq[(Long, Int)] = {
+    Kernels.install(spark)
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    require(count() > 0, "search on empty index")
+    val qWords = graft.operators.Search.packQuery(q)
+    preparedScan() match {
+      case Some(ps) =>
+        ps.withinRadius(qWords.toArray, radius, None, sel.map(_.idsBc))
+          .map(h => (h.id, h.hamming)).toIndexedSeq
+      case None =>
+        val hammingCol =
+          if (isFlat) (0 until nWords).map(i =>
+            expr(s"bit_count(c$i ^ ${qWords(i)}L)")).reduce(_ + _).cast("int")
+          else Kernels.hamming(col("code"), typedlit(qWords))
+        val base = sel match {
+          case Some(s) => codes.join(docs.filter(s.pred).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          case None => codes
+        }
+        base.withColumn("score_hamming", hammingCol)
+          .filter(col("score_hamming") <= radius)
+          .orderBy(col("score_hamming").asc, col("doc_id").asc)
+          .select("doc_id", "score_hamming")
+          .collect().toIndexedSeq
+          .map(r => (r.getLong(0), r.getInt(1)))
+    }
+  }
+
   /** Compile a cold-tier predicate into a reusable id selector: evaluate
     * it ONCE (filter pushed into the cold-tier scan), sort the matching
     * ids, broadcast them (8 B/id). The handle amortizes across any

@@ -183,6 +183,30 @@ object Search {
       .select("vec_id", "score_hamming")
   }
 
+  /** Hamming RANGE search — the faiss `range_search` analogue the
+    * binary-index family supports alongside top-k: every vector whose
+    * code is within `radius` bits of the query's, however many there
+    * are. The at-scale near-duplicate-lookup shape ("has anything this
+    * close already been indexed?") where top-k is wrong because the
+    * right answer can be empty or thousands. Plan: a pure codegen'd
+    * filter over the cached packed codes — embarrassingly parallel, no
+    * shuffle, no driver merge beyond the (small) matching set; the
+    * radius predicate rides the same `graft_hamming` kernel as Phase I.
+    */
+  def hammingWithinRadius(spark: SparkSession, dir: String,
+                          queryVecId: Long = 0,
+                          radius: Int = 24): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    Kernels.install(spark)
+    val emb = packedEmb(spark, dir)
+    val qCode = typedlit(packQuery(queryVector(emb, queryVecId)))
+    emb
+      .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
+      .filter(col("score_hamming") <= radius)
+      .orderBy(col("score_hamming").asc, col("vec_id").asc)
+      .select("vec_id", "score_hamming")
+  }
+
   /** E3 baseline: exact brute-force cosine top-k. */
   def knnCosine(spark: SparkSession, dir: String, queryVecId: Long = 0, k: Int = K): DataFrame = {
     Kernels.install(spark)
@@ -516,6 +540,17 @@ object Search {
          |     WHERE (v.embedding[i] > 0) <> (qv.e[i] > 0))::INT AS score_hamming
          |FROM embeddings v, qv
          |ORDER BY score_hamming ASC, vec_id ASC LIMIT 100""".stripMargin,
+
+    // Range search: same per-row hamming as v1, WHERE instead of top-k.
+    "v12_range_search" ->
+      s"""WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+         |h AS (
+         |  SELECT v.vec_id,
+         |    (SELECT count(*) FROM range(1,65) t(i)
+         |       WHERE (v.embedding[i] > 0) <> (qv.e[i] > 0))::INT AS score_hamming
+         |  FROM embeddings v, qv)
+         |SELECT vec_id, score_hamming FROM h WHERE score_hamming <= 24
+         |ORDER BY score_hamming ASC, vec_id ASC""".stripMargin,
 
     // Same funnel pipeline restricted to the 'en' documents: the filter
     // lives in the candidate base (CTE f); calibration (s) stays
