@@ -667,28 +667,11 @@ class VectorDB private (
     // parity across layouts and IVF probing).
     preparedScan() match {
       case Some(ps) =>
-        val qWordsArr = queries.map { case (_, qv) =>
-          graft.operators.Search.packQuery(qv).toArray }.toArray
-        val probed =
-          if (masking)
-            Some(queries.map { case (_, qv) =>
-              probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe).toArray
-            }.toArray)
-          else None
-        val topPerQ = ps.topBMany(qWordsArr, k * binaryOversample, probed,
-          sel.map(_.idsBc))
-        val out = queries.toIndexedSeq.zipWithIndex.flatMap { case ((qid, qv), qi) =>
-          // Phases II/III mirrors + ranking — identical to the
-          // single-query serving path, per query.
-          val qa = qv.toArray
-          topPerQ(qi).map(h => (h, signDotWords(qa, h.words)))
-            .sortBy { case (h, sb) => (-sb, h.id) }
-            .take(k * int8Oversample)
-            .map { case (h, sb) =>
-              (qid, h.id, h.hamming, sb, cosSimInt8(qa, h.bytes), h.doc)
-            }
-            .sortBy(t => (-t._5, t._2)).take(k).zipWithIndex
-            .map { case (t, i) => (t._1, i + 1, t._2, t._3, t._4, t._5, t._6) }
+        val out = servedManyHits(ps, queries, k, binaryOversample,
+          int8Oversample, nprobe, sel).flatMap { case (qid, hits) =>
+          hits.zipWithIndex.map { case (h, i) =>
+            (qid, i + 1, h.docId, h.scoreHamming, h.scoreBinary,
+              h.scoreCossim, h.doc) }
         }.sortBy(t => (t._1, t._2))
         spark.createDataFrame(out).toDF("qid", "rank", "doc_id",
           "score_hamming", "score_binary", "score_cossim", "doc")
