@@ -613,6 +613,76 @@ class VectorDB private (
     acc
   }
 
+  /** Batched serving path: every query's Phase-I bounded heap runs
+    * inside ONE bare RDD job over the prepared blocks
+    * ([[PreparedScan.topBMany]], payloads in-band), then phases II/III
+    * run driver-side per query — exact mirrors of [[servedHits]], so a
+    * batch of ANY size pays one job floor total. Returns hits in qid
+    * input order, each list ranked exactly like the single-query path
+    * (PreparedScanSpec pins batched ≡ single-query).
+    */
+  private def servedManyHits(ps: PreparedScan, queries: Seq[(Long, Seq[Double])],
+                             k: Int, binaryOversample: Int, int8Oversample: Int,
+                             nprobe: Int, sel: Option[DocSelector])
+      : IndexedSeq[(Long, IndexedSeq[VectorDB.SearchHit])] = {
+    val masking = isIvf && nprobe < ivfCells
+    val qWordsArr = queries.map { case (_, qv) =>
+      graft.operators.Search.packQuery(qv).toArray }.toArray
+    val probed =
+      if (masking)
+        Some(queries.map { case (_, qv) =>
+          probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe).toArray
+        }.toArray)
+      else None
+    val topPerQ = ps.topBMany(qWordsArr, k * binaryOversample, probed,
+      sel.map(_.idsBc))
+    queries.toIndexedSeq.zipWithIndex.map { case ((qid, qv), qi) =>
+      val qa = qv.toArray
+      val hits = topPerQ(qi).map(h => (h, signDotWords(qa, h.words)))
+        .sortBy { case (h, sb) => (-sb, h.id) }
+        .take(k * int8Oversample)
+        .map { case (h, sb) =>
+          VectorDB.SearchHit(h.id, h.hamming, sb, cosSimInt8(qa, h.bytes), h.doc)
+        }
+        .sortBy(h => (-h.scoreCossim, h.docId)).take(k).toIndexedSeq
+      (qid, hits)
+    }
+  }
+
+  /** Typed batched results — [[searchHits]] for a whole query batch:
+    * per-qid hit lists with zero per-query DataFrame materialization.
+    * Under serving this is [[servedManyHits]] (one bare RDD job for the
+    * whole batch); without serving it collects the Catalyst
+    * [[searchMany]] result once and groups it. Row-for-row identical to
+    * [[searchMany]] (ServingIndexSpec pins it).
+    */
+  def searchManyHits(queries: Seq[(Long, Seq[Double])], k: Int = 10,
+                     binaryOversample: Int = 10, int8Oversample: Int = 3,
+                     nprobe: Int = Int.MaxValue,
+                     sel: Option[DocSelector] = None)
+      : IndexedSeq[(Long, IndexedSeq[VectorDB.SearchHit])] = {
+    validateSearch(k, binaryOversample, int8Oversample, nprobe)
+    require(queries.nonEmpty, "searchManyHits needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "searchManyHits qids must be distinct")
+    preparedScan() match {
+      case Some(ps) =>
+        servedManyHits(ps, queries, k, binaryOversample, int8Oversample,
+          nprobe, sel)
+      case None =>
+        val byQid = searchMany(queries, k, binaryOversample, int8Oversample,
+            nprobe, sel)
+          .collect().toIndexedSeq
+          .map(r => (r.getLong(0), (r.getInt(1), VectorDB.SearchHit(r.getLong(2),
+            r.getInt(3), r.getDouble(4), r.getDouble(5), r.getString(6)))))
+          .groupBy(_._1)
+        queries.toIndexedSeq.map { case (qid, _) =>
+          (qid, byQid.getOrElse(qid, IndexedSeq.empty)
+            .map(_._2).sortBy(_._1).map(_._2).toIndexedSeq)
+        }
+    }
+  }
+
   /** Batched multi-query funnel over the stored tiers: one scan of the
     * hot tier serves every query (Phase I via the bounded-heap aggregate,
     * Q heaps built map-side), then phases II/III run per query under
