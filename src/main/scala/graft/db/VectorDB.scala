@@ -630,9 +630,8 @@ class VectorDB private (
       graft.operators.Search.packQuery(qv).toArray }.toArray
     val probed =
       if (masking)
-        Some(queries.map { case (_, qv) =>
-          probeOrder(graft.operators.Search.packQuery(qv)).take(nprobe).toArray
-        }.toArray)
+        Some(qWordsArr.map(w =>
+          probeOrder(w.toIndexedSeq).take(nprobe).toArray))
       else None
     val topPerQ = ps.topBMany(qWordsArr, k * binaryOversample, probed,
       sel.map(_.idsBc))

@@ -60,6 +60,61 @@ class ServingIndexSpec extends AnyFunSuite {
     assert(plainAgain == plain)
   }
 
+  private def manyHitRows(
+      out: IndexedSeq[(Long, IndexedSeq[VectorDB.SearchHit])]): Seq[Seq[Any]] =
+    out.flatMap { case (qid, hits) =>
+      hits.zipWithIndex.map { case (h, i) =>
+        Seq[Any](qid, i + 1, h.docId, h.scoreHamming, h.scoreBinary,
+          h.scoreCossim, h.doc)
+      }
+    }
+
+  test("searchManyHits == searchMany row-for-row on both paths, incl. selector") {
+    import org.apache.spark.sql.functions.col
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(240))
+    val queries = Seq(
+      7L -> (0 until 64).map(i => math.cos(i * 1.3) / 4.0),
+      8L -> (0 until 64).map(i => math.sin(i * 0.4) / 4.0),
+      9L -> (0 until 64).map(i => (if (i % 2 == 0) 0.8 else -1.0) / 4.0))
+    // Catalyst path (positional row decode of the collected searchMany)
+    val plainDf = asComparable(db.searchMany(queries, k = 5).collect())
+    assert(manyHitRows(db.searchManyHits(queries, k = 5)) == plainDf,
+      "catalyst searchManyHits diverged from searchMany")
+    // serving path
+    db.enableServing()
+    assert(manyHitRows(db.searchManyHits(queries, k = 5)) ==
+      asComparable(db.searchMany(queries, k = 5).collect()),
+      "served searchManyHits diverged from searchMany")
+    // with a compiled selector on both paths
+    val sel = db.selector(col("doc").contains("topic 3"))
+    val servedSel = manyHitRows(db.searchManyHits(queries, k = 5, sel = Some(sel)))
+    assert(servedSel ==
+      asComparable(db.searchMany(queries, k = 5, sel = Some(sel)).collect()))
+    db.disableServing()
+    assert(manyHitRows(db.searchManyHits(queries, k = 5, sel = Some(sel))) ==
+      servedSel, "selector results diverged across paths")
+    sel.release()
+  }
+
+  test("searchManyHits parity holds under IVF probing on both paths") {
+    val db = VectorDB.openOrCreate(spark, freshDir(),
+      index = VectorDB.IndexIvf, ivfCells = 8)
+    db.addDocuments(fixture(300))
+    val queries = Seq(
+      1L -> (0 until 64).map(i => math.sin(i * 2.1) / 4.0),
+      2L -> (0 until 64).map(i => math.cos(i * 0.6) / 4.0))
+    val plain = manyHitRows(db.searchManyHits(queries, k = 4, nprobe = 3))
+    assert(plain ==
+      asComparable(db.searchMany(queries, k = 4, nprobe = 3).collect()))
+    db.enableServing()
+    val served = manyHitRows(db.searchManyHits(queries, k = 4, nprobe = 3))
+    assert(served ==
+      asComparable(db.searchMany(queries, k = 4, nprobe = 3).collect()))
+    assert(served == plain, "IVF probed batch diverged across paths")
+    db.disableServing()
+  }
+
   test("serving index survives a commit: invalidated and rebuilt with fresh data") {
     val db = VectorDB.openOrCreate(spark, freshDir())
     db.addDocuments(fixture(60))
