@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark rejects by default. Read nanos as long and convert to
-    * TimestampType via integer division — `div`, not `/`, since nanos
-    * ~1.7e18 exceed double's 53-bit mantissa.
+  /** The events fixture has shipped `ts` as both parquet TIMESTAMP(NANOS)
+    * (older generations) and TIMESTAMP(MICROS) (current). Spark rejects
+    * NANOS by default; with `nanosAsLong` it surfaces as LongType, which
+    * we convert via integer division — `div`, not `/`, since nanos
+    * ~1.7e18 exceed double's 53-bit mantissa. MICROS reads natively as
+    * TimestampType (the flag is a no-op there), so [[events]] adapts on
+    * the resolved schema and handles either fixture generation.
     *
     * The legacy flag is set on a SCOPED SESSION CLONE (`newSession()` —
     * same SparkContext, isolated SQL conf), never on the caller's shared
@@ -43,9 +46,25 @@ object Events {
       s
     })
 
+  /** Normalize a raw events relation so `ts` is TimestampType regardless
+    * of the fixture's physical timestamp encoding (see [[NanosAsLong]]).
+    * The NTZ case maps the naive wall-clock to the SAME instant DuckDB's
+    * `epoch(ts)` assigns it (epoch = naive value read as UTC) without
+    * consulting `spark.sql.session.timeZone` — a plain cast would shift
+    * by the session zone and break the oracle compare off-UTC.
+    */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos surfaced as long
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
+      case _ => raw // already an instant (TIMESTAMP with tz semantics)
+    }
+
   private[operators] def events(spark: SparkSession, dir: String): DataFrame =
-    eventsSession(spark).read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(eventsSession(spark).read.parquet(s"$dir/events.parquet"))
 
   /** E8a: tumbling 1-hour windows per event type — the canonical streaming
     * aggregation shape (`window()` aligns to epoch hours, same as

@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   *
   * Both are therefore the 100 TB plan: they shuffle on (user, time-bucket)
   * like any other keyed operator, with no broadcast of a big side and no
-  * nested loop. Timestamps are compared in epoch MICROSECONDS (the events
-  * fixture is TIMESTAMP(NANOS); `unix_micros` after the `div 1000` read ≡
-  * DuckDB `epoch_ns(ts) // 1000` — both floor).
+  * nested loop. Timestamps are compared in epoch MICROSECONDS
+  * (`unix_micros` over the normalized read ≡ DuckDB `epoch_ns(ts) // 1000`
+  * — both floor; see [[Events.normalizeTs]] for the fixture's physical
+  * timestamp units).
   *
   * Reference scope note: the reference engine has no temporal joins
   * (`/root/reference/BinaryVectorDB/BinaryVectorDB.py` — batch KV + vector

@@ -24,9 +24,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingIngest {
 
-  /** Streaming source over the events fixture directory. The fixture
-    * stores TIMESTAMP(NANOS); read nanos as long and convert (see
-    * [[graft.operators.Events]]).
+  /** Streaming source over the events fixture directory. `ts` normalizes
+    * to TimestampType whether the fixture stores TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) (see [[graft.operators.Events.normalizeTs]]).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // nanosAsLong lives on the scoped events-reader session clone (see
@@ -38,10 +38,10 @@ object StreamingIngest {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // The fixture is a single file, not a stream directory; the file
     // source requires a directory unless the path is a glob, so glob it.
-    s.readStream
-      .schema(schema)
-      .parquet(s"$dir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.operators.Events.normalizeTs(
+      s.readStream
+        .schema(schema)
+        .parquet(s"$dir/events.*"))
   }
 
   /** Tumbling 1-hour counts per event type with a 10-minute watermark. */

@@ -13,8 +13,8 @@ class FunnelStepsSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("funnelSteps matches a driver-side per-user sequence walk") {
-    val rows = Events.eventsSession(spark).read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val rows = Events.normalizeTs(
+        Events.eventsSession(spark).read.parquet(s"$dir/events.parquet"))
       .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

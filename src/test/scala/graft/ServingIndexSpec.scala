@@ -67,7 +67,10 @@ class ServingIndexSpec extends AnyFunSuite {
         Seq[Any](qid, i + 1, h.docId, h.scoreHamming, h.scoreBinary,
           h.scoreCossim, h.doc)
       }
-    }
+    // searchManyHits preserves input order while searchMany sorts output by
+    // qid asc — sort here so the parity asserts don't depend on the test's
+    // query literals happening to be listed in ascending qid order.
+    }.sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int]))
 
   test("searchManyHits == searchMany row-for-row on both paths, incl. selector") {
     import org.apache.spark.sql.functions.col

@@ -16,9 +16,10 @@ class TemporalSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def eventsUs(): DataFrame = {
-    graft.operators.Events.eventsSession(spark).read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("us", expr("ts div 1000"))
+    graft.operators.Events.normalizeTs(
+      graft.operators.Events.eventsSession(spark).read
+        .parquet(s"$dir/events.parquet"))
+      .withColumn("us", unix_micros(col("ts")))
       .select("event_id", "user_id", "us", "event_type", "value")
   }
 
