@@ -34,6 +34,11 @@ object Demo {
     val query = "spark group query row data filter"
     println(s"search: '$query'")
     db.search(query, k = 5).show(5, 60)
+    // Per-phase wall times — the reference prints the same three numbers
+    // from its INFO logs (examples/search_in_db.py:21-23).
+    db.lastSearchTimings.foreach(t => println(
+      f"phases: I ${t.phase1Ms}%.1f ms, II ${t.phase2Ms}%.1f ms, " +
+        f"III ${t.phase3Ms}%.1f ms (total ${t.totalMs}%.1f ms)"))
 
     // Batched serving: one scan of the hot tier answers a query batch
     // (any k/oversample) via the bounded-heap aggregate.

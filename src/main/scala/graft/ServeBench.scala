@@ -54,9 +54,18 @@ object ServeBench {
     db.searchVector(queries.head, k = 10).collect()
     val served = queries.map(q => time(db.searchVector(q, k = 10).collect()))
     // typed-result serving API: same one-job funnel, no per-query
-    // DataFrame wrap (the reference returns a plain hit list too)
+    // DataFrame wrap (the reference returns a plain hit list too).
+    // Per-phase timings ride along (the reference's INFO-logged phase
+    // walls, BinaryVectorDB.py:216,232,250) — medians over the batch.
     db.searchHits(queries.head, k = 10)
-    val hits = queries.map(q => time(db.searchHits(q, k = 10)))
+    val hitsAndPhases = queries.map { q =>
+      val ms = time(db.searchHits(q, k = 10))
+      (ms, db.lastSearchTimings)
+    }
+    val hits = hitsAndPhases.map(_._1)
+    val phases = hitsAndPhases.flatMap(_._2)
+    val (p1, p2, p3) = (median(phases.map(_.phase1Ms)),
+      median(phases.map(_.phase2Ms)), median(phases.map(_.phase3Ms)))
     // batched funnel: under serving this is ONE topBMany RDD job + one
     // indexed lookup for the whole 16-query batch (no per-batch Catalyst)
     val qBatch = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
@@ -88,7 +97,7 @@ object ServeBench {
     }
     pool.shutdown()
 
-    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"hits_ms":${median(hits)}%.1f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"hits_concurrent_per_query_ms":${median(hitsConcRounds)}%.1f,"unit":"ms"}""")
+    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"hits_ms":${median(hits)}%.1f,"hits_phase1_ms":$p1%.2f,"hits_phase2_ms":$p2%.2f,"hits_phase3_ms":$p3%.2f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"hits_concurrent_per_query_ms":${median(hitsConcRounds)}%.1f,"unit":"ms"}""")
     spark.stop()
   }
 }

@@ -421,9 +421,16 @@ class VectorDB private (
       case Some(ps) =>
         servedHits(ps, q, k, binaryOversample, int8Oversample, nprobe, sel)
       case None =>
-        catalystFunnel(q, k, binaryOversample, int8Oversample, nprobe, sel.map(_.pred))
-          .collect().toIndexedSeq.map(r => VectorDB.SearchHit(r.getLong(0),
-            r.getInt(1), r.getDouble(2), r.getDouble(3), r.getString(4)))
+        val df = catalystFunnel(q, k, binaryOversample, int8Oversample, nprobe,
+          sel.map(_.pred))
+        val t0 = System.nanoTime()
+        val hits = df.collect().toIndexedSeq.map(r => VectorDB.SearchHit(r.getLong(0),
+          r.getInt(1), r.getDouble(2), r.getDouble(3), r.getString(4)))
+        // Stamp the cold-tier rescore job into phase3Ms (catalystFunnel
+        // recorded the fused I+II job when it materialized candidates).
+        Option(lastTimingsTL.get()).foreach(t =>
+          recordTimings(t.copy(phase3Ms = (System.nanoTime() - t0) / 1e6)))
+        hits
     }
   }
 
@@ -495,6 +502,26 @@ class VectorDB private (
     validateFunnelParams(k, binaryOversample, int8Oversample)
   }
 
+  /** Most recent [[VectorDB.SearchTimings]] recorded by a funnel search
+    * on the CALLING thread (thread-local, so concurrent serving callers
+    * each observe their own query's phases — the ServeBench regime).
+    * `None` before the first search on this thread.
+    */
+  def lastSearchTimings: Option[VectorDB.SearchTimings] =
+    Option(lastTimingsTL.get())
+
+  private val lastTimingsTL = new ThreadLocal[VectorDB.SearchTimings]
+
+  private def recordTimings(t: VectorDB.SearchTimings): Unit = {
+    lastTimingsTL.set(t)
+    // The reference logs each phase's wall time at INFO
+    // (BinaryVectorDB.py:216,232,250); mirror that per call.
+    if (VectorDB.log.isInfoEnabled)
+      VectorDB.log.info(
+        f"search phases: I ${t.phase1Ms}%.3f ms, II ${t.phase2Ms}%.3f ms, " +
+          f"III ${t.phase3Ms}%.3f ms (total ${t.totalMs}%.3f ms)")
+  }
+
   private def hitsToDf(hits: Seq[VectorDB.SearchHit]): DataFrame =
     spark.createDataFrame(hits.map(h =>
         (h.docId, h.scoreHamming, h.scoreBinary, h.scoreCossim, h.doc)))
@@ -518,17 +545,25 @@ class VectorDB private (
       if (isIvf && nprobe < ivfCells)
         Some(probeOrder(qWords).take(nprobe).toArray)
       else None
+    val t0 = System.nanoTime()
     val top = ps.topB(qWords.toArray, k * binaryOversample, probed, sel.map(_.idsBc))
+    val t1 = System.nanoTime()
     // Phase II: graft_sign_dot mirror (MSB-first bit order,
     // left-to-right double accumulation), (score desc, id asc) rank.
     val qa = q.toArray
-    top.map { h => (h, signDotWords(qa, h.words)) }
+    val phase2 = top.map { h => (h, signDotWords(qa, h.words)) }
       .sortBy { case (h, sb) => (-sb, h.id) }
       .take(k * int8Oversample)
+    val t2 = System.nanoTime()
+    val hits = phase2
       .map { case (h, sb) =>
         VectorDB.SearchHit(h.id, h.hamming, sb, cosSimInt8(qa, h.bytes), h.doc)
       }
       .sortBy(h => (-h.scoreCossim, h.docId)).take(k).toIndexedSeq
+    val t3 = System.nanoTime()
+    recordTimings(VectorDB.SearchTimings(
+      (t1 - t0) / 1e6, (t2 - t1) / 1e6, (t3 - t2) / 1e6))
+    hits
   }
 
   /** The Catalyst funnel over the stored tiers; `where`, when given,
@@ -570,6 +605,7 @@ class VectorDB private (
         // Phase II runs on ≤ k·binaryOversample rows; materialize the ≤
         // k·int8Oversample winners driver-side (the reference holds the
         // same candidate list in a Python list, BinaryVectorDB.py:236).
+        val t0 = System.nanoTime()
         val candidates = phase1
           .withColumn("score_binary", Kernels.signDot(qLit, col("code")))
           .orderBy(col("score_binary").desc, col("doc_id").asc)
@@ -577,6 +613,10 @@ class VectorDB private (
           .select("doc_id", "score_hamming", "score_binary")
           .collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        // Phases I+II run FUSED in the one job just collected; phase III
+        // is the returned (lazy) cold-tier rescore — searchHits stamps
+        // its wall time into phase3Ms when it materializes the result.
+        recordTimings(VectorDB.SearchTimings((System.nanoTime() - t0) / 1e6, 0.0, 0.0))
         val ids = candidates.map(_._1).toSeq
 
         // Point-lookup batch against the cold tier: the id filter pushes
@@ -868,6 +908,25 @@ object VectorDB {
   final case class SearchHit(docId: Long, scoreHamming: Int,
                              scoreBinary: Double, scoreCossim: Double,
                              doc: String)
+
+  /** Per-phase wall times of one funnel search — the observability the
+    * reference surfaces as INFO logs around each phase
+    * (`BinaryVectorDB/BinaryVectorDB.py:216,232,250`, printed by
+    * `examples/search_in_db.py:21-23`): a user tuning oversampling sees
+    * where the time goes without reaching for a profiler. Under serving
+    * the three phases are measured individually (Phase I = the bare RDD
+    * heap scan, II/III = the driver-side rescores); on the Catalyst path
+    * phases I+II run fused inside ONE job (`phase1Ms` carries the fused
+    * job, `phase2Ms` is 0 by construction) and `phase3Ms` covers the
+    * cold-tier rescore job when the caller materializes through
+    * [[VectorDB.searchHits]].
+    */
+  final case class SearchTimings(phase1Ms: Double, phase2Ms: Double,
+                                 phase3Ms: Double) {
+    def totalMs: Double = phase1Ms + phase2Ms + phase3Ms
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[VectorDB])
 
   /** Ceiling on [[VectorDB.selector]] materialized matches (80 MB of
     * ids broadcast). Non-selective predicates belong on the semi-join

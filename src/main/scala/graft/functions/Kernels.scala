@@ -76,10 +76,20 @@ object Kernels {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Idempotent per-session registration of all kernels. */
+  /** Idempotent per-session registration of all kernels. Session clones
+    * (`newSession()`/`cloneSession()`) copy the parent's registry
+    * contents, so each kernel is registered only if its name is absent —
+    * an unconditional createOrReplace would emit a "replaced a previously
+    * registered function" WARN per kernel per clone (16 lines of log spam
+    * on every events/streaming session, round-9 review item 4).
+    */
   def install(spark: SparkSession): Unit =
-    if (installedSessions.add(spark)) registrations.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    if (installedSessions.add(spark)) {
+      val registry = spark.sessionState.functionRegistry
+      registrations.foreach { case (name, builder) =>
+        if (!registry.functionExists(FunctionIdentifier(name)))
+          registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
 
   // ---- vector kernels -----------------------------------------------------

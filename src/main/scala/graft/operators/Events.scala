@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
 object Events {
 
   /** The events fixture has shipped `ts` as both parquet TIMESTAMP(NANOS)
-    * (older generations) and TIMESTAMP(MICROS) (current). Spark rejects
-    * NANOS by default; with `nanosAsLong` it surfaces as LongType, which
-    * we convert via integer division — `div`, not `/`, since nanos
-    * ~1.7e18 exceed double's 53-bit mantissa. MICROS reads natively as
-    * TimestampType (the flag is a no-op there), so [[events]] adapts on
-    * the resolved schema and handles either fixture generation.
+    * (older generations) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (current). Spark rejects NANOS by default; with `nanosAsLong` it
+    * surfaces as LongType, which we convert via integer division — `div`,
+    * not `/`, since nanos ~1.7e18 exceed double's 53-bit mantissa. MICROS
+    * surfaces as TimestampNTZType when not adjusted to UTC (the current
+    * fixture — handled by [[normalizeTs]]'s NTZ branch) or TimestampType
+    * when adjusted (the passthrough case); the nanosAsLong flag is a
+    * no-op for both, so [[events]] adapts on the resolved schema and
+    * handles every fixture generation.
     *
     * The legacy flag is set on a SCOPED SESSION CLONE (`newSession()` —
     * same SparkContext, isolated SQL conf), never on the caller's shared
@@ -56,7 +59,17 @@ object Events {
   private[graft] def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos surfaced as long
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // A LongType ts is assumed to be NANOSECONDS (the nanosAsLong
+        // surfacing). Guard the unit per row: epoch nanos for any date
+        // past 1973 exceed 1e17, while plain int64 micros (~1.7e15 for
+        // 2024) or seconds never do — a fixture generation shipping
+        // unlabeled micros must fail loudly here instead of silently
+        // shifting every timestamp 1000×.
+        raw.withColumn("ts", timestamp_micros(expr(
+          "if(ts >= 100000000000000000, ts div 1000, " +
+            "raise_error(concat('events.ts LongType value ', ts, " +
+            "' is too small to be epoch nanoseconds — unlabeled int64 " +
+            "micros/seconds fixture?')))")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", timestamp_micros(expr(
           "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))

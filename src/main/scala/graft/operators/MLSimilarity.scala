@@ -58,10 +58,9 @@ object MLSimilarity {
   def kmeansIvfKnn(spark: SparkSession, dir: String, queryVecId: Long = 0,
                    k: Int = 10, numCells: Int = 10, nprobe: Int = 2): DataFrame = {
     Kernels.install(spark)
-    val emb = Search.packedEmb(spark, dir)
     val (idx, centers) = kmeansIndex(spark, dir, numCells)
 
-    val q = Search.queryVector(emb, queryVecId)
+    val q = Search.queryVector(spark, dir, queryVecId)
     def cos(a: Array[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))

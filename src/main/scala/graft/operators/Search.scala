@@ -39,6 +39,8 @@ object Search {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val maxAbsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Double]
+  private val qvCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), Seq[Double]]
 
   /** Drop this session's persisted code relations and memoized IVF index
     * locations (fixture dirs are immutable, so this is for test/bench
@@ -52,6 +54,7 @@ object Search {
     packedCache.filterInPlace { case ((s, _), df) =>
       if (s == spark) { df.unpersist(); false } else true }
     maxAbsCache.filterInPlace { case ((s, _), _) => s != spark }
+    qvCache.filterInPlace { case ((s, _, _), _) => s != spark }
     ivfCache.filterInPlace { case ((s, _), _) => s != spark }
   }
 
@@ -65,11 +68,30 @@ object Search {
 
   /** Fetch one embedding as a driver-side double array (query-side input,
     * like the reference's per-query embed call — never a table).
+    *
+    * This is a POINT LOOKUP, not a scan of the cached hot tier: the
+    * filter goes against the raw parquet source, where the `vec_id`
+    * equality pushes into the scan (`PushedFilters: [EqualTo(vec_id,..)]`,
+    * PlanSpec-pinned) and the fixture's id-ordered layout lets row-group
+    * min/max stats skip everything but the one matching group — at 100×
+    * the table size the read stays O(one row group), where the previous
+    * form (`packedEmb.filter(...).head()`) walked the whole cached
+    * relation per query (round-9 review finding). The result is memoized
+    * per (session, dir, id), so repeated queries (bench reps, the batched
+    * paths' per-qid fetches) never touch storage again.
     */
-  def queryVector(emb: DataFrame, vecId: Long): Seq[Double] =
-    emb.filter(col("vec_id") === vecId)
+  def queryVector(spark: SparkSession, dir: String, vecId: Long): Seq[Double] =
+    qvCache.getOrElseUpdate((spark, dir, vecId),
+      queryVectorDf(spark, dir, vecId).head().getSeq[Double](0))
+
+  /** The un-collected lookup relation behind [[queryVector]] — exposed so
+    * PlanSpec can pin its pushed-down point-lookup shape.
+    */
+  private[graft] def queryVectorDf(spark: SparkSession, dir: String,
+                                   vecId: Long): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === vecId)
       .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0)
 
   /** Driver-side Q1 pack of a query vector (MSB-first, 64 dims/word). */
   def packQuery(q: Seq[Double]): Seq[Long] = {
@@ -102,7 +124,7 @@ object Search {
              int8Oversample: Int = Int8Oversample): DataFrame = {
     Kernels.install(spark)
     val emb = packedEmb(spark, dir)
-    funnelOver(emb, queryVector(emb, queryVecId), maxAbs(spark, dir),
+    funnelOver(emb, queryVector(spark, dir, queryVecId), maxAbs(spark, dir),
       k, binaryOversample, int8Oversample)
   }
 
@@ -130,7 +152,7 @@ object Search {
       .filter(col("lang") === lang)
       .select(col("doc_id").as("vec_id"))
     funnelOver(emb.join(allowed, Seq("vec_id"), "left_semi"),
-      queryVector(emb, queryVecId), maxAbs(spark, dir),
+      queryVector(spark, dir, queryVecId), maxAbs(spark, dir),
       k, binaryOversample, int8Oversample)
   }
 
@@ -175,7 +197,7 @@ object Search {
                   topK: Int = K * BinaryOversample): DataFrame = {
     Kernels.install(spark)
     val emb = packedEmb(spark, dir)
-    val qCode = typedlit(packQuery(queryVector(emb, queryVecId)))
+    val qCode = typedlit(packQuery(queryVector(spark, dir, queryVecId)))
     emb
       .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
       .orderBy(col("score_hamming").asc, col("vec_id").asc)
@@ -199,7 +221,7 @@ object Search {
     require(radius >= 0, s"radius must be >= 0, got $radius")
     Kernels.install(spark)
     val emb = packedEmb(spark, dir)
-    val qCode = typedlit(packQuery(queryVector(emb, queryVecId)))
+    val qCode = typedlit(packQuery(queryVector(spark, dir, queryVecId)))
     emb
       .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
       .filter(col("score_hamming") <= radius)
@@ -211,7 +233,7 @@ object Search {
   def knnCosine(spark: SparkSession, dir: String, queryVecId: Long = 0, k: Int = K): DataFrame = {
     Kernels.install(spark)
     val emb = packedEmb(spark, dir)
-    val q = typedlit(queryVector(emb, queryVecId))
+    val q = typedlit(queryVector(spark, dir, queryVecId))
     emb
       .withColumn("score", round(Kernels.cosine(col("embedding").cast("array<double>"), q), 4))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -230,7 +252,7 @@ object Search {
   def knnPerLabel(spark: SparkSession, dir: String, queryVecId: Long = 0, k: Int = 3): DataFrame = {
     Kernels.install(spark)
     val emb = packedEmb(spark, dir)
-    val q = typedlit(queryVector(emb, queryVecId))
+    val q = typedlit(queryVector(spark, dir, queryVecId))
     emb
       .withColumn("score", round(Kernels.cosine(col("embedding").cast("array<double>"), q), 4))
       .groupBy("label")
@@ -398,7 +420,7 @@ object Search {
              k: Int = K, nprobe: Int = 2): DataFrame = {
     Kernels.install(spark)
     val emb = packedEmb(spark, dir)
-    val qv = queryVector(emb, queryVecId)
+    val qv = queryVector(spark, dir, queryVecId)
     val q = typedlit(qv)
     val idx = ivfIndexDir(spark, dir)
 
@@ -435,7 +457,7 @@ object Search {
     val emb = packedEmb(spark, dir)
     import spark.implicits._
     val queries = queryVecIds.map { qid =>
-      (qid, packQuery(queryVector(emb, qid)))
+      (qid, packQuery(queryVector(spark, dir, qid)))
     }.toDF("qid", "qcode")
 
     emb
@@ -468,7 +490,7 @@ object Search {
     val emb = packedEmb(spark, dir)
     import spark.implicits._
     val queries = queryVecIds.map { qid =>
-      val qv = queryVector(emb, qid)
+      val qv = queryVector(spark, dir, qid)
       (qid, qv, packQuery(qv))
     }.toDF("qid", "qvec", "qcode")
     val ma = lit(maxAbs(spark, dir))

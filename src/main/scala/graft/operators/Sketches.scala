@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   * L·(L−1)/2 pairwise overlaps come from merging those sketches — no
   * second scan, no pairwise shuffle of raw data.
   *
-  * Both queries also compute the exact answers — feasible at fixture
-  * scale — so the driver-checked outputs carry sketch, truth, and error
-  * in one relation. And because the k-minimum-values set is a
+  * Both REGISTERED queries also compute the exact answers — feasible at
+  * fixture scale — so the driver-checked outputs carry sketch, truth,
+  * and error in one relation; the exact sides (a full distinct-shingle
+  * shuffle; a distinct-hash self-join) are oracle harness, NOT the
+  * production shape. Production callers use the sketch-only entry
+  * points ([[kmvDistinctSketch]]/[[kmvOverlapMatrix]] and the fixture
+  * wrappers [[kmvDistinctShinglesSketch]]/[[kmvJaccardLangsSketch]]),
+  * whose plans carry O(groups·k) state and never touch raw data twice.
+  * And because the k-minimum-values set is a
   * deterministic function of the input set (no randomness, no order
   * dependence), the oracle proves the SKETCHES themselves
   * (`row_number() OVER (ORDER BY hash) <= k`), not just the estimates —
@@ -39,16 +45,79 @@ object Sketches {
   /** Sketch size: RSE ~ 1/√(k−2) ≈ 12.7%. */
   val KmvK = 64
 
-  /** (k−1)·2^60 — the KMV estimator numerator, exact in a double (6-bit
-    * mantissa × power-of-two exponent), so `floor(num / kth)` rounds
-    * identically in Spark and DuckDB.
+  /** Distinct-count estimate from a KMV kept-set array (sorted asc).
+    * The numerator (k−1)·2^60 is exact in a double (6-bit mantissa ×
+    * power-of-two exponent), so `floor(num / kth)` rounds identically in
+    * Spark and DuckDB.
     */
-  private val EstNumerator = (KmvK - 1) * math.pow(2, 60)
+  private def estimate(sketch: Column, k: Int = KmvK): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(floor(lit((k - 1) * math.pow(2, 60)) / element_at(sketch, k)).cast("long"))
 
-  /** Distinct-count estimate from a KMV kept-set array (sorted asc). */
-  private def estimate(sketch: Column): Column =
-    when(size(sketch) < KmvK, size(sketch).cast("long"))
-      .otherwise(floor(lit(EstNumerator) / element_at(sketch, KmvK)).cast("long"))
+  // ---- sketch-only production API ----------------------------------------
+  // The callable 100 TB shapes: one scan, O(groups·k) state, NO exact
+  // side anywhere. The registered s1/s2 queries below additionally
+  // compute exact answers (feasible at fixture scale) so the driver
+  // oracle can carry sketch, truth, and error in one relation — but a
+  // production caller reaches for THESE entry points, whose plans never
+  // shuffle a distinct-hash set or self-join raw data (round-9 review
+  // item 2: the scale claims must be true of a callable path).
+
+  /** Per-group KMV sketch + distinct-count estimate over any
+    * (group, hash) relation — the sketch-only S1. One hash-aggregation:
+    * each map task contributes at most k longs per group
+    * ([[graft.functions.KmvSketchAgg]] folds map-side), so the shuffle
+    * carries O(groups·k) state no matter how many rows were scanned.
+    * Output: (`groupCol`, sk array<bigint>, n_est).
+    */
+  def kmvDistinctSketch(rows: DataFrame, groupCol: String, hashCol: String,
+                        k: Int = KmvK): DataFrame =
+    rows.groupBy(groupCol)
+      .agg(Kernels.kmvSketch(col(hashCol), k).as("sk"))
+      .withColumn("n_est", estimate(col("sk"), k))
+
+  /** Pairwise overlap matrix from per-group sketches ALONE — the
+    * sketch-only S2. Input: (`groupCol`, sk) as produced by
+    * [[kmvDistinctSketch]]; the raw data is never touched again. Every
+    * pair's union sketch is `k smallest of array_union(a, b)` (exactly
+    * the KMV sketch of the union set), intersections come from
+    * inclusion–exclusion clamped at 0, and `jaccard_est_bp` is the
+    * half-up integer basis-point ratio. The self-join is over GROUPS
+    * (languages, datasets — driver-scale cardinality), not data: with G
+    * groups this is G² rows of k-long arrays however large the corpus.
+    * Output: (ga, gb, est_a, est_b, est_u, est_i, jaccard_est_bp) for
+    * ga < gb.
+    */
+  def kmvOverlapMatrix(sketches: DataFrame, groupCol: String = "lang",
+                       k: Int = KmvK): DataFrame = {
+    val a = sketches.select(col(groupCol).as("ga"), col("sk").as("ska"))
+    val b = sketches.select(col(groupCol).as("gb"), col("sk").as("skb"))
+    a.join(b, col("ga") < col("gb"))
+      .withColumn("sku", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("est_a", estimate(col("ska"), k))
+      .withColumn("est_b", estimate(col("skb"), k))
+      .withColumn("est_u", estimate(col("sku"), k))
+      .withColumn("est_i", greatest(lit(0L), col("est_a") + col("est_b") - col("est_u")))
+      .withColumn("jaccard_est_bp",
+        expr("(20000 * est_i + est_u) div (2 * est_u)"))
+      .drop("ska", "skb", "sku")
+  }
+
+  /** Fixture-shaped sketch-only S1: per-language distinct-shingle
+    * estimates, (lang, n_est) — no exact side in the plan.
+    */
+  def kmvDistinctShinglesSketch(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinctSketch(langShingleHashes(spark, dir), "lang", "h")
+      .select("lang", "n_est").orderBy("lang")
+
+  /** Fixture-shaped sketch-only S2: cross-language Jaccard estimates,
+    * (lang_a, lang_b, jaccard_est_bp) — one scan for the sketches, then
+    * sketch algebra only.
+    */
+  def kmvJaccardLangsSketch(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapMatrix(kmvDistinctSketch(langShingleHashes(spark, dir), "lang", "h"))
+      .select(col("ga").as("lang_a"), col("gb").as("lang_b"), col("jaccard_est_bp"))
+      .orderBy("lang_a", "lang_b")
 
   /** Per-(lang, shingle-hash) projection shared by S1/S2. */
   private def langShingleHashes(spark: SparkSession, dir: String): DataFrame = {
@@ -85,32 +154,31 @@ object Sketches {
       .agg(countDistinct(col("h")).as("n_exact"),
         Kernels.kmvSketch(col("h"), KmvK).as("sk"))
 
-    // Sketch-merge side: 5 rows self-joined — driver-scale work however
-    // large the corpus was.
-    val a = sk.select(col("lang").as("lang_a"), col("n_exact").as("na"),
-      col("sk").as("ska"))
-    val b = sk.select(col("lang").as("lang_b"), col("n_exact").as("nb"),
-      col("sk").as("skb"))
-    val merged = a.join(b, col("lang_a") < col("lang_b"))
-      .withColumn("sku", slice(array_sort(array_union(col("ska"), col("skb"))), 1, KmvK))
-      .withColumn("est_a", estimate(col("ska")))
-      .withColumn("est_b", estimate(col("skb")))
-      .withColumn("est_u", estimate(col("sku")))
-      .withColumn("est_i", greatest(lit(0L), col("est_a") + col("est_b") - col("est_u")))
+    // Sketch-merge side: the PRODUCTION path ([[kmvOverlapMatrix]] — the
+    // oracle-checked estimates exercise the same code a 100 TB caller
+    // runs), joined back to the per-lang exact counts (5-row joins).
+    val merged = kmvOverlapMatrix(sk.select("lang", "sk"))
+      .select(col("ga").as("lang_a"), col("gb").as("lang_b"),
+        col("est_u"), col("est_i"), col("jaccard_est_bp"))
+    val ex = sk.select(col("lang"), col("n_exact"))
+    val withExactCounts = merged
+      .join(ex.select(col("lang").as("lang_a"), col("n_exact").as("na")), "lang_a")
+      .join(ex.select(col("lang").as("lang_b"), col("n_exact").as("nb")), "lang_b")
 
-    // Exact side: distinct (lang, h) self-join per pair.
+    // Exact side: distinct (lang, h) self-join per pair — fixture-scale
+    // oracle harness only; production callers use [[kmvJaccardLangsSketch]].
     val dh = h.distinct()
     val inter = dh.as("x").join(dh.as("y"),
         col("x.h") === col("y.h") && col("x.lang") < col("y.lang"))
       .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
       .agg(count(lit(1)).as("n_inter"))
 
-    merged.join(inter, Seq("lang_a", "lang_b"), "left")
+    withExactCounts.join(inter, Seq("lang_a", "lang_b"), "left")
       .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .select(col("lang_a"), col("lang_b"),
         expr("(20000 * n_inter + n_union) div (2 * n_union)").as("jaccard_bp"),
-        expr("(20000 * est_i + est_u) div (2 * est_u)").as("jaccard_est_bp"))
+        col("jaccard_est_bp"))
       .orderBy("lang_a", "lang_b")
   }
 

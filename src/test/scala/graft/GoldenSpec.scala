@@ -43,7 +43,7 @@ class GoldenSpec extends AnyFunSuite {
     val got = graft.operators.Search.knnPerLabel(spark, dir)
       .collect().map(_.toSeq).toSeq
     val emb = graft.operators.Search.packedEmb(spark, dir)
-    val q = typedlit(graft.operators.Search.queryVector(emb, 0L))
+    val q = typedlit(graft.operators.Search.queryVector(spark, dir, 0L))
     val w = Window.partitionBy(col("label")).orderBy(col("score").desc, col("vec_id").asc)
     val want = emb
       .withColumn("score", round(graft.functions.Kernels.cosine(

@@ -78,6 +78,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [In(doc_id"), s"id filter not pushed:\n$p")
   }
 
+  test("query-vector fetch is a pushed-down point lookup, never a scan of the hot tier") {
+    // Round-9 review: the fetch used to filter the CACHED packed relation
+    // (an O(n) walk per query). It must now hit the raw parquet source
+    // with the id equality pushed into the scan, where row-group min/max
+    // stats on the id-ordered layout skip all but one group.
+    val p = plan(graft.operators.Search.queryVectorDf(spark, dir, 0L))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)"),
+      s"vec_id equality not pushed:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"query-vector fetch walked the cached hot tier:\n$p")
+    // only the two needed columns survive to the reader
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>") ||
+      p.contains("ReadSchema: struct<embedding:array<float>,vec_id:bigint>"), p)
+  }
+
   test("IVF probe prunes non-probed cells at the file source") {
     val p = plan(graft.operators.Search.ivfKnn(spark, dir))
     assert(p.contains("PartitionFilters: [label"), s"cell prune missing:\n$p")

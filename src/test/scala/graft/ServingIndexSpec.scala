@@ -44,6 +44,40 @@ class ServingIndexSpec extends AnyFunSuite {
     assert(served == plain, s"serving path diverged:\n$served\nvs\n$plain")
   }
 
+  test("per-phase SearchTimings: recorded on both paths, phases sum to ~the call wall") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(300))
+    val qv = (0 until 64).map(i => math.cos(i * 1.1) / 6.0)
+    assert(db.lastSearchTimings.isEmpty, "timings before any search")
+
+    // Catalyst path: phases I+II fused into one job (phase2Ms == 0 by
+    // construction), phase III stamped by the searchHits materialization.
+    db.searchHits(qv, k = 5)
+    val t0 = System.nanoTime()
+    db.searchHits(qv, k = 5)
+    val catalystWallMs = (System.nanoTime() - t0) / 1e6
+    val ct = db.lastSearchTimings.get
+    assert(ct.phase1Ms > 0 && ct.phase2Ms == 0.0 && ct.phase3Ms > 0, ct)
+    assert(ct.totalMs <= catalystWallMs * 1.05 + 2,
+      s"phases exceed the measured wall: $ct vs $catalystWallMs ms")
+    assert(ct.totalMs >= catalystWallMs * 0.3,
+      s"phases cover too little of the wall: $ct vs $catalystWallMs ms")
+
+    // Serving path: all three phases measured individually.
+    db.enableServing()
+    db.searchHits(qv, k = 5) // warm the prepared blocks
+    val t1 = System.nanoTime()
+    db.searchHits(qv, k = 5)
+    val servedWallMs = (System.nanoTime() - t1) / 1e6
+    val st = db.lastSearchTimings.get
+    assert(st.phase1Ms > 0 && st.phase2Ms >= 0 && st.phase3Ms >= 0, st)
+    assert(st.totalMs <= servedWallMs * 1.05 + 2,
+      s"phases exceed the measured wall: $st vs $servedWallMs ms")
+    assert(st.totalMs >= servedWallMs * 0.3,
+      s"phases cover too little of the wall: $st vs $servedWallMs ms")
+    db.disableServing()
+  }
+
   test("searchMany: serving path == catalyst path for a 3-query batch") {
     val db = VectorDB.openOrCreate(spark, freshDir())
     db.addDocuments(fixture(150))

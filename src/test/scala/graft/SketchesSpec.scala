@@ -96,6 +96,47 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_exact")).toMap == truth)
   }
 
+  test("sketch-only s1/s2 entry points reproduce the registered queries' estimates") {
+    import graft.operators.Sketches
+    // n_est from the sketch-only path ≡ the registered s1's n_est column
+    val s1 = Sketches.kmvDistinctShingles(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_est")).toMap
+    val s1sketch = Sketches.kmvDistinctShinglesSketch(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_est")).toMap
+    assert(s1sketch == s1)
+    // jaccard_est_bp from sketch algebra alone ≡ the registered s2 column
+    val s2 = Sketches.kmvJaccardLangs(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")) ->
+        r.getAs[Long]("jaccard_est_bp")).toMap
+    val s2sketch = Sketches.kmvJaccardLangsSketch(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")) ->
+        r.getAs[Long]("jaccard_est_bp")).toMap
+    assert(s2sketch == s2)
+  }
+
+  test("sketch-only plans have no exact side: no countDistinct shuffle, no raw self-join") {
+    import graft.operators.Sketches
+    // s1 sketch-only: exactly ONE aggregate pair (partial+final) over the
+    // scan — the KMV heap — and no distinct-hash expansion.
+    val p1 = Sketches.kmvDistinctShinglesSketch(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!p1.toLowerCase.contains("distinct"), s"exact side leaked into s1 sketch path:\n$p1")
+    // s2 sketch-only: no distinct-hash set anywhere, and every join input
+    // is an AGGREGATED per-group sketch relation — the raw (lang, hash)
+    // rows never feed a join directly (the exact side's self-join shape).
+    val s2df = Sketches.kmvJaccardLangsSketch(spark, dir)
+    val p2 = s2df.queryExecution.optimizedPlan
+    assert(!p2.toString.toLowerCase.contains("distinct"),
+      s"exact side leaked into s2 sketch path:\n$p2")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    def hasAggBarrier(p: LogicalPlan): Boolean =
+      p.isInstanceOf[Aggregate] || p.children.exists(hasAggBarrier)
+    p2.collect { case j: Join => j }.foreach { j =>
+      assert(j.children.forall(hasAggBarrier),
+        s"join over un-aggregated raw data in s2 sketch path:\n$p2")
+    }
+  }
+
   test("t7 repetition aggregate equals a driver-side recomputation") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "lang", "text").collect()
