@@ -673,19 +673,33 @@ class VectorDB private (
         Some(qWordsArr.map(w =>
           probeOrder(w.toIndexedSeq).take(nprobe).toArray))
       else None
+    val t0 = System.nanoTime()
     val topPerQ = ps.topBMany(qWordsArr, k * binaryOversample, probed,
       sel.map(_.idsBc))
-    queries.toIndexedSeq.zipWithIndex.map { case ((qid, qv), qi) =>
+    val t1 = System.nanoTime()
+    var p2Nanos = 0L
+    var p3Nanos = 0L
+    val out = queries.toIndexedSeq.zipWithIndex.map { case ((qid, qv), qi) =>
       val qa = qv.toArray
-      val hits = topPerQ(qi).map(h => (h, signDotWords(qa, h.words)))
+      val s2 = System.nanoTime()
+      val phase2 = topPerQ(qi).map(h => (h, signDotWords(qa, h.words)))
         .sortBy { case (h, sb) => (-sb, h.id) }
         .take(k * int8Oversample)
+      val s3 = System.nanoTime()
+      val hits = phase2
         .map { case (h, sb) =>
           VectorDB.SearchHit(h.id, h.hamming, sb, cosSimInt8(qa, h.bytes), h.doc)
         }
         .sortBy(h => (-h.scoreCossim, h.docId)).take(k).toIndexedSeq
+      p2Nanos += s3 - s2
+      p3Nanos += System.nanoTime() - s3
       (qid, hits)
     }
+    // Batch timings: phase I is the one shared RDD job; II/III are the
+    // summed per-query driver rescores.
+    recordTimings(VectorDB.SearchTimings(
+      (t1 - t0) / 1e6, p2Nanos / 1e6, p3Nanos / 1e6))
+    out
   }
 
   /** Typed batched results — [[searchHits]] for a whole query batch:
@@ -709,12 +723,16 @@ class VectorDB private (
         servedManyHits(ps, queries, k, binaryOversample, int8Oversample,
           nprobe, sel)
       case None =>
-        val byQid = searchMany(queries, k, binaryOversample, int8Oversample,
-            nprobe, sel)
+        val df = searchMany(queries, k, binaryOversample, int8Oversample,
+          nprobe, sel)
+        val t0 = System.nanoTime()
+        val byQid = df
           .collect().toIndexedSeq
           .map(r => (r.getLong(0), (r.getInt(1), VectorDB.SearchHit(r.getLong(2),
             r.getInt(3), r.getDouble(4), r.getDouble(5), r.getString(6)))))
           .groupBy(_._1)
+        Option(lastTimingsTL.get()).foreach(t =>
+          recordTimings(t.copy(phase3Ms = (System.nanoTime() - t0) / 1e6)))
         queries.toIndexedSeq.map { case (qid, _) =>
           (qid, byQid.getOrElse(qid, IndexedSeq.empty)
             .map(_._2).sortBy(_._1).map(_._2).toIndexedSeq)
@@ -827,6 +845,7 @@ class VectorDB private (
           .orderBy(col("score_binary").desc, col("doc_id").asc)
         // Materialize the ≤ Q×(k·int8Oversample) survivors driver-side
         // (the reference holds the same candidate lists in Python lists).
+        val t0 = System.nanoTime()
         val candTuples = phase1
           .join(broadcast(qdf.select("qid", "qvec")), "qid")
           .withColumn("score_binary", Kernels.signDot(col("qvec"), col("__code")))
@@ -836,6 +855,10 @@ class VectorDB private (
           .collect()
           .toSeq
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        // Phases I+II for the whole batch run fused in the job just
+        // collected (same convention as the single-query Catalyst path);
+        // searchManyHits stamps phase3Ms when it materializes.
+        recordTimings(VectorDB.SearchTimings((System.nanoTime() - t0) / 1e6, 0.0, 0.0))
         val ids = candTuples.map(_._2).distinct
         val scores = spark.createDataFrame(candTuples)
           .toDF("qid", "doc_id", "score_hamming", "score_binary")
@@ -919,7 +942,9 @@ object VectorDB {
     * phases I+II run fused inside ONE job (`phase1Ms` carries the fused
     * job, `phase2Ms` is 0 by construction) and `phase3Ms` covers the
     * cold-tier rescore job when the caller materializes through
-    * [[VectorDB.searchHits]].
+    * [[VectorDB.searchHits]]. Batched paths record ONE timings value
+    * for the whole batch: phase I is the shared scan job, II/III the
+    * summed per-query driver rescores.
     */
   final case class SearchTimings(phase1Ms: Double, phase2Ms: Double,
                                  phase3Ms: Double) {

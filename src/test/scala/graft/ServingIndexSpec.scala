@@ -75,7 +75,18 @@ class ServingIndexSpec extends AnyFunSuite {
       s"phases exceed the measured wall: $st vs $servedWallMs ms")
     assert(st.totalMs >= servedWallMs * 0.3,
       s"phases cover too little of the wall: $st vs $servedWallMs ms")
+
+    // Batched paths record one timings value for the whole batch, on
+    // both the serving (topBMany) and Catalyst (fused I+II + stamped
+    // phase III) paths.
+    val batch = Seq(1L -> qv, 2L -> (0 until 64).map(i => math.sin(i * 0.7) / 5.0))
+    db.searchManyHits(batch, k = 3)
+    val bt = db.lastSearchTimings.get
+    assert(bt.phase1Ms > 0 && bt.phase2Ms >= 0 && bt.phase3Ms >= 0, bt)
     db.disableServing()
+    db.searchManyHits(batch, k = 3)
+    val ct2 = db.lastSearchTimings.get
+    assert(ct2.phase1Ms > 0 && ct2.phase2Ms == 0.0 && ct2.phase3Ms > 0, ct2)
   }
 
   test("searchMany: serving path == catalyst path for a 3-query batch") {
