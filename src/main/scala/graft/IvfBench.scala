@@ -1,0 +1,116 @@
+package graft
+
+import graft.db.{Embedder, VectorDB}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** IVF tuning sweep at the `VectorDB` facade: recall-vs-latency across
+  * the (ivfCells, nprobe) grid — the guidance a reference migrant needs
+  * for the engine's one index knob (the reference has no IVF at all; its
+  * index is always a flat exhaustive scan, `BinaryVectorDB.py:58-62`).
+  *
+  * Geometry: the clustered unit-sphere manifold of
+  * [[RecallBench.pointGen]] at the reference's native 1024-dim — low
+  * intrinsic dimension, the property real embedding corpora have. For
+  * each cells config a fresh DB is BUILT through the real write path
+  * (`addDocuments` with a synth embedder), served
+  * (`enableServing()`), and probed at nprobe ∈ {1, 2, 4, 8, all}.
+  *
+  * Recall here is measured against the SAME DB's full-probe results
+  * (nprobe = all cells ≡ flat, parity spec-pinned) — it isolates what
+  * the PROBING knob alone costs, separate from the funnel's own
+  * retention (that is RECALL_r{N}'s job). Latency is the served
+  * `searchHits` median over the query set.
+  *
+  * Usage: `graft.IvfBench [nDocs] [dim] [nQueries]` (default
+  * 200k × 1024 × 20; cells grid 16/64/256).
+  */
+object IvfBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val dim = if (args.length > 1) args(1).toInt else 1024
+    val nQueries = if (args.length > 2) args(2).toInt else 20
+    val clusters = 100
+    val intrinsicDim = 8
+    val sigma = 0.5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ivfbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", Graft.fairDefaultPoolFile)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Embedder that regenerates the synth vector from the id carried in
+    // the text column — same math, same seed as RecallBench.synthesize,
+    // so the DB's stored vectors ARE the manifold points.
+    class SynthEmbedder(val dim: Int, clusters: Int, intrinsicDim: Int,
+                        sigma: Double) extends Embedder {
+      override def embed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val d = dim
+        val gen = udf { id: Long =>
+          RecallBench.pointGen(d, clusters, intrinsicDim, sigma)(id)._1
+        }
+        gen(text.cast("long")).cast("array<float>")
+      }
+    }
+
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      col("id").cast("string").as("text"))
+    val qGen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma)
+    val qids = (0 until nQueries).map(i => i.toLong * (n / nQueries) + i)
+    val queries = qids.map(id => id -> qGen(id)._1.map(_.toDouble).toSeq).toMap
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }
+
+    val cellsGrid = Seq(16, 64, 256)
+    val rows = cellsGrid.flatMap { cells =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ivf$cells").toString + "/db"
+      val db = VectorDB.openOrCreate(spark, dir, model = s"graft-synth-$dim",
+        dim = dim, index = VectorDB.IndexIvf, ivfCells = cells)
+      db.addDocuments(docs, new SynthEmbedder(dim, clusters, intrinsicDim, sigma))
+      db.enableServing()
+      // Full-probe truth + latency (nprobe >= cells ≡ flat).
+      db.searchHits(queries(qids.head), k = 10) // warm
+      val full = qids.map { q =>
+        q -> db.searchHits(queries(q), k = 10).map(_.docId).toSet
+      }.toMap
+      val fullMs = median(qids.map(q => time(db.searchHits(queries(q), k = 10))))
+      // Warm the probed (cell-masked) scan path too — its first call JITs
+      // the skip branch and would otherwise pollute the first grid row.
+      db.searchHits(queries(qids.head), k = 10, nprobe = 1)
+
+      val probeRows = Seq(1, 2, 4, 8).filter(_ < cells).map { np =>
+        val (recalls, times) = qids.map { q =>
+          val t0 = System.nanoTime()
+          val got = db.searchHits(queries(q), k = 10, nprobe = np)
+            .map(_.docId).toSet
+          val ms = (System.nanoTime() - t0) / 1e6
+          (got.intersect(full(q)).size / 10.0, ms)
+        }.unzip
+        val rec = recalls.sum / recalls.size
+        val ms = median(times)
+        println(f"""{"cells":$cells,"nprobe":$np,"recall_vs_full":$rec%.3f,"hits_ms":$ms%.1f}""")
+        f"""{"cells":$cells,"nprobe":$np,"recall_vs_full":$rec%.3f,"hits_ms":$ms%.1f}"""
+      }
+      val fullRow =
+        f"""{"cells":$cells,"nprobe":$cells,"recall_vs_full":1.000,"hits_ms":$fullMs%.1f}"""
+      println(fullRow)
+      db.disableServing()
+      probeRows :+ fullRow
+    }
+
+    println(s"""{"metric":"ivf_tuning","n":$n,"dim":$dim,"clusters":$clusters,""" +
+      s""""intrinsic_dim":$intrinsicDim,"n_queries":$nQueries,""" +
+      s""""rows":${rows.mkString("[", ",", "]")},""" +
+      """"note":"recall_vs_full isolates the probing knob: nprobe-probed results vs the same DB at full probe (= flat, parity spec-pinned); funnel-vs-exact retention is RECALL_r{N}'s job. Cells are sign-code prefixes (VectorDB.cellOf), so cell balance follows the sign distribution of the first log2(cells) dims."}""")
+    spark.stop()
+  }
+}

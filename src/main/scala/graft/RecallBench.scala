@@ -37,15 +37,21 @@ object RecallBench {
     * per-point draw from the point id — no shared RNG state, so any
     * partitioning yields identical rows.
     */
-  def synthesize(spark: SparkSession, dir: String, n: Long, dim: Int,
-                 clusters: Int, intrinsicDim: Int, sigma: Double,
-                 seed: Long = 42L): Unit = {
-    import spark.implicits._
-    val ds = spark.range(n).as[Long].mapPartitions { it =>
-      // Per-cluster geometry memoized per partition (clusters are few;
-      // each is O(intrinsicDim * dim) to build).
-      val geom = scala.collection.mutable.HashMap.empty[Int, (Array[Double], Array[Array[Double]])]
-      def clusterGeom(l: Int): (Array[Double], Array[Array[Double]]) =
+  /** The per-point generator behind [[synthesize]], exposed so other
+    * benches (IvfBench's synth [[graft.db.Embedder]]) can produce the
+    * IDENTICAL vector for an id. Seed-deterministic and instance-local:
+    * cluster geometry memoizes lazily per instance, the per-point draw
+    * derives from the point id alone — no shared RNG state, so any
+    * partitioning (or any caller) yields identical rows. Returns the
+    * generated (vector, cluster) pair.
+    */
+  def pointGen(dim: Int, clusters: Int, intrinsicDim: Int, sigma: Double,
+               seed: Long = 42L): Long => (Array[Float], Int) = {
+    // Per-cluster geometry memoized per instance (clusters are few;
+    // each is O(intrinsicDim * dim) to build).
+    val geom = scala.collection.mutable.HashMap.empty[Int, (Array[Double], Array[Array[Double]])]
+    def clusterGeom(l: Int): (Array[Double], Array[Array[Double]]) =
+      geom.synchronized {
         geom.getOrElseUpdate(l, {
           val r = new scala.util.Random(seed * 1000003L + l)
           val c = Array.fill(dim)(r.nextGaussian())
@@ -58,30 +64,40 @@ object RecallBench {
             Array.fill(dim)(r.nextGaussian() / math.sqrt(dim.toDouble)))
           (c, basis)
         })
-      it.map { id =>
-        val l = java.lang.Long.remainderUnsigned(
-          scala.util.hashing.byteswap64(id ^ (seed * 31L)), clusters.toLong).toInt
-        val (c, basis) = clusterGeom(l)
-        val r = new scala.util.Random(scala.util.hashing.byteswap64(id * 7919L + seed))
-        val tmp = new Array[Double](dim)
-        System.arraycopy(c, 0, tmp, 0, dim)
-        var j = 0
-        while (j < intrinsicDim) {
-          val u = sigma * r.nextGaussian() / math.sqrt(intrinsicDim.toDouble)
-          val b = basis(j)
-          var i = 0
-          while (i < dim) { tmp(i) += u * b(i); i += 1 }
-          j += 1
-        }
-        var ss = 0.0
-        var i = 0
-        while (i < dim) { ss += tmp(i) * tmp(i); i += 1 }
-        val inv = 1.0 / math.sqrt(ss)
-        val p = new Array[Float](dim)
-        i = 0
-        while (i < dim) { p(i) = (tmp(i) * inv).toFloat; i += 1 }
-        (id, p, l)
       }
+    (id: Long) => {
+      val l = java.lang.Long.remainderUnsigned(
+        scala.util.hashing.byteswap64(id ^ (seed * 31L)), clusters.toLong).toInt
+      val (c, basis) = clusterGeom(l)
+      val r = new scala.util.Random(scala.util.hashing.byteswap64(id * 7919L + seed))
+      val tmp = new Array[Double](dim)
+      System.arraycopy(c, 0, tmp, 0, dim)
+      var j = 0
+      while (j < intrinsicDim) {
+        val u = sigma * r.nextGaussian() / math.sqrt(intrinsicDim.toDouble)
+        val b = basis(j)
+        var i = 0
+        while (i < dim) { tmp(i) += u * b(i); i += 1 }
+        j += 1
+      }
+      var ss = 0.0
+      var i = 0
+      while (i < dim) { ss += tmp(i) * tmp(i); i += 1 }
+      val inv = 1.0 / math.sqrt(ss)
+      val p = new Array[Float](dim)
+      i = 0
+      while (i < dim) { p(i) = (tmp(i) * inv).toFloat; i += 1 }
+      (p, l)
+    }
+  }
+
+  def synthesize(spark: SparkSession, dir: String, n: Long, dim: Int,
+                 clusters: Int, intrinsicDim: Int, sigma: Double,
+                 seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val ds = spark.range(n).as[Long].mapPartitions { it =>
+      val gen = pointGen(dim, clusters, intrinsicDim, sigma, seed)
+      it.map { id => val (p, l) = gen(id); (id, p, l) }
     }
     ds.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
