@@ -56,10 +56,16 @@ object Bench {
   private def loadMax(): Double =
     sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(12.0)
 
+  /** `loadStart`/`loadEnd` are point samples at run start/end;
+    * `famMax` is the max load any family's timing observed (forked
+    * path: max over child-reported samples; in-process: max of the two
+    * point samples) — the contamination ceiling a reader should judge
+    * the numbers by.
+    */
   private def jsonLine(qMed: collection.Map[String, Double],
                        qMin: collection.Map[String, Double],
                        errors: Int, failed: Seq[String], sfDir: String,
-                       loadStart: Double, loadEnd: Double,
+                       loadStart: Double, loadEnd: Double, famMax: Double,
                        reruns: Seq[String] = Nil): String = {
     def obj(m: collection.Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -69,10 +75,14 @@ object Bench {
     val total = if (errors > 0) -1.0 else qMed.values.sum
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rerunsArr = reruns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Double.toString, NOT an f"" interpolator: f"%.2f" is
+    // locale-dependent (comma decimals under e.g. de_DE would corrupt
+    // the parent-child JSON protocol).
+    def r2(x: Double): String = (math.round(x * 100) / 100.0).toString
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(qMed)},""" +
       s""""queries_min":${obj(qMin)},"errors":$errors,"failed":$failedArr,""" +
-      f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,""" +
-      s""""reruns":$rerunsArr,"sf":"$sfDir"}"""
+      s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
+      s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,7 +135,7 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
     var errors = 0
-    var loadEnd = loadStart
+    var famMax = loadStart
     families.foreach { case (fam, names) =>
       // Load guard (round-9 contamination finding): a family timed while
       // the machine was busy with unrelated work is re-run ONCE, and the
@@ -145,7 +155,7 @@ object Bench {
       attempt match {
         case Some((med, min, errs, fld, famLoad)) =>
           qMed ++= med; qMin ++= min; errors += errs; failed ++= fld
-          loadEnd = math.max(loadEnd, famLoad)
+          famMax = math.max(famMax, famLoad)
         case None =>
           System.err.println(s"[bench] family '$fam' child failed — " +
             s"counting its ${names.size} queries as errors")
@@ -153,8 +163,8 @@ object Bench {
           failed ++= names
       }
     }
-    println(jsonLine(qMed, qMin, errors, failed.toSeq, sfDir, loadStart, loadEnd,
-      reruns.toSeq))
+    println(jsonLine(qMed, qMin, errors, failed.toSeq, sfDir, loadStart, loadAvg(),
+      famMax, reruns.toSeq))
     true
   }
 
@@ -255,8 +265,9 @@ object Bench {
         }
       }
     }
+    val loadEnd = loadAvg()
     println(jsonLine(qMed, qMin, failedNames.size, failedNames.toSeq, sfDir,
-      loadStart, loadAvg()))
+      loadStart, loadEnd, math.max(loadStart, loadEnd)))
     spark.stop()
   }
 }

@@ -35,7 +35,14 @@ object Demo {
     println(s"search: '$query'")
     db.search(query, k = 5).show(5, 60)
     // Per-phase wall times — the reference prints the same three numbers
-    // from its INFO logs (examples/search_in_db.py:21-23).
+    // from its INFO logs (examples/search_in_db.py:21-23). Driven through
+    // searchHits, which stamps phase III at materialization (the
+    // DataFrame form above leaves phase III to the caller's action).
+    val demoEmb = new graft.db.HashingEmbedder()
+    val qv = spark.range(1)
+      .select(demoEmb.embed(org.apache.spark.sql.functions.lit(query)).cast("array<double>"))
+      .head().getSeq[Double](0)
+    db.searchHits(qv, k = 5)
     db.lastSearchTimings.foreach(t => println(
       f"phases: I ${t.phase1Ms}%.1f ms, II ${t.phase2Ms}%.1f ms, " +
         f"III ${t.phase3Ms}%.1f ms (total ${t.totalMs}%.1f ms)"))

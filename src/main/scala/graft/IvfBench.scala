@@ -51,11 +51,12 @@ object IvfBench {
     class SynthEmbedder(val dim: Int, clusters: Int, intrinsicDim: Int,
                         sigma: Double) extends Embedder {
       override def embed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val d = dim
-        val gen = udf { id: Long =>
-          RecallBench.pointGen(d, clusters, intrinsicDim, sigma)(id)._1
-        }
-        gen(text.cast("long")).cast("array<float>")
+        // ONE generator instance captured by the udf closure — pointGen
+        // memoizes cluster geometry per instance, so building it per row
+        // would redo the O(intrinsicDim·dim) gaussian setup 200k times.
+        val gen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma)
+        val genUdf = udf { id: Long => gen(id)._1 }
+        genUdf(text.cast("long")).cast("array<float>")
       }
     }
 

@@ -81,7 +81,10 @@ object Kernels {
     * contents, so each kernel is registered only if its name is absent —
     * an unconditional createOrReplace would emit a "replaced a previously
     * registered function" WARN per kernel per clone (16 lines of log spam
-    * on every events/streaming session, round-9 review item 4).
+    * on every events/streaming session, round-9 review item 4). The
+    * existence check is by NAME: the `graft_*` namespace is reserved —
+    * a caller who registers their own function under a graft_ name
+    * before install() wins the name and the kernels will resolve to it.
     */
   def install(spark: SparkSession): Unit =
     if (installedSessions.add(spark)) {

@@ -65,11 +65,15 @@ object Events {
         // 2024) or seconds never do — a fixture generation shipping
         // unlabeled micros must fail loudly here instead of silently
         // shifting every timestamp 1000×.
+        // NULL ts stays NULL (the guard must not turn a nullable column
+        // into a query-wide crash); only a present-but-too-small value
+        // raises.
         raw.withColumn("ts", timestamp_micros(expr(
-          "if(ts >= 100000000000000000, ts div 1000, " +
-            "raise_error(concat('events.ts LongType value ', ts, " +
+          "case when ts is null then cast(null as bigint) " +
+            "when ts >= 100000000000000000 then ts div 1000 " +
+            "else raise_error(concat('events.ts LongType value ', ts, " +
             "' is too small to be epoch nanoseconds — unlabeled int64 " +
-            "micros/seconds fixture?')))")))
+            "micros/seconds fixture?')) end")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", timestamp_micros(expr(
           "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))

@@ -98,8 +98,12 @@ object Sketches {
       .withColumn("est_b", estimate(col("skb"), k))
       .withColumn("est_u", estimate(col("sku"), k))
       .withColumn("est_i", greatest(lit(0L), col("est_a") + col("est_b") - col("est_u")))
+      // est_u = 0 only when BOTH groups' sketches are empty (no non-null
+      // hashes); define the overlap of two empty sets as 0 rather than
+      // dividing by zero (NULL with ANSI off, an error with ANSI on).
       .withColumn("jaccard_est_bp",
-        expr("(20000 * est_i + est_u) div (2 * est_u)"))
+        when(col("est_u") === 0L, lit(0L))
+          .otherwise(expr("(20000 * est_i + est_u) div (2 * est_u)")))
       .drop("ska", "skb", "sku")
   }
 

@@ -60,7 +60,9 @@ class ServingIndexSpec extends AnyFunSuite {
     assert(ct.phase1Ms > 0 && ct.phase2Ms == 0.0 && ct.phase3Ms > 0, ct)
     assert(ct.totalMs <= catalystWallMs * 1.05 + 2,
       s"phases exceed the measured wall: $ct vs $catalystWallMs ms")
-    assert(ct.totalMs >= catalystWallMs * 0.3,
+    // Floor at 0.2: the wall also contains unmeasured plan
+    // analysis/packQuery work, which can stretch under CI load.
+    assert(ct.totalMs >= catalystWallMs * 0.2,
       s"phases cover too little of the wall: $ct vs $catalystWallMs ms")
 
     // Serving path: all three phases measured individually.

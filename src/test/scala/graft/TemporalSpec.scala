@@ -26,6 +26,26 @@ class TemporalSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
 
+  test("normalizeTs LongType branch: nanos convert, NULL passes, unlabeled micros raise") {
+    import spark.implicits._
+    // 2024-01-01T00:00:00Z in epoch nanoseconds — well above the 1e17 guard.
+    val nanos = 1704067200L * 1000000000L
+    val ok = graft.operators.Events.normalizeTs(
+      Seq(Some(nanos), None).toDF("ts"))
+    val got = ok.select(unix_micros(col("ts"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(nanos / 1000), None))
+    // The same instant in MICROS (an unlabeled-int64 fixture) is 1000x
+    // below the nanos range: the guard must raise, not silently shift.
+    val err = intercept[Exception] {
+      graft.operators.Events.normalizeTs(
+        Seq(nanos / 1000).toDF("ts")).collect()
+    }
+    assert(err.getMessage.contains("too small to be epoch nanoseconds") ||
+      Option(err.getCause).exists(_.getMessage.contains("too small to be epoch nanoseconds")),
+      err.toString)
+  }
+
   test("as-of join matches the naive inequality-join + argmax formulation") {
     val e = eventsUs()
     val err = e.filter(col("event_type") === "error")
