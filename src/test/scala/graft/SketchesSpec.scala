@@ -114,6 +114,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(s2sketch == s2)
   }
 
+  test("kmvOverlapMatrix defines the overlap of empty sketches as 0 (no divide-by-zero)") {
+    import graft.operators.Sketches
+    // Two groups whose hash columns are entirely NULL keep nothing in
+    // their sketches: est_u = 0 and the bp ratio must be 0, not an
+    // ANSI divide-by-zero (or a silent NULL).
+    val empty = Seq(("a", None: Option[Long]), ("b", None: Option[Long]))
+      .toDF("lang", "h")
+    val sk = Sketches.kmvDistinctSketch(empty, "lang", "h")
+    val row = Sketches.kmvOverlapMatrix(sk).collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[Long]("jaccard_est_bp") === 0L)
+    assert(row.head.getAs[Long]("est_u") === 0L)
+  }
+
   test("sketch-only plans have no exact side: no countDistinct shuffle, no raw self-join") {
     import graft.operators.Sketches
     // s1 sketch-only: exactly ONE aggregate pair (partial+final) over the
