@@ -50,11 +50,19 @@ object Bench {
 
   /** Load ceiling above which a family's numbers are considered
     * contaminated and the family is re-run once (forked path only).
-    * Default 12 on the assumption of a ≥16-core bench host where the
-    * bench's own child (4 cpus) plus background noise stays well under.
+    * The default scales with the child's own thread count — a
+    * local[N] child legitimately drives loadavg toward N (and the
+    * 1-minute EMA carries the previous family's work into the next
+    * child's start), so a fixed ceiling below ~1.5·N would re-run
+    * every family against the bench's own load. max(12, 1.5·cpus)
+    * keeps the guard meaningful for small-N children while only
+    * flagging genuinely external load under wide ones.
     */
   private def loadMax(): Double =
-    sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(12.0)
+    sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse {
+      val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(4)
+      math.max(12.0, 1.5 * cpus)
+    }
 
   /** `loadStart`/`loadEnd` are point samples at run start/end;
     * `famMax` is the max load any family's timing observed (forked
