@@ -91,6 +91,39 @@ class ServingIndexSpec extends AnyFunSuite {
     assert(ct2.phase1Ms > 0 && ct2.phase2Ms == 0.0 && ct2.phase3Ms > 0, ct2)
   }
 
+  test("concurrent searchHits on one served instance: every thread gets the single-thread answer") {
+    // The multi-tenant serving contract: ONE VectorDB instance per JVM,
+    // shared across request threads (each session/instance would
+    // otherwise build its own prepared blocks — double memory). Pins
+    // that 8 threads hammering the same served instance each get
+    // exactly the single-thread result, and each thread reads its OWN
+    // per-call timings (lastSearchTimings is thread-local).
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(400))
+    db.enableServing()
+    val queries = (0 until 8).map(s => (0 until 64).map(i => math.sin(i * 0.31 + s) / 7.0))
+    val expected = queries.map(q => db.searchHits(q, k = 5))
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = queries.zipWithIndex.map { case (q, i) =>
+        scala.concurrent.Future {
+          val hits = db.searchHits(q, k = 5)
+          (i, hits, db.lastSearchTimings)
+        }
+      }
+      val results = futs.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      results.foreach { case (i, hits, timings) =>
+        assert(hits == expected(i), s"thread for query $i diverged")
+        assert(timings.exists(t => t.phase1Ms > 0), s"query $i missing its thread's timings")
+      }
+    } finally pool.shutdown()
+    db.disableServing()
+  }
+
   test("searchMany: serving path == catalyst path for a 3-query batch") {
     val db = VectorDB.openOrCreate(spark, freshDir())
     db.addDocuments(fixture(150))
