@@ -1,6 +1,5 @@
 package graft.db
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{array, col}
@@ -45,22 +44,23 @@ final class PreparedScan private (
 
   /** Top-B hits by (hamming asc, doc_id asc) against the packed query
     * words; `probed` (if set) restricts to rows in those IVF cells;
-    * `sel` (if set) is a BROADCAST sorted doc_id allowlist — the faiss
-    * `IDSelectorBatch` analogue — and only rows in it may enter the
-    * heap. The membership probe runs AFTER the early-exit hamming loop,
-    * only for rows that would otherwise be kept, so unfiltered scans
-    * pay nothing and filtered scans pay O(kept · log |sel|), not
-    * O(rows · log |sel|). Hits carry code words always, bytes/doc when
-    * the scan was built with payloads. Rank-sorted, ≤ B hits. One bare
-    * RDD job, no Catalyst involvement.
+    * `sel` (if set) is a doc_id allowlist ([[IdSet]]: broadcast sorted
+    * array or file-backed sorted runs — the faiss `IDSelectorBatch`
+    * analogue) and only rows in it may enter the heap. The membership
+    * probe runs AFTER the early-exit hamming loop, only for rows that
+    * would otherwise be kept, so unfiltered scans pay nothing and
+    * filtered scans pay O(kept · log |sel|), not O(rows · log |sel|).
+    * Hits carry code words always, bytes/doc when the scan was built
+    * with payloads. Rank-sorted, ≤ B hits. One bare RDD job, no
+    * Catalyst involvement.
     */
   def topB(qWords: Array[Long], b: Int,
            probed: Option[Array[Int]] = None,
-           sel: Option[Broadcast[Array[Long]]] = None): Array[PreparedScan.Hit] = {
+           sel: Option[IdSet] = None): Array[PreparedScan.Hit] = {
     require(b > 0, s"b must be positive, got $b")
     val nw = nWords
     val probeSorted = probed.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }
-    val selBc = sel.orNull
+    val selSet = sel.orNull
     val perPart: Array[Array[PreparedScan.Hit]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
@@ -71,7 +71,7 @@ final class PreparedScan private (
               !blk.distinctCells.exists(c => java.util.Arrays.binarySearch(p, c) >= 0))
             if (skip) Array.empty[PreparedScan.Hit]
             else PreparedScan.scanBlock(blk, qWords, nw, b, probeSorted.orNull,
-              if (selBc == null) null else selBc.value)
+              if (selSet == null) null else selSet.probe())
           }
         })
     // each partition's result is rank-sorted; merge and cut to B
@@ -91,7 +91,7 @@ final class PreparedScan private (
     */
   def topBMany(qs: Array[Array[Long]], b: Int,
                probed: Option[Array[Array[Int]]] = None,
-               sel: Option[Broadcast[Array[Long]]] = None): Array[Array[PreparedScan.Hit]] = {
+               sel: Option[IdSet] = None): Array[Array[PreparedScan.Hit]] = {
     require(b > 0, s"b must be positive, got $b")
     require(qs.nonEmpty, "topBMany needs at least one query")
     require(probed.forall(_.length == qs.length),
@@ -100,20 +100,20 @@ final class PreparedScan private (
     val nq = qs.length
     val probeSorted: Array[Array[Int]] =
       probed.map(_.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }).orNull
-    val selBc = sel.orNull
+    val selSet = sel.orNull
     val perPart: Array[Array[Array[PreparedScan.Hit]]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
           if (!it.hasNext) Array.fill(nq)(Array.empty[PreparedScan.Hit])
           else {
             val blk = it.next()
-            val selArr = if (selBc == null) null else selBc.value
+            val selProbe = if (selSet == null) null else selSet.probe()
             Array.tabulate(nq) { qi =>
               val p = if (probeSorted == null) null else probeSorted(qi)
               val skip = p != null && !blk.distinctCells.exists(c =>
                 java.util.Arrays.binarySearch(p, c) >= 0)
               if (skip) Array.empty[PreparedScan.Hit]
-              else PreparedScan.scanBlock(blk, qs(qi), nw, b, p, selArr)
+              else PreparedScan.scanBlock(blk, qs(qi), nw, b, p, selProbe)
             }
           }
         })
@@ -133,11 +133,11 @@ final class PreparedScan private (
     */
   def withinRadius(qWords: Array[Long], radius: Int,
                    probed: Option[Array[Int]] = None,
-                   sel: Option[Broadcast[Array[Long]]] = None): Array[PreparedScan.Hit] = {
+                   sel: Option[IdSet] = None): Array[PreparedScan.Hit] = {
     require(radius >= 0, s"radius must be >= 0, got $radius")
     val nw = nWords
     val probeSorted = probed.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }
-    val selBc = sel.orNull
+    val selSet = sel.orNull
     val perPart: Array[Array[PreparedScan.Hit]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
@@ -148,7 +148,7 @@ final class PreparedScan private (
               !blk.distinctCells.exists(c => java.util.Arrays.binarySearch(p, c) >= 0))
             if (skip) Array.empty[PreparedScan.Hit]
             else PreparedScan.rangeScanBlock(blk, qWords, nw, radius,
-              probeSorted.orNull, if (selBc == null) null else selBc.value)
+              probeSorted.orNull, if (selSet == null) null else selSet.probe())
           }
         })
     val merged = perPart.flatten
@@ -197,14 +197,14 @@ object PreparedScan {
     * exceeds the root's hamming abandons the remaining words (the sum
     * only grows). Mirrors the Catalyst kernels bit-for-bit: int sum of
     * `Long.bitCount(word ^ qWord)` over min(nWords, |q|) words.
-    * `selSorted` (nullable) is a sorted doc_id allowlist consulted only
+    * `sel` (nullable) is a doc_id allowlist probe consulted only
     * when a row has survived the hamming bound — rejected rows never
     * tighten the heap, so the filtered result is exactly the top-B of
     * the allowlisted subset.
     */
   private[db] def scanBlock(blk: Block, qWords: Array[Long], nWords: Int,
                             b: Int, probeSorted: Array[Int],
-                            selSorted: Array[Long] = null): Array[Hit] = {
+                            sel: IdProbe = null): Array[Hit] = {
     val n = blk.ids.length
     val cap = math.min(b, math.max(n, 1))
     // parallel-array binary max-heap on (hamming, id)
@@ -265,8 +265,7 @@ object PreparedScan {
         }
         if (w == nWords) {
           val id = blk.ids(row)
-          if (selSorted == null ||
-              java.util.Arrays.binarySearch(selSorted, id) >= 0) {
+          if (sel == null || sel.contains(id)) {
             if (size < cap) {
               heapH(size) = acc; heapId(size) = id; heapRow(size) = row
               size += 1
@@ -301,11 +300,11 @@ object PreparedScan {
   /** Range scan of one block: every row with hamming ≤ `radius`,
     * abandoning each row's word loop the moment the running sum exceeds
     * the fixed radius. Same membership semantics as [[scanBlock]] for
-    * `probeSorted`/`selSorted`.
+    * `probeSorted`/`sel`.
     */
   private[db] def rangeScanBlock(blk: Block, qWords: Array[Long], nWords: Int,
                                  radius: Int, probeSorted: Array[Int],
-                                 selSorted: Array[Long] = null): Array[Hit] = {
+                                 sel: IdProbe = null): Array[Hit] = {
     val n = blk.ids.length
     val out = scala.collection.mutable.ArrayBuilder.make[Hit]
     val withPayload = blk.byteLen > 0
@@ -323,8 +322,7 @@ object PreparedScan {
         }
         if (w == nWords && acc <= radius) {
           val id = blk.ids(row)
-          if (selSorted == null ||
-              java.util.Arrays.binarySearch(selSorted, id) >= 0) {
+          if (sel == null || sel.contains(id)) {
             out += Hit(id, acc,
               java.util.Arrays.copyOfRange(blk.words, base, base + nWords),
               if (withPayload)

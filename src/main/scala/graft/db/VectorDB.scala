@@ -453,7 +453,7 @@ class VectorDB private (
     val qWords = graft.operators.Search.packQuery(q)
     preparedScan() match {
       case Some(ps) =>
-        ps.withinRadius(qWords.toArray, radius, None, sel.map(_.idsBc))
+        ps.withinRadius(qWords.toArray, radius, None, sel.map(_.idSet))
           .map(h => (h.id, h.hamming)).toIndexedSeq
       case None =>
         val hammingCol =
@@ -475,21 +475,71 @@ class VectorDB private (
   }
 
   /** Compile a cold-tier predicate into a reusable id selector: evaluate
-    * it ONCE (filter pushed into the cold-tier scan), sort the matching
-    * ids, broadcast them (8 B/id). The handle amortizes across any
-    * number of queries — build cost is one Catalyst job. Bounded at
-    * [[VectorDB.MaxSelectorIds]] matches (driver + broadcast memory is
-    * O(matches)); for broader predicates use the predicate overload of
-    * [[searchVectorWhere]], whose semi-join never materializes the ids.
+    * it ONCE (filter pushed into the cold-tier scan) and materialize the
+    * sorted matching ids in the shape their count calls for:
+    *
+    *  - ≤ `maxBroadcast` matches (default [[VectorDB.MaxSelectorIds]]):
+    *    collect + sort + broadcast — 8 B/id on the driver and per
+    *    executor, O(log n) probes.
+    *  - beyond it: the SCALE PATH — the ids are range-partitioned,
+    *    sorted, and written as fixed-width binary RUN FILES under
+    *    `folder/_selectors/` on the shared FS; only a small (min, max,
+    *    path) manifest rides the query closures, and each executor
+    *    lazily loads just the runs its surviving rows probe
+    *    (soft-referenced — memory pressure evicts). Nothing is ever
+    *    collected to the driver, so there is NO match-count ceiling.
+    *    Exact semantics either way (a bloom filter would leak
+    *    false-positive ids into filtered results).
+    *
+    * The handle amortizes across any number of queries — build cost is
+    * one or two Catalyst jobs. For one-shot broad predicates prefer the
+    * predicate overload of [[searchVectorWhere]], whose semi-join never
+    * materializes the ids at all.
+    *
+    * `runSize` bounds ids per run file (8·runSize bytes loaded per
+    * probed run); the defaults give 64 MB runs.
     */
-  def selector(pred: org.apache.spark.sql.Column): DocSelector = {
-    val ids = docs.filter(pred).select("doc_id").collect().map(_.getLong(0))
-    require(ids.length <= VectorDB.MaxSelectorIds,
-      s"selector matches ${ids.length} ids > ${VectorDB.MaxSelectorIds}; " +
-        "use searchVectorWhere(q, pred) — the semi-join path — for " +
-        "non-selective predicates")
-    java.util.Arrays.sort(ids)
-    new DocSelector(pred, spark.sparkContext.broadcast(ids))
+  def selector(pred: org.apache.spark.sql.Column,
+               maxBroadcast: Int = VectorDB.MaxSelectorIds,
+               runSize: Int = VectorDB.SelectorRunSize): DocSelector = {
+    require(maxBroadcast >= 0, s"maxBroadcast must be >= 0, got $maxBroadcast")
+    require(runSize >= 1, s"runSize must be >= 1, got $runSize")
+    val matches = docs.filter(pred).select(col("doc_id"))
+    val n = matches.count()
+    if (n <= maxBroadcast) {
+      val ids = matches.collect().map(_.getLong(0))
+      java.util.Arrays.sort(ids)
+      new DocSelector(pred, new BroadcastIdSet(spark.sparkContext.broadcast(ids)))
+    } else {
+      val dir = s"$folder/_selectors/sel-${java.util.UUID.randomUUID()}"
+      val numRuns = math.max(1, ((n + runSize - 1) / runSize).toInt)
+      val confProps = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+        b.result()
+      }
+      // Range-partition + sort, then each partition streams its ids
+      // straight to one run file from the executor — the driver only
+      // ever sees the O(runs) manifest.
+      val sorted =
+        if (numRuns == 1) matches.repartition(1).sortWithinPartitions("doc_id")
+        else matches.repartitionByRange(numRuns, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+      val metas = sorted.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          RunIdSet.writeRun(dir, pid, it.map(_.getLong(0)), confProps).iterator
+        }
+        .collect()
+        .sortBy(_.min)
+      metas.sliding(2).foreach {
+        case Array(a, b2) => require(a.max < b2.min,
+          s"selector runs overlap: ${a.path} [${a.min},${a.max}] vs " +
+            s"${b2.path} [${b2.min},${b2.max}]")
+        case _ =>
+      }
+      new DocSelector(pred, new RunIdSet(dir, metas, n, confProps))
+    }
   }
 
   private def validateSearch(k: Int, binaryOversample: Int,
@@ -546,7 +596,7 @@ class VectorDB private (
         Some(probeOrder(qWords).take(nprobe).toArray)
       else None
     val t0 = System.nanoTime()
-    val top = ps.topB(qWords.toArray, k * binaryOversample, probed, sel.map(_.idsBc))
+    val top = ps.topB(qWords.toArray, k * binaryOversample, probed, sel.map(_.idSet))
     val t1 = System.nanoTime()
     // Phase II: graft_sign_dot mirror (MSB-first bit order,
     // left-to-right double accumulation), (score desc, id asc) rank.
@@ -675,7 +725,7 @@ class VectorDB private (
       else None
     val t0 = System.nanoTime()
     val topPerQ = ps.topBMany(qWordsArr, k * binaryOversample, probed,
-      sel.map(_.idsBc))
+      sel.map(_.idSet))
     val t1 = System.nanoTime()
     var p2Nanos = 0L
     var p3Nanos = 0L
@@ -908,18 +958,27 @@ class VectorDB private (
 /** A compiled cold-tier predicate — the faiss `IDSelectorBatch`
   * analogue for filtered search. Built by [[VectorDB.selector]]: the
   * predicate is evaluated once (pushed into the cold-tier scan) and the
-  * sorted matching ids are broadcast; the handle is then reused across
-  * any number of [[VectorDB.searchVectorWhere]] / [[VectorDB.searchHits]]
-  * calls with zero further Catalyst involvement. Memory is 8 B/match on
-  * the driver and per executor.
+  * sorted matching ids become an [[IdSet]] — a broadcast array up to
+  * [[VectorDB.MaxSelectorIds]] matches (8 B/match on the driver and per
+  * executor), or a file-backed sorted-run index on the shared FS beyond
+  * it (the scale path: only a (min, max, path) manifest ships; each
+  * executor lazily loads the runs its rows actually probe). The handle
+  * is then reused across any number of [[VectorDB.searchVectorWhere]] /
+  * [[VectorDB.searchHits]] calls with zero further Catalyst involvement.
   */
 final class DocSelector private[db] (
     private[db] val pred: org.apache.spark.sql.Column,
-    private[db] val idsBc: org.apache.spark.broadcast.Broadcast[Array[Long]]) {
+    private[graft] val idSet: IdSet) {
   /** Number of ids the predicate matched at compile time. */
-  def size: Int = idsBc.value.length
-  /** Release the broadcast (the handle must not be used afterwards). */
-  def release(): Unit = idsBc.unpersist()
+  def size: Long = idSet.size
+  /** True when the ids live as run files on the shared FS rather than
+    * one broadcast array (the past-the-ceiling shape).
+    */
+  def isFileBacked: Boolean = idSet.isInstanceOf[RunIdSet]
+  /** Release the backing broadcast / run files (the handle must not be
+    * used afterwards).
+    */
+  def release(): Unit = idSet.release()
 }
 
 object VectorDB {
@@ -953,11 +1012,18 @@ object VectorDB {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[VectorDB])
 
-  /** Ceiling on [[VectorDB.selector]] materialized matches (80 MB of
-    * ids broadcast). Non-selective predicates belong on the semi-join
-    * path, which streams.
+  /** Switch point between [[VectorDB.selector]]'s broadcast shape and
+    * its file-backed sorted-run shape (80 MB of broadcast ids). Below:
+    * collect + broadcast; above: range-partitioned run files on the
+    * shared FS, lazily loaded per executor — no ceiling.
     */
   val MaxSelectorIds: Int = 10 * 1000 * 1000
+
+  /** Default ids per selector run file (64 MB of longs): small enough
+    * that one probed run loads fast, large enough that a 1G-id selector
+    * is ~128 runs — a trivially small manifest.
+    */
+  val SelectorRunSize: Int = 8 * 1024 * 1024
 
   /** Typed row of the hot tier. */
   case class CodeRecord(doc_id: Long, code: Seq[Long])
