@@ -1,0 +1,106 @@
+package graft.db
+
+/** JVM-global registry of serving block sets, keyed by (Spark
+  * application, qualified DB folder, snapshot version) — the shared
+  * prepared-block cache.
+  *
+  * Why: [[PreparedScan]] blocks pin the whole hot tier (codes + int8 +
+  * payloads) in executor memory. Before this cache each [[VectorDB]]
+  * INSTANCE built its own blocks, so two handles onto the same folder —
+  * a second session, a library layered over the engine, a test fixture —
+  * silently doubled the serving footprint. Now the blocks are owned
+  * here, refcounted, and every instance over the same (app, folder,
+  * snapshot) shares one set.
+  *
+  * Versioning: each commit writes a fresh snapshot id to the folder's
+  * `_snapshot` marker and registers it via [[invalidate]]. The hot-path
+  * freshness check ([[currentVersion]]) is ONE in-memory map read — no
+  * filesystem touch per query; the marker file is consulted only the
+  * first time a folder is seen in this JVM (and by other JVMs at their
+  * own first sight). Cross-JVM commits are therefore observed at open
+  * time, not mid-flight — same snapshot-isolation contract the parquet
+  * tiers already give.
+  *
+  * Lifecycle: [[acquire]] returns the live entry for (key, version) or
+  * builds one (refcount 1); [[release]] decrements and unpersists at
+  * zero — so a superseded snapshot's blocks survive exactly until the
+  * last instance still serving it refreshes, and `disableServing` on
+  * the only holder frees the memory as before. Entries whose
+  * SparkContext has stopped are rebuilt, not returned (test suites
+  * restart sessions).
+  */
+private[graft] object BlockCache {
+
+  /** One folder as one application sees it. `app` is the Spark
+    * applicationId (block RDDs live and die with the SparkContext);
+    * `folder` is the FileSystem-qualified path, so "/x" and "/x/" and
+    * "file:/x" collide onto one entry.
+    */
+  final case class Key(app: String, folder: String)
+
+  private final class Entry(val scan: PreparedScan) { var refs: Int = 0 }
+
+  private val current = new java.util.concurrent.ConcurrentHashMap[Key, String]()
+  private val entries = new java.util.concurrent.ConcurrentHashMap[(Key, String), Entry]()
+
+  /** The folder's current snapshot version in this JVM; `load` reads
+    * the on-disk marker the first time the folder is seen. Hot-path
+    * cost: one concurrent-map read.
+    */
+  def currentVersion(key: Key, load: () => String): String = {
+    val v = current.get(key)
+    if (v != null) v else current.computeIfAbsent(key, _ => load())
+  }
+
+  /** A commit installed `newVersion` for `key`. Holders of older
+    * versions keep serving their snapshot until they next check
+    * freshness; their blocks free at last release.
+    */
+  def invalidate(key: Key, newVersion: String): Unit =
+    current.put(key, newVersion)
+
+  /** Get-or-build the shared blocks for (key, version); the caller owns
+    * one reference and must [[release]] it. A dead entry (stopped
+    * SparkContext) is replaced.
+    */
+  def acquire(key: Key, version: String)(build: => PreparedScan): PreparedScan =
+    synchronized {
+      val k = (key, version)
+      val e = entries.get(k)
+      if (e != null && e.scan.isAlive) { e.refs += 1; e.scan }
+      else {
+        if (e != null) entries.remove(k)
+        val scan = build
+        val ne = new Entry(scan)
+        ne.refs = 1
+        entries.put(k, ne)
+        scan
+      }
+    }
+
+  /** Drop one reference; unpersist and forget the entry at zero. */
+  def release(key: Key, version: String): Unit = synchronized {
+    val e = entries.get((key, version))
+    if (e != null) {
+      e.refs -= 1
+      if (e.refs <= 0) {
+        entries.remove((key, version))
+        if (e.scan.isAlive) e.scan.unpersist()
+      }
+    }
+  }
+
+  /** Test hook: live entry count for a folder (any version). */
+  private[graft] def liveEntriesFor(folder: String): Int = synchronized {
+    var n = 0
+    val it = entries.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.folder == folder) n += 1
+    n
+  }
+
+  /** Test hook: refcount of (key, version), 0 if absent. */
+  private[graft] def refsFor(key: Key, version: String): Int = synchronized {
+    val e = entries.get((key, version))
+    if (e == null) 0 else e.refs
+  }
+}

@@ -157,6 +157,12 @@ final class PreparedScan private (
   }
 
   def unpersist(): Unit = blocks.unpersist()
+
+  /** False once the owning SparkContext has stopped (the blocks died
+    * with it); [[BlockCache]] rebuilds instead of returning such an
+    * entry.
+    */
+  private[db] def isAlive: Boolean = !blocks.sparkContext.isStopped
 }
 
 object PreparedScan {

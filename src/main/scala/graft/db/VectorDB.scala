@@ -63,7 +63,74 @@ class VectorDB private (
   @volatile private var codesCache: Option[DataFrame] = None
   @volatile private var countCache: Long = -1L
   @volatile private var servingEnabled = false
-  @volatile private var preparedIdx: Option[PreparedScan] = None
+  /** The serving blocks this instance holds a [[BlockCache]] reference
+    * on, tagged with the snapshot version they were built from.
+    */
+  @volatile private var prepared: Option[(String, PreparedScan)] = None
+
+  /** This folder's identity in the JVM-wide [[BlockCache]]: qualified
+    * path (so spelling variants collide) + applicationId (block RDDs
+    * die with their SparkContext).
+    */
+  private lazy val cacheKey = BlockCache.Key(
+    spark.sparkContext.applicationId,
+    fs.makeQualified(new Path(folder)).toString)
+
+  private def markerPath = new Path(s"$folder/_snapshot")
+
+  /** The on-disk snapshot id, read when this JVM first sees the folder
+    * ([[BlockCache.currentVersion]] memoizes it). A folder that predates
+    * version markers reads as "genesis" everywhere, which is still
+    * correct: the first commit anywhere writes a real marker.
+    */
+  private def readMarker(): String = {
+    val p = markerPath
+    if (!fs.exists(p)) "genesis"
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  /** Install a fresh snapshot id — called AFTER a commit's files are in
+    * place (marker-then-files would let a concurrent reader cache the
+    * old files under the new version). Other instances over this folder
+    * observe the bump on their next tier access and re-read.
+    */
+  private def bumpVersion(): Unit = {
+    val v = java.util.UUID.randomUUID().toString
+    val out = fs.create(markerPath, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
+    BlockCache.invalidate(cacheKey, v)
+    lastSeenVersion = v
+  }
+
+  /** The snapshot version this instance's caches were built against. */
+  @volatile private var lastSeenVersion: String =
+    BlockCache.currentVersion(cacheKey, () => readMarker())
+
+  /** Read-committed within the JVM: if any instance committed to this
+    * folder since this instance last looked, drop the stale Catalyst
+    * caches and let go of the stale serving blocks so every subsequent
+    * read — hot tier, cold tier, count, serving — answers from the new
+    * snapshot. Hot-path cost when nothing changed: one concurrent-map
+    * read. A stale cached DataFrame must never execute again after the
+    * commit swapped the underlying files (its file listing is frozen at
+    * creation and the old files are gone).
+    */
+  private def maybeRefresh(): Unit = {
+    val cur = BlockCache.currentVersion(cacheKey, () => readMarker())
+    if (lastSeenVersion != cur) synchronized {
+      val cur2 = BlockCache.currentVersion(cacheKey, () => readMarker())
+      if (lastSeenVersion != cur2) {
+        dropLocalCaches()
+        prepared.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
+        prepared = None
+        lastSeenVersion = cur2
+      }
+    }
+  }
 
   private def hasData: Boolean =
     if (isMor) codesMor.exists else fs.exists(new Path(codesPath))
@@ -97,7 +164,9 @@ class VectorDB private (
   }
 
   /** The hot tier: (doc_id, code…), cached in memory across queries. */
-  def codes: DataFrame = codesCache.getOrElse {
+  def codes: DataFrame = {
+    maybeRefresh()
+    codesCache.getOrElse {
     val df =
       if (!hasData) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptyCodesSchema)
@@ -105,19 +174,23 @@ class VectorDB private (
       else spark.read.parquet(codesPath).persist(StorageLevel.MEMORY_AND_DISK)
     codesCache = Some(df)
     df
+    }
   }
 
   /** The cold tier: (doc_id, doc, emb_int8), read per query. */
-  def docs: DataFrame =
+  def docs: DataFrame = {
+    maybeRefresh()
     if (!hasData) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docsSchema)
     else if (isMor) docsMor.read()
     else spark.read.parquet(docsPath)
+  }
 
   /** O12: number of indexed documents (cached until the next commit —
     * the per-search empty-index guard must not cost a job).
     */
   def count(): Long = {
+    maybeRefresh()
     if (countCache < 0) countCache = codes.count()
     countCache
   }
@@ -196,6 +269,7 @@ class VectorDB private (
         codesMor.upsert(newCodes)
         docsMor.upsert(newDocs)
         invalidateCache()
+        bumpVersion()
       } else {
         // Copy-on-write: anti-join out the replaced ids, union, overwrite.
         val keptCodes = codes.join(newCodes.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -216,6 +290,7 @@ class VectorDB private (
       codesMor.delete(idDf, codes)
       docsMor.delete(idDf, docs)
       invalidateCache()
+      bumpVersion()
     } else writeSnapshot(
       codes.join(idDf, Seq("doc_id"), "left_anti"),
       docs.join(idDf, Seq("doc_id"), "left_anti"))
@@ -228,6 +303,7 @@ class VectorDB private (
     codesMor.compact()
     docsMor.compact()
     invalidateCache()
+    bumpVersion()
   }
 
   /** Pending delta commits on the hot tier (0 under copy-on-write). */
@@ -247,14 +323,24 @@ class VectorDB private (
         s"int8Oversample=$int8Oversample")
   }
 
-  private def invalidateCache(): Unit = {
+  /** Drop this instance's Catalyst-tier caches (cached codes relation,
+    * memoized count). Shared serving blocks are NOT touched here — they
+    * are refcounted in [[BlockCache]].
+    */
+  private def dropLocalCaches(): Unit = {
     codesCache.foreach(_.unpersist())
     codesCache = None
     countCache = -1L
-    // A commit changed the tiers: drop the serving index; it rebuilds
-    // lazily on the next search if serving stays enabled.
-    preparedIdx.foreach(_.unpersist())
-    preparedIdx = None
+  }
+
+  private def invalidateCache(): Unit = {
+    dropLocalCaches()
+    // A commit changed the tiers: let go of the serving blocks; they
+    // rebuild lazily (under the new snapshot version) on the next
+    // search if serving stays enabled. Other instances still holding
+    // the old version keep it alive until they refresh.
+    prepared.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
+    prepared = None
   }
 
   /** Opt into the RAM-resident serving regime: the whole three-phase
@@ -277,25 +363,47 @@ class VectorDB private (
 
   def disableServing(): Unit = {
     servingEnabled = false
-    preparedIdx.foreach(_.unpersist())
-    preparedIdx = None
+    prepared.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
+    prepared = None
   }
 
   /** The fused serving index: [[PreparedScan]] blocks over
-    * codes ⋈ docs with in-band payloads. Built on [[enableServing]] or
-    * lazily, dropped on commit.
+    * codes ⋈ docs with in-band payloads, SHARED across every instance
+    * over this folder in this application ([[BlockCache]]): a second
+    * handle — another session, a layered library, a test fixture —
+    * reuses the resident blocks instead of doubling executor memory.
+    * Built on [[enableServing]] or lazily; re-acquired when the
+    * folder's snapshot version moves (a commit through ANY instance in
+    * this JVM, observed as one in-memory map read per search — no
+    * filesystem touch on the hot path). On refresh the instance's
+    * Catalyst-tier caches drop too, so both execution paths see the
+    * same snapshot.
     */
   private def preparedScan(): Option[PreparedScan] = {
     if (!servingEnabled) None
-    else preparedIdx.orElse(synchronized {
-      if (preparedIdx.isEmpty && hasData) {
-        val fused = codes.join(docs.select(col("doc_id"), col("doc"), col("emb_int8")),
-          Seq("doc_id"))
-        preparedIdx = Some(PreparedScan.build(fused, nWords, isFlat, isIvf,
-          withBytes = true, withDoc = true))
+    else {
+      maybeRefresh()
+      prepared match {
+        case Some((_, ps)) => Some(ps)
+        case None => synchronized {
+          prepared match {
+            case Some((_, ps)) => Some(ps)
+            case None if hasData =>
+              val cur = lastSeenVersion
+              val ps = BlockCache.acquire(cacheKey, cur) {
+                val fused = codes.join(
+                  docs.select(col("doc_id"), col("doc"), col("emb_int8")),
+                  Seq("doc_id"))
+                PreparedScan.build(fused, nWords, isFlat, isIvf,
+                  withBytes = true, withDoc = true)
+              }
+              prepared = Some((cur, ps))
+              Some(ps)
+            case None => None
+          }
+        }
       }
-      preparedIdx
-    })
+    }
   }
 
   /** Exact driver-side mirror of the phase-III column expression
@@ -551,6 +659,11 @@ class VectorDB private (
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     validateFunnelParams(k, binaryOversample, int8Oversample)
   }
+
+  /** Test hooks: the shared-block identity this instance serves from. */
+  private[graft] def blockCacheKey: BlockCache.Key = cacheKey
+  private[graft] def preparedForTest: Option[PreparedScan] = prepared.map(_._2)
+  private[graft] def preparedVersionForTest: Option[String] = prepared.map(_._1)
 
   /** Most recent [[VectorDB.SearchTimings]] recorded by a funnel search
     * on the CALLING thread (thread-local, so concurrent serving callers
@@ -952,6 +1065,7 @@ class VectorDB private (
     fs.delete(new Path(docsPath), true)
     fs.rename(new Path(tmpCodes), new Path(codesPath))
     fs.rename(new Path(tmpDocs), new Path(docsPath))
+    bumpVersion()
   }
 }
 
