@@ -47,8 +47,42 @@ class VectorDB private (
   private def fs: FileSystem =
     FileSystem.get(new java.net.URI(folder), spark.sparkContext.hadoopConfiguration)
 
-  private def codesPath = s"$folder/codes.parquet"
-  private def docsPath = s"$folder/docs.parquet"
+  private def versionedCodesPath(v: String) = s"$folder/codes-$v.parquet"
+  private def versionedDocsPath(v: String) = s"$folder/docs-$v.parquet"
+
+  /** (codes dir, docs dir) of the CURRENT snapshot version: the
+    * versioned dirs when they exist, else the legacy unversioned pair
+    * (pre-versioning folders, and any version committed before
+    * versioned snapshots shipped). Memoized per version — the hot path
+    * pays one field compare, not a filesystem stat.
+    */
+  @volatile private var resolvedFor: (String, String, String) = null
+  private def resolvedPaths: (String, String) = {
+    val v = lastSeenVersion
+    val r = resolvedFor
+    if (r != null && r._1 == v) (r._2, r._3)
+    else {
+      val cp = versionedCodesPath(v)
+      val pair =
+        if (v != VectorDB.GenesisVersion && fs.exists(new Path(cp)))
+          (cp, versionedDocsPath(v))
+        else (s"$folder/codes.parquet", s"$folder/docs.parquet")
+      resolvedFor = (v, pair._1, pair._2)
+      pair
+    }
+  }
+  private def codesPath = resolvedPaths._1
+  private def docsPath = resolvedPaths._2
+
+  /** Read one snapshot tier at an explicit location ([[Snapshot]]'s
+    * accessor): raw uncached read; empty relation when the snapshot
+    * predates any data.
+    */
+  private[db] def readTierAt(dir: String, hot: Boolean): DataFrame =
+    if (!fs.exists(new Path(dir)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (hot) emptyCodesSchema else docsSchema)
+    else spark.read.parquet(dir)
 
   private val isMor = storage == VectorDB.StorageMor
   private val isFlat = layout == VectorDB.LayoutFlat
@@ -98,8 +132,10 @@ class VectorDB private (
     * old files under the new version). Other instances over this folder
     * observe the bump on their next tier access and re-read.
     */
-  private def bumpVersion(): Unit = {
-    val v = java.util.UUID.randomUUID().toString
+  private def bumpVersion(): Unit =
+    installVersion(java.util.UUID.randomUUID().toString)
+
+  private def installVersion(v: String): Unit = {
     val out = fs.create(markerPath, true)
     try out.write(v.getBytes("UTF-8")) finally out.close()
     BlockCache.invalidate(cacheKey, v)
@@ -664,6 +700,7 @@ class VectorDB private (
   private[graft] def blockCacheKey: BlockCache.Key = cacheKey
   private[graft] def preparedForTest: Option[PreparedScan] = prepared.map(_._2)
   private[graft] def preparedVersionForTest: Option[String] = prepared.map(_._1)
+  private[graft] def currentCodesPathForTest: String = codesPath
 
   /** Most recent [[VectorDB.SearchTimings]] recorded by a funnel search
     * on the CALLING thread (thread-local, so concurrent serving callers
@@ -1046,27 +1083,116 @@ class VectorDB private (
     */
   def save(): Unit = ()
 
+  /** COW commit, VERSIONED: write the new snapshot into fresh
+    * `codes-<id>.parquet` / `docs-<id>.parquet` dirs (the inputs'
+    * lineage reads the CURRENT dirs, which are never touched), then
+    * flip the `_snapshot` marker — an atomic pointer swap, no
+    * delete-and-rename window. The PREVIOUS snapshot's files are
+    * retained for one more commit, so a reader that resolved its paths
+    * just before the flip — another thread mid-search, another JVM
+    * between open and first read, a [[Snapshot]] pin — keeps reading
+    * intact files instead of hitting FILE_NOT_EXIST. GC then removes
+    * every version except {current, previous} ∪ in-JVM pins
+    * ([[VectorDB.SnapshotPins]]).
+    */
   private def writeSnapshot(newCodes: DataFrame, newDocs: DataFrame): Unit = {
-    // Write to temp dirs first, then swap: the inputs' lineage reads the
-    // live dirs, so an in-place overwrite would corrupt its own source.
-    val tmpCodes = s"$codesPath.tmp"
-    val tmpDocs = s"$docsPath.tmp"
+    val prev = lastSeenVersion
+    val v = java.util.UUID.randomUUID().toString
+    val cp = versionedCodesPath(v)
+    val dp = versionedDocsPath(v)
     // IVF: cell-partitioned hot tier (co-located per cell first so each
     // cell gets one file, not partitions × cells fragments).
     if (isIvf)
       newCodes.repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(tmpCodes)
-    else newCodes.write.mode("overwrite").parquet(tmpCodes)
+        .write.partitionBy("cell").mode("overwrite").parquet(cp)
+    else newCodes.write.mode("overwrite").parquet(cp)
     // Cold tier sorted by doc_id within partitions: candidate-id filters
     // prune row groups via parquet min/max stats (the point-lookup path).
-    newDocs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmpDocs)
+    newDocs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(dp)
     invalidateCache()
-    fs.delete(new Path(codesPath), true)
-    fs.delete(new Path(docsPath), true)
-    fs.rename(new Path(tmpCodes), new Path(codesPath))
-    fs.rename(new Path(tmpDocs), new Path(docsPath))
-    bumpVersion()
+    installVersion(v)
+    gcSnapshots(keep = Set(v, prev))
   }
+
+  /** Delete every snapshot generation whose version is outside
+    * `keep` ∪ the in-JVM pin set. Touches only snapshot data dirs
+    * (versioned `codes-*`/`docs-*` and the legacy unversioned pair) —
+    * never `config.json`, `_snapshot`, `_selectors`, or MOR state.
+    */
+  private def gcSnapshots(keep: Set[String]): Unit = {
+    val keepAll = keep ++ SnapshotPins.pinnedVersions(cacheKey.folder)
+    val keepNames: Set[String] = keepAll.flatMap { v =>
+      if (v != VectorDB.GenesisVersion &&
+          fs.exists(new Path(versionedCodesPath(v))))
+        Set(s"codes-$v.parquet", s"docs-$v.parquet")
+      else Set("codes.parquet", "docs.parquet") // legacy-resident version
+    }
+    val snapshotDir = "^(codes|docs)(-[0-9a-f-]+)?\\.parquet$".r
+    fs.listStatus(new Path(folder)).foreach { st =>
+      val name = st.getPath.getName
+      if (snapshotDir.findFirstIn(name).isDefined && !keepNames.contains(name))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Pin the current copy-on-write snapshot for repeatable reads: the
+    * returned handle's `codes`/`docs` keep resolving to THIS snapshot's
+    * files no matter how many commits land meanwhile (commit-time GC
+    * skips pinned versions until [[Snapshot.close]]). The engine-level
+    * answer to "a long analytical job must not see its input change
+    * mid-flight" — the reference has no such notion (single-process,
+    * `README.md:174` disclaims multi-process safety). COW only:
+    * merge-on-read readers merge deltas at read time, so pinning file
+    * sets cannot freeze their view.
+    */
+  def snapshot(): Snapshot = {
+    require(!isMor,
+      "snapshot() pins copy-on-write file sets; merge-on-read views are " +
+        "assembled at read time and cannot be pinned this way")
+    maybeRefresh()
+    val v = lastSeenVersion
+    val (cp, dp) = resolvedPaths
+    SnapshotPins.pin(cacheKey.folder, v)
+    new Snapshot(this, v, cp, dp)
+  }
+}
+
+/** A pinned copy-on-write snapshot — repeatable-read over the two
+  * parquet tiers ([[VectorDB.snapshot]]). Reads resolve to the pinned
+  * version's files; commits through any instance leave them in place
+  * until [[close]] (in-JVM pin registry + commit-time GC). Idempotent
+  * close.
+  */
+final class Snapshot private[db] (
+    db: VectorDB,
+    val version: String,
+    codesDir: String,
+    docsDir: String) extends AutoCloseable {
+
+  private val open = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+  private def requireOpen(): Unit =
+    require(open.get(), "snapshot is closed")
+
+  /** The pinned hot tier (fresh read, not cached — pin, then cache
+    * yourself if you iterate).
+    */
+  def codes: DataFrame = {
+    requireOpen()
+    db.readTierAt(codesDir, hot = true)
+  }
+
+  /** The pinned cold tier. */
+  def docs: DataFrame = {
+    requireOpen()
+    db.readTierAt(docsDir, hot = false)
+  }
+
+  def count(): Long = codes.count()
+
+  override def close(): Unit =
+    if (open.compareAndSet(true, false))
+      VectorDB.SnapshotPins.unpin(db.blockCacheKey.folder, version)
 }
 
 /** A compiled cold-tier predicate — the faiss `IDSelectorBatch`
@@ -1125,6 +1251,35 @@ object VectorDB {
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[VectorDB])
+
+  /** Snapshot version of a folder before its first versioned commit. */
+  private[db] val GenesisVersion = "genesis"
+
+  /** In-JVM registry of pinned snapshot versions ([[VectorDB.snapshot]]):
+    * (qualified folder, version) → pin count. Commit-time GC
+    * ([[VectorDB]]`.gcSnapshots`) keeps pinned versions' files on disk.
+    * JVM-scoped by design — cross-JVM pins need external coordination;
+    * the one-commit retention of the previous snapshot covers the
+    * in-flight-read window either way.
+    */
+  private[db] object SnapshotPins {
+    private val pins =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]
+
+    def pin(folder: String, version: String): Unit =
+      pins.merge((folder, version), Integer.valueOf(1), (a, b) =>
+        Integer.valueOf(a.intValue + b.intValue))
+
+    def unpin(folder: String, version: String): Unit =
+      pins.computeIfPresent((folder, version), (_, n) =>
+        if (n.intValue <= 1) null else Integer.valueOf(n.intValue - 1))
+
+    def pinnedVersions(folder: String): Set[String] = {
+      val b = Set.newBuilder[String]
+      pins.forEach((k, _) => if (k._1 == folder) b += k._2)
+      b.result()
+    }
+  }
 
   /** Switch point between [[VectorDB.selector]]'s broadcast shape and
     * its file-backed sorted-run shape (80 MB of broadcast ids). Below:

@@ -36,7 +36,7 @@ class IndexStrategySpec extends AnyFunSuite {
     }
 
     // The ivf hot tier is physically cell-partitioned.
-    val cellDirs = new java.io.File(s"${ivf.folder}/codes.parquet")
+    val cellDirs = new java.io.File(ivf.currentCodesPathForTest)
       .listFiles().filter(_.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty)
 
@@ -122,7 +122,7 @@ class IndexStrategySpec extends AnyFunSuite {
     a.addDocuments(corpus.toDF("doc_id", "text"))
     val hitsA = a.search("tok3 tok11", k = 3).collect()
     assert(hitsA.length == 3)
-    assert(new java.io.File(s"${a.folder}/codes.parquet")
+    assert(new java.io.File(a.currentCodesPathForTest)
       .listFiles().exists(_.getName.startsWith("cell=")))
 
     // ivf + MOR storage: the cell column rides through delta commits;

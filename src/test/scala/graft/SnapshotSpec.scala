@@ -1,0 +1,131 @@
+package graft
+
+import graft.db.VectorDB
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Versioned copy-on-write snapshots: a commit writes NEW
+  * `codes-<id>.parquet`/`docs-<id>.parquet` dirs and flips the
+  * `_snapshot` marker — never deleting the files a concurrent reader
+  * may be mid-scan on. The previous generation survives one more
+  * commit; [[VectorDB.snapshot]] pins a generation for repeatable
+  * reads until closed, and commit-time GC bounds disk to
+  * {current, previous} ∪ pins.
+  */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftdb").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def fixture(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, s"document number $i topic ${i % 9}"))
+      .toDF("doc_id", "text")
+
+  private def snapshotDirs(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().map(_.getName).toSeq
+      .filter(n => n.matches("(codes|docs)(-[0-9a-f-]+)?\\.parquet"))
+
+  test("a pre-commit reader survives the commit (previous generation retained)") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir)
+    db.addDocuments(fixture(0 until 100))
+    // capture the CURRENT tier DataFrame, as a concurrent reader would
+    val preCommitCodes = db.codes
+    db.addDocuments(fixture(100 until 130))
+    // the old files must still be readable: this re-executes the old plan
+    assert(preCommitCodes.count() == 100,
+      "pre-commit snapshot must stay intact through the commit")
+    assert(db.count() == 130)
+  }
+
+  test("snapshot() pins a generation across multiple commits; close() releases it") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir)
+    db.addDocuments(fixture(0 until 60))
+    val snap = db.snapshot()
+    assert(snap.count() == 60)
+
+    db.addDocuments(fixture(60 until 70))
+    db.addDocuments(fixture(70 until 80))
+    db.removeDocs(Seq(5L))
+    // three commits later the pinned generation still answers the same
+    assert(snap.count() == 60)
+    assert(snap.codes.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 60L).toSet)
+    assert(snap.docs.count() == 60)
+    assert(db.count() == 79)
+
+    // pinned generation's files + {current, previous} = 3 generations
+    assert(snapshotDirs(dir).size == 6,
+      s"expected pinned+current+previous generations on disk: ${snapshotDirs(dir)}")
+
+    snap.close()
+    // idempotent close; reads now refuse
+    snap.close()
+    intercept[IllegalArgumentException] { snap.codes }
+
+    // the next commit GCs the unpinned old generation
+    db.addDocuments(fixture(500 until 505))
+    assert(snapshotDirs(dir).size == 4,
+      s"after close + commit only current+previous remain: ${snapshotDirs(dir)}")
+  }
+
+  test("unpinned generations are bounded to current + previous") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir)
+    db.addDocuments(fixture(0 until 30))
+    db.addDocuments(fixture(30 until 40))
+    db.addDocuments(fixture(40 until 50))
+    db.addDocuments(fixture(50 until 60))
+    assert(snapshotDirs(dir).size == 4,
+      s"disk must hold exactly current+previous generations: ${snapshotDirs(dir)}")
+    assert(db.count() == 60)
+    // reopen resolves to the marked current generation
+    val db2 = VectorDB.openOrCreate(spark, dir)
+    assert(db2.count() == 60)
+  }
+
+  test("snapshot of a folder still on the legacy unversioned layout reads it") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir)
+    db.addDocuments(fixture(0 until 25))
+    // first generation IS versioned under the new scheme; what matters:
+    // snapshot() resolves whatever layout is current
+    val snap = db.snapshot()
+    assert(snap.count() == 25)
+    snap.close()
+  }
+
+  test("snapshot() is rejected under merge-on-read storage") {
+    val db = VectorDB.openOrCreate(spark, freshDir(),
+      storage = VectorDB.StorageMor)
+    db.addDocuments(fixture(0 until 10))
+    val e = intercept[IllegalArgumentException] { db.snapshot() }
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
+  test("empty-db snapshot yields empty tiers, not an error") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    val snap = db.snapshot()
+    assert(snap.count() == 0)
+    assert(snap.docs.count() == 0)
+    snap.close()
+  }
+
+  test("the live view moves while a pinned snapshot stays put") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir)
+    db.addDocuments(fixture(0 until 120))
+    val snap = db.snapshot()
+    db.addDocuments(fixture(1000 until 1100)) // supersede
+    assert(db.count() == 220, "live view must include the new commit")
+    assert(snap.codes.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 120L).toSet,
+      "pinned snapshot must still list exactly the pre-commit ids")
+    snap.close()
+  }
+}
