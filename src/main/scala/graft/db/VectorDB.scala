@@ -630,7 +630,7 @@ class VectorDB private (
     *    `folder/_selectors/` on the shared FS; only a small (min, max,
     *    path) manifest rides the query closures, and each executor
     *    lazily loads just the runs its surviving rows probe
-    *    (soft-referenced — memory pressure evicts). Nothing is ever
+    *    (bounded-LRU cached — cold runs evict). Nothing is ever
     *    collected to the driver, so there is NO match-count ceiling.
     *    Exact semantics either way (a bloom filter would leak
     *    false-positive ids into filtered results).
