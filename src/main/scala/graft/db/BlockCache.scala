@@ -103,4 +103,12 @@ private[graft] object BlockCache {
     val e = entries.get((key, version))
     if (e == null) 0 else e.refs
   }
+
+  /** Test hook: rewind the in-JVM current version, simulating a commit
+    * that happened in ANOTHER JVM (marker on disk moved, this JVM's map
+    * did not) — the regime [[graft.db.VectorDB.pollMarkerEvery]] exists
+    * for.
+    */
+  private[graft] def forceVersionForTest(key: Key, version: String): Unit =
+    current.put(key, version)
 }

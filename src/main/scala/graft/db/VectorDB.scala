@@ -146,16 +146,45 @@ class VectorDB private (
   @volatile private var lastSeenVersion: String =
     BlockCache.currentVersion(cacheKey, () => readMarker())
 
+  /** Cross-JVM freshness, opt-in: re-read the on-disk `_snapshot`
+    * marker at most every `ms` milliseconds and adopt an externally
+    * committed version (a writer in ANOTHER JVM — e.g. an ingest job
+    * feeding a serving fleet). Off by default (0): in-JVM commits are
+    * already observed for free via [[BlockCache]], and a marker stat
+    * per poll interval is the only cost when enabled. Readers between
+    * polls serve the previous snapshot — whose files the versioned COW
+    * layout retains — so staleness is bounded by `ms`, never broken
+    * reads.
+    */
+  def pollMarkerEvery(ms: Long): this.type = {
+    require(ms >= 0, s"poll interval must be >= 0, got $ms")
+    markerPollMs = ms
+    this
+  }
+
+  @volatile private var markerPollMs: Long = 0L
+  @volatile private var lastMarkerReadNs: Long = System.nanoTime()
+
   /** Read-committed within the JVM: if any instance committed to this
     * folder since this instance last looked, drop the stale Catalyst
     * caches and let go of the stale serving blocks so every subsequent
     * read — hot tier, cold tier, count, serving — answers from the new
     * snapshot. Hot-path cost when nothing changed: one concurrent-map
-    * read. A stale cached DataFrame must never execute again after the
-    * commit swapped the underlying files (its file listing is frozen at
-    * creation and the old files are gone).
+    * read (plus, under [[pollMarkerEvery]], a marker re-read once per
+    * poll interval). A stale cached DataFrame must never execute again
+    * after its snapshot generation is GC'd.
     */
   private def maybeRefresh(): Unit = {
+    if (markerPollMs > 0 &&
+        (System.nanoTime() - lastMarkerReadNs) / 1000000L >= markerPollMs)
+      synchronized {
+        if ((System.nanoTime() - lastMarkerReadNs) / 1000000L >= markerPollMs) {
+          lastMarkerReadNs = System.nanoTime()
+          val onDisk = readMarker()
+          if (onDisk != BlockCache.currentVersion(cacheKey, () => onDisk))
+            BlockCache.invalidate(cacheKey, onDisk)
+        }
+      }
     val cur = BlockCache.currentVersion(cacheKey, () => readMarker())
     if (lastSeenVersion != cur) synchronized {
       val cur2 = BlockCache.currentVersion(cacheKey, () => readMarker())

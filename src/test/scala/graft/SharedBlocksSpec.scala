@@ -135,6 +135,39 @@ class SharedBlocksSpec extends AnyFunSuite {
     db2.disableServing()
   }
 
+  test("pollMarkerEvery adopts a commit made outside this JVM's version map") {
+    val dir = freshDir()
+    val db1 = VectorDB.openOrCreate(spark, dir)
+    db1.addDocuments(fixture(0 until 70))
+    db1.enableServing()
+    val key = db1.blockCacheKey
+    val vOld = db1.preparedVersionForTest.get
+    val staleIds = db1.searchHits(qv, k = 200, binaryOversample = 200,
+      int8Oversample = 200).map(_.docId).toSet
+
+    // another handle commits (marker moves on disk), then we rewind the
+    // in-JVM version map — exactly the state a commit from a DIFFERENT
+    // JVM leaves behind: disk new, this JVM's map old
+    val writer = VectorDB.openOrCreate(spark, dir)
+    writer.addDocuments(fixture(2000 until 2005))
+    BlockCache.forceVersionForTest(key, vOld)
+
+    // without polling, db1 keeps serving the old snapshot (stale map)
+    assert(db1.searchHits(qv, k = 200, binaryOversample = 200,
+      int8Oversample = 200).map(_.docId).toSet == staleIds,
+      "sanity: stale map must keep the old snapshot visible")
+
+    // with polling, the next search past the interval adopts the marker
+    db1.pollMarkerEvery(1)
+    Thread.sleep(10)
+    val freshIds = db1.searchHits(qv, k = 200, binaryOversample = 200,
+      int8Oversample = 200).map(_.docId).toSet
+    assert(freshIds.contains(2003L),
+      "polling must surface the externally committed snapshot")
+    assert(freshIds.size == 75)
+    db1.disableServing()
+  }
+
   test("serving results stay identical to the Catalyst path across a shared refresh") {
     val dir = freshDir()
     val db1 = VectorDB.openOrCreate(spark, dir)
