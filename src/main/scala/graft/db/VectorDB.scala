@@ -111,6 +111,79 @@ class VectorDB private (
     fs.makeQualified(new Path(folder)).toString)
 
   private def markerPath = new Path(s"$folder/_snapshot")
+  private def historyPath = new Path(s"$folder/_history")
+
+  /** Ordered list of RETAINED snapshot versions (oldest first), as
+    * maintained by COW commits: the versions whose generation files
+    * survive GC — the last [[keepGenerations]] plus any pinned. Empty
+    * for folders that predate versioned snapshots and for MOR storage.
+    */
+  private def readHistory(): Seq[String] = {
+    if (!fs.exists(historyPath)) Seq.empty
+    else {
+      val in = fs.open(historyPath)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  private def writeHistory(versions: Seq[String]): Unit = {
+    val out = fs.create(historyPath, true)
+    try out.write(versions.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** How many trailing generations a COW commit retains (besides
+    * pinned ones). Minimum 2 — current plus previous — because the
+    * previous generation is what keeps in-flight readers of the
+    * just-superseded snapshot on intact files.
+    */
+  def keepGenerations(k: Int): this.type = {
+    require(k >= 2,
+      s"keepGenerations must be >= 2 (current + previous — the previous " +
+        s"generation protects in-flight readers), got $k")
+    retainGenerations = k
+    this
+  }
+
+  @volatile private var retainGenerations: Int = 2
+
+  /** The retained COW generations (oldest first, current last) whose
+    * files are on disk — each a valid [[snapshotAt]] target. The
+    * TIME-TRAVEL window: its depth is [[keepGenerations]] (+pins).
+    */
+  def generations(): Seq[String] = {
+    require(!isMor, "generations() applies to copy-on-write storage")
+    maybeRefresh()
+    val h = readHistory()
+    if (h.nonEmpty) h
+    else if (hasData || lastSeenVersion != VectorDB.GenesisVersion)
+      Seq(lastSeenVersion)
+    else Seq.empty
+  }
+
+  /** Pin and read a RETAINED past generation — time travel bounded by
+    * the [[keepGenerations]] window. Same contract as [[snapshot]] but
+    * at an explicit version from [[generations]].
+    */
+  def snapshotAt(version: String): Snapshot = {
+    require(!isMor,
+      "snapshotAt() pins copy-on-write file sets; merge-on-read views " +
+        "are assembled at read time and cannot be pinned this way")
+    maybeRefresh()
+    val gens = generations()
+    require(gens.contains(version),
+      s"version '$version' is not retained (window: ${gens.mkString(", ")}) — " +
+        "raise keepGenerations(k) to deepen the time-travel window")
+    SnapshotPins.pin(cacheKey.folder, version)
+    val (cp, dp) =
+      if (version != VectorDB.GenesisVersion &&
+          fs.exists(new Path(versionedCodesPath(version))))
+        (versionedCodesPath(version), versionedDocsPath(version))
+      else (s"$folder/codes.parquet", s"$folder/docs.parquet")
+    new Snapshot(this, version, cp, dp)
+  }
 
   /** The on-disk snapshot id, read when this JVM first sees the folder
     * ([[BlockCache.currentVersion]] memoizes it). A folder that predates
@@ -1126,6 +1199,7 @@ class VectorDB private (
     */
   private def writeSnapshot(newCodes: DataFrame, newDocs: DataFrame): Unit = {
     val prev = lastSeenVersion
+    val hadPrev = hasData // the superseded generation has files to retain
     val v = java.util.UUID.randomUUID().toString
     val cp = versionedCodesPath(v)
     val dp = versionedDocsPath(v)
@@ -1140,7 +1214,18 @@ class VectorDB private (
     newDocs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(dp)
     invalidateCache()
     installVersion(v)
-    gcSnapshots(keep = Set(v, prev))
+    // Maintain the retained-generation history (the time-travel window):
+    // trailing keepGenerations versions plus pins survive; the rest GC.
+    val prior = {
+      val h = readHistory()
+      if (h.nonEmpty) h else if (hadPrev) Seq(prev) else Seq.empty
+    }
+    val all = (prior :+ v).distinct
+    val lastK = all.takeRight(retainGenerations).toSet
+    val pinned = SnapshotPins.pinnedVersions(cacheKey.folder)
+    val kept = all.filter(x => lastK.contains(x) || pinned.contains(x))
+    writeHistory(kept)
+    gcSnapshots(keep = kept.toSet)
   }
 
   /** Delete every snapshot generation whose version is outside

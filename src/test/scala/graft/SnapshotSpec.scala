@@ -116,6 +116,50 @@ class SnapshotSpec extends AnyFunSuite {
     snap.close()
   }
 
+  test("keepGenerations deepens the time-travel window; snapshotAt reads each") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir).keepGenerations(4)
+    db.addDocuments(fixture(0 until 10))   // gen 1: 10 rows
+    db.addDocuments(fixture(10 until 25))  // gen 2: 25
+    db.addDocuments(fixture(25 until 45))  // gen 3: 45
+    db.addDocuments(fixture(45 until 70))  // gen 4: 70
+    db.addDocuments(fixture(70 until 100)) // gen 5: 100 — gen 1 GC'd
+    val gens = db.generations()
+    assert(gens.size == 4, s"window of 4: $gens")
+    assert(snapshotDirs(dir).size == 8)
+
+    // each retained generation answers with its own historical count
+    val counts = gens.map { v =>
+      val s = db.snapshotAt(v)
+      try s.count() finally s.close()
+    }
+    assert(counts == Seq(25L, 45L, 70L, 100L),
+      s"generations must read their own history: $counts")
+
+    // the GC'd generation is not a valid target
+    val e = intercept[IllegalArgumentException] { db.snapshotAt("no-such-version") }
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("a pin outlives the keepGenerations window until closed") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir) // default window: 2
+    db.addDocuments(fixture(0 until 40))
+    val pinned = db.snapshot()
+    db.addDocuments(fixture(40 until 50))
+    db.addDocuments(fixture(50 until 60))
+    db.addDocuments(fixture(60 until 70))
+    // pinned gen + current + previous
+    assert(snapshotDirs(dir).size == 6, s"${snapshotDirs(dir)}")
+    assert(pinned.count() == 40)
+    // the pinned version stays listed while pinned
+    assert(db.generations().contains(pinned.version))
+    pinned.close()
+    db.addDocuments(fixture(70 until 75))
+    assert(snapshotDirs(dir).size == 4)
+    assert(!db.generations().contains(pinned.version))
+  }
+
   test("the live view moves while a pinned snapshot stays put") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir)
