@@ -58,6 +58,26 @@ object Demo {
     println("batched searchMany (k=3):")
     db.searchMany(batch, k = 3).show(6, 40)
 
+    // Filtered search: compile a cold-tier predicate once, reuse the
+    // allowlist across queries (broadcast ≤10M matches; a file-backed
+    // sorted-run index beyond — same results either way).
+    val sel = db.selector(org.apache.spark.sql.functions.col("doc")
+      .contains("data"))
+    println(s"filtered search (predicate matches ${sel.size} docs):")
+    db.searchVectorWhere(qv, sel).show(3, 60)
+    sel.release()
+
+    // Transactional reads: pin the current snapshot, commit on top of
+    // it, and show the pin still answering from its generation while
+    // the live view moved (copy-on-write generations + GC; time travel
+    // via keepGenerations/generations/snapshotAt).
+    val snap = db.snapshot()
+    db.addDocuments(spark.createDataFrame(
+      Seq((9000001L, "freshly committed row after the pin"))).toDF("doc_id", "text"))
+    println(s"pinned snapshot: ${snap.count()} docs; live view: ${db.count()} " +
+      s"(generations retained: ${db.generations().size})")
+    snap.close()
+
     // IVF strategy: same API, cell-partitioned hot tier; nprobe trades
     // scan fraction for recall (all cells ≡ flat, exactly).
     val ivf = VectorDB.openOrCreate(spark, s"$dbDir-ivf", index = VectorDB.IndexIvf)

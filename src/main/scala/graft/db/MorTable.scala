@@ -74,20 +74,29 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
   }
 
   /** The merged current snapshot (no `_v`/`_deleted` internals). */
-  def read(): DataFrame = {
+  def read(): DataFrame = readAt(Int.MaxValue)
+
+  /** The merged snapshot AS OF commit version `maxV` — the repeatable
+    * MOR read: deltas are append-only, so the view at a pinned ceiling
+    * is stable under any number of later upserts/deletes. The ONLY
+    * operation that could invalidate it is [[compact]] (it folds and
+    * deletes the pinned files), so the facade refuses compaction while
+    * pins are open.
+    */
+  def readAt(maxV: Int): DataFrame = {
     recover()
     val parts =
       (if (fs.exists(basePath))
         Seq(spark.read.parquet(basePath.toString)
           .withColumn("_v", lit(0)).withColumn("_deleted", lit(false)))
       else Seq.empty) ++
-      deltaPaths().map { case (v, p) =>
+      deltaPaths().filter(_._1 <= maxV).map { case (v, p) =>
         val df = spark.read.parquet(p.toString)
         (if (df.columns.contains("_deleted")) df
          else df.withColumn("_deleted", lit(false)))
           .withColumn("_v", lit(v))
       }
-    require(parts.nonEmpty, s"MOR table $dir is empty")
+    require(parts.nonEmpty, s"MOR table $dir is empty at version $maxV")
     val all = parts.reduce(_ unionByName (_, allowMissingColumns = true))
     val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
     all
@@ -95,6 +104,11 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
       .filter(col("_rn") === 1 && !col("_deleted"))
       .drop("_rn", "_v", "_deleted")
   }
+
+  /** Highest committed delta version (0 = base only) — the ceiling a
+    * repeatable read pins.
+    */
+  def versionCeiling(): Int = deltaPaths().lastOption.map(_._1).getOrElse(0)
 
   /** Append-only upsert: writes ONLY the batch (last-writer-wins replaces
     * any older rows with the same key at read time). Keys must be unique

@@ -182,7 +182,8 @@ class VectorDB private (
           fs.exists(new Path(versionedCodesPath(version))))
         (versionedCodesPath(version), versionedDocsPath(version))
       else (s"$folder/codes.parquet", s"$folder/docs.parquet")
-    new Snapshot(this, version, cp, dp)
+    new Snapshot(this, version, () => readTierAt(cp, hot = true),
+      () => readTierAt(dp, hot = false))
   }
 
   /** The on-disk snapshot id, read when this JVM first sees the folder
@@ -438,6 +439,13 @@ class VectorDB private (
     * amplification; the amortized rewrite). No-op under copy-on-write.
     */
   def compact(): Unit = if (isMor) {
+    val morPins = SnapshotPins.pinnedVersions(cacheKey.folder)
+      .filter(_.startsWith(VectorDB.MorPinPrefix))
+    if (morPins.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot compact: ${morPins.size} open snapshot(s) pin the current " +
+          "delta files (compaction would delete them); close the snapshots " +
+          "first")
     codesMor.compact()
     docsMor.compact()
     invalidateCache()
@@ -1249,39 +1257,61 @@ class VectorDB private (
     }
   }
 
-  /** Pin the current copy-on-write snapshot for repeatable reads: the
-    * returned handle's `codes`/`docs` keep resolving to THIS snapshot's
-    * files no matter how many commits land meanwhile (commit-time GC
-    * skips pinned versions until [[Snapshot.close]]). The engine-level
-    * answer to "a long analytical job must not see its input change
-    * mid-flight" — the reference has no such notion (single-process,
-    * `README.md:174` disclaims multi-process safety). COW only:
-    * merge-on-read readers merge deltas at read time, so pinning file
-    * sets cannot freeze their view.
+  /** Pin the current table state for repeatable reads: the returned
+    * handle's `codes`/`docs` keep answering from THIS state no matter
+    * how many commits land meanwhile. The engine-level answer to "a
+    * long analytical job must not see its input change mid-flight" —
+    * the reference has no such notion (single-process, `README.md:174`
+    * disclaims multi-process safety). Mechanics per storage mode:
+    *  - copy-on-write: the pinned generation's files are kept on disk
+    *    (commit-time GC skips pinned versions until [[Snapshot.close]]).
+    *  - merge-on-read: the pin records the current commit-version
+    *    ceiling; reads merge only deltas up to it — stable because
+    *    deltas are append-only. [[compact]] refuses while such a pin
+    *    is open (folding would delete the pinned delta files).
     */
   def snapshot(): Snapshot = {
-    require(!isMor,
-      "snapshot() pins copy-on-write file sets; merge-on-read views are " +
-        "assembled at read time and cannot be pinned this way")
     maybeRefresh()
-    val v = lastSeenVersion
-    val (cp, dp) = resolvedPaths
-    SnapshotPins.pin(cacheKey.folder, v)
-    new Snapshot(this, v, cp, dp)
+    if (isMor) {
+      val empty = !hasData
+      // per-table ceilings captured at pin time (committed in lockstep,
+      // but each table owns its version counter)
+      val codesCeil = if (empty) -1 else codesMor.versionCeiling()
+      val docsCeil = if (empty) -1 else docsMor.versionCeiling()
+      val v = s"${VectorDB.MorPinPrefix}$codesCeil"
+      SnapshotPins.pin(cacheKey.folder, v)
+      def tier(t: MorTable, ceil: Int, hot: Boolean): DataFrame =
+        if (ceil < 0)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            if (hot) emptyCodesSchema else docsSchema)
+        else t.readAt(ceil)
+      new Snapshot(this, v, () => tier(codesMor, codesCeil, hot = true),
+        () => tier(docsMor, docsCeil, hot = false))
+    } else {
+      val v = lastSeenVersion
+      val (cp, dp) = resolvedPaths
+      SnapshotPins.pin(cacheKey.folder, v)
+      new Snapshot(this, v, () => readTierAt(cp, hot = true),
+        () => readTierAt(dp, hot = false))
+    }
   }
 }
 
-/** A pinned copy-on-write snapshot — repeatable-read over the two
-  * parquet tiers ([[VectorDB.snapshot]]). Reads resolve to the pinned
-  * version's files; commits through any instance leave them in place
-  * until [[close]] (in-JVM pin registry + commit-time GC). Idempotent
+/** A pinned repeatable-read snapshot over the two tiers
+  * ([[VectorDB.snapshot]] / [[VectorDB.snapshotAt]]). Under
+  * copy-on-write, reads resolve to the pinned generation's files,
+  * which commits leave in place until [[close]] (in-JVM pin registry +
+  * commit-time GC). Under merge-on-read, reads merge the delta set up
+  * to the pinned commit ceiling — append-only deltas make that view
+  * stable under later commits, and [[VectorDB.compact]] refuses while
+  * the pin is open (folding would delete the pinned files). Idempotent
   * close.
   */
 final class Snapshot private[db] (
     db: VectorDB,
     val version: String,
-    codesDir: String,
-    docsDir: String) extends AutoCloseable {
+    codesFn: () => DataFrame,
+    docsFn: () => DataFrame) extends AutoCloseable {
 
   private val open = new java.util.concurrent.atomic.AtomicBoolean(true)
 
@@ -1293,13 +1323,13 @@ final class Snapshot private[db] (
     */
   def codes: DataFrame = {
     requireOpen()
-    db.readTierAt(codesDir, hot = true)
+    codesFn()
   }
 
   /** The pinned cold tier. */
   def docs: DataFrame = {
     requireOpen()
-    db.readTierAt(docsDir, hot = false)
+    docsFn()
   }
 
   def count(): Long = codes.count()
@@ -1368,6 +1398,11 @@ object VectorDB {
 
   /** Snapshot version of a folder before its first versioned commit. */
   private[db] val GenesisVersion = "genesis"
+
+  /** Pin-id prefix for merge-on-read snapshots (suffix = the pinned
+    * commit-version ceiling); such pins block [[VectorDB.compact]].
+    */
+  private[db] val MorPinPrefix = "mor-"
 
   /** In-JVM registry of pinned snapshot versions ([[VectorDB.snapshot]]):
     * (qualified folder, version) → pin count. Commit-time GC

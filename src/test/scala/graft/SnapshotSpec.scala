@@ -100,12 +100,34 @@ class SnapshotSpec extends AnyFunSuite {
     snap.close()
   }
 
-  test("snapshot() is rejected under merge-on-read storage") {
+  test("merge-on-read snapshot: stable under commits, blocks compaction while open") {
     val db = VectorDB.openOrCreate(spark, freshDir(),
       storage = VectorDB.StorageMor)
-    db.addDocuments(fixture(0 until 10))
-    val e = intercept[IllegalArgumentException] { db.snapshot() }
-    assert(e.getMessage.contains("merge-on-read"))
+    db.addDocuments(fixture(0 until 30))
+    val snap = db.snapshot()
+    assert(snap.count() == 30)
+
+    // append-only deltas: later upserts/deletes leave the pinned
+    // ceiling's merged view untouched
+    db.addDocuments(fixture(30 until 40))
+    db.removeDocs(Seq(2L, 4L))
+    assert(snap.count() == 30)
+    assert(snap.codes.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 30L).toSet)
+    assert(db.count() == 38)
+
+    // compaction would delete the pinned delta files: refused while open
+    val e = intercept[IllegalStateException] { db.compact() }
+    assert(e.getMessage.contains("pin"))
+    assert(db.pendingDeltas() > 0, "refused compaction must not fold anything")
+
+    snap.close()
+    db.compact()
+    assert(db.pendingDeltas() == 0)
+    assert(db.count() == 38)
+
+    // MOR time travel stays out of scope (ceilings, not generations)
+    intercept[IllegalArgumentException] { db.snapshotAt("mor-1") }
   }
 
   test("empty-db snapshot yields empty tiers, not an error") {
