@@ -54,10 +54,15 @@ private[graft] object BlockCache {
 
   /** A commit installed `newVersion` for `key`. Holders of older
     * versions keep serving their snapshot until they next check
-    * freshness; their blocks free at last release.
+    * freshness; their blocks free at last release. Cataloged selectors
+    * compiled against older snapshots are invalidated here too — this
+    * is the single funnel every version install (COW, MOR, compaction,
+    * cross-JVM marker adoption) goes through.
     */
-  def invalidate(key: Key, newVersion: String): Unit =
+  def invalidate(key: Key, newVersion: String): Unit = {
     current.put(key, newVersion)
+    SelectorCatalog.invalidateFolder(key, newVersion)
+  }
 
   /** Get-or-build the shared blocks for (key, version); the caller owns
     * one reference and must [[release]] it. A dead entry (stopped

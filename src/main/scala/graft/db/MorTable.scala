@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
   * Layout (Delta/Iceberg-style, minimal):
   * {{{
   * dir/
-  *   base.parquet          — compacted rows, version 0
+  *   base.parquet          — compacted rows; its `_graft_ceiling` file
+  *                           records the fold ceiling G (all rows with
+  *                           commit version <= G live here)
   *   delta_vNNNNNN.parquet — one append per commit: upserted rows and/or
-  *                           delete markers (_deleted = true)
+  *                           delete markers (_deleted = true); versions
+  *                           are MONOTONIC across compactions
+  *   _retired/rG/          — a pre-compaction file set (base + deltas)
+  *                           retired at fold ceiling G because an open
+  *                           snapshot pin still reads it; GC'd when the
+  *                           last such pin closes
   * }}}
   *
   * Writes append a delta file — cost proportional to the batch, never the
@@ -24,9 +31,20 @@ import org.apache.spark.sql.functions._
   * and is bounded by [[compact]], which folds everything back into
   * `base.parquet` (the amortized rewrite).
   *
+  * Pinned reads vs compaction: a repeatable-read pin records a commit
+  * ceiling c; [[readAt]] merges only files with version <= c — stable by
+  * append-only-ness. Compaction would fold (and previously refused under
+  * pins, since deleting the pinned files breaks them); with
+  * `compact(retire = true)` the folded file set is instead MOVED intact
+  * into `_retired/r<G>` and [[readAt]] routes a ceiling c < G to the
+  * smallest retired generation >= c — the copy-on-write versioned-
+  * generation pattern applied to the MOR file sets, so compaction
+  * proceeds under pins and disk is bounded by the open-pin set
+  * ([[gcRetired]]).
+  *
   * Concurrency: single-writer (like the reference — multi-process safety
   * is explicitly out of scope there too, `README.md:174`); versions are
-  * allocated from the directory listing.
+  * allocated from the directory listing plus the base's fold ceiling.
   */
 class MorTable(spark: SparkSession, dir: String, keyCol: String) {
 
@@ -36,16 +54,25 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
   private def basePath = new Path(s"$dir/base.parquet")
   private def oldPath = new Path(s"$dir/base.parquet.old")
   private def tmpPath = new Path(s"$dir/base.parquet.compacting")
+  private def retiredRoot = new Path(s"$dir/_retired")
 
-  /** Heal an interrupted [[compact]] swap. The swap renames the live base
-    * ASIDE (never deletes it) before renaming the fresh snapshot in, so
-    * every crash point leaves a recoverable state:
+  /** Heal an interrupted [[compact]] swap. Both swap shapes rename the
+    * live base ASIDE (never delete it) before renaming the fresh
+    * snapshot in, so every crash point leaves a recoverable state.
+    *
+    * Delete-mode (`base.old`) crumbs:
     *  - `base.old` + no `base` → swap interrupted mid-rename: restore the
     *    aside copy (deltas are untouched, so nothing is lost).
     *  - `base.old` + `base`    → swap completed but cleanup didn't: the
     *    aside copy is stale, drop it.
-    *  - leftover `*.compacting` → incomplete snapshot write: drop it (the
-    *    deltas it would have folded are still present).
+    * Retire-mode (`_retired/rG.tmp`) crumbs — the fresh snapshot
+    * (`*.compacting`) is the commit marker:
+    *  - `rG.tmp` + `*.compacting` → the swap did NOT land: roll BACK —
+    *    move the retired files home and drop the unfinished snapshot.
+    *  - `rG.tmp` + no `*.compacting` → the swap landed: roll FORWARD —
+    *    finalize the retirement rename.
+    * A leftover `*.compacting` alone is an incomplete snapshot write:
+    * drop it (the deltas it would have folded are still present).
     * Re-merging deltas already folded into a fresh base is idempotent
     * (last-writer-wins on `_v`), so a crash before delta cleanup is safe.
     */
@@ -54,11 +81,22 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
       if (fs.exists(basePath)) fs.delete(oldPath, true)
       else fs.rename(oldPath, basePath)
     }
+    if (fs.exists(retiredRoot)) {
+      fs.listStatus(retiredRoot).map(_.getPath)
+        .filter(_.getName.endsWith(".tmp")).foreach { rt =>
+          if (fs.exists(tmpPath)) {
+            fs.listStatus(rt).foreach(st =>
+              fs.rename(st.getPath, new Path(dir, st.getPath.getName)))
+            fs.delete(rt, true)
+          } else {
+            fs.rename(rt, new Path(retiredRoot, rt.getName.stripSuffix(".tmp")))
+          }
+        }
+    }
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
   }
 
-  private def deltaPaths(): Seq[(Int, Path)] = {
-    val d = new Path(dir)
+  private def deltaPathsIn(d: Path): Seq[(Int, Path)] = {
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).map(_.getPath).toSeq
       .filter(_.getName.startsWith("delta_v"))
@@ -66,7 +104,37 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
       .sortBy(_._1)
   }
 
-  private def nextVersion(): Int = deltaPaths().lastOption.map(_._1 + 1).getOrElse(1)
+  private def deltaPaths(): Seq[(Int, Path)] = deltaPathsIn(new Path(dir))
+
+  /** Fold ceiling of the base under `d` (0 when no base / legacy base):
+    * every row in that base has commit version <= this. Stored INSIDE
+    * the base directory (`_graft_ceiling` — parquet readers ignore
+    * underscore files), so it travels atomically with the base swap.
+    */
+  private def ceilingOf(d: Path): Int = {
+    val p = new Path(d, "base.parquet/_graft_ceiling")
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  private def writeCeiling(baseDir: Path, v: Int): Unit = {
+    val out = fs.create(new Path(baseDir, "_graft_ceiling"), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fold ceiling of the LIVE base (0 = none/legacy). */
+  def foldCeiling(): Int = ceilingOf(new Path(dir))
+
+  /** Monotonic across compactions: a fresh fold's base remembers its
+    * ceiling, so post-compaction deltas continue counting upward and a
+    * pinned pre-compaction ceiling can never collide with them.
+    */
+  private def nextVersion(): Int =
+    math.max(foldCeiling(), deltaPaths().lastOption.map(_._1).getOrElse(0)) + 1
 
   def exists: Boolean = {
     recover()
@@ -78,25 +146,45 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
 
   /** The merged snapshot AS OF commit version `maxV` — the repeatable
     * MOR read: deltas are append-only, so the view at a pinned ceiling
-    * is stable under any number of later upserts/deletes. The ONLY
-    * operation that could invalidate it is [[compact]] (it folds and
-    * deletes the pinned files), so the facade refuses compaction while
-    * pins are open.
+    * is stable under any number of later upserts/deletes. A ceiling
+    * predating the live base's fold (maxV < [[foldCeiling]]) resolves
+    * to the retired generation that still holds its file set (written
+    * by `compact(retire = true)`); the pin therefore survives
+    * compaction, at the cost of the retired copy on disk until the pin
+    * closes.
     */
   def readAt(maxV: Int): DataFrame = {
     recover()
+    val g = foldCeiling()
+    if (maxV >= g) readFrom(new Path(dir), maxV)
+    else {
+      // The live base folded past this ceiling; the pre-fold file set
+      // was retired. Route to the smallest retired generation covering
+      // it (its own base's ceiling is <= maxV by construction: a pin
+      // can only predate folds that happened after it was taken).
+      val gen = retiredGenerations().sorted.find(_ >= maxV).getOrElse(
+        throw new IllegalStateException(
+          s"MOR table $dir has no file set covering pinned version $maxV " +
+            s"(live base folded at $g and no retired generation covers it); " +
+            "was the pin released and its files GC'd?"))
+      readFrom(new Path(retiredRoot, s"r$gen"), maxV)
+    }
+  }
+
+  private def readFrom(d: Path, maxV: Int): DataFrame = {
+    val base = new Path(d, "base.parquet")
     val parts =
-      (if (fs.exists(basePath))
-        Seq(spark.read.parquet(basePath.toString)
+      (if (fs.exists(base))
+        Seq(spark.read.parquet(base.toString)
           .withColumn("_v", lit(0)).withColumn("_deleted", lit(false)))
       else Seq.empty) ++
-      deltaPaths().filter(_._1 <= maxV).map { case (v, p) =>
+      deltaPathsIn(d).filter(_._1 <= maxV).map { case (v, p) =>
         val df = spark.read.parquet(p.toString)
         (if (df.columns.contains("_deleted")) df
          else df.withColumn("_deleted", lit(false)))
           .withColumn("_v", lit(v))
       }
-    require(parts.nonEmpty, s"MOR table $dir is empty at version $maxV")
+    require(parts.nonEmpty, s"MOR table $d is empty at version $maxV")
     val all = parts.reduce(_ unionByName (_, allowMissingColumns = true))
     val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
     all
@@ -105,10 +193,11 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
       .drop("_rn", "_v", "_deleted")
   }
 
-  /** Highest committed delta version (0 = base only) — the ceiling a
-    * repeatable read pins.
+  /** Highest committed version (0 = empty/legacy base only) — the
+    * ceiling a repeatable read pins. Monotonic across compactions.
     */
-  def versionCeiling(): Int = deltaPaths().lastOption.map(_._1).getOrElse(0)
+  def versionCeiling(): Int =
+    math.max(foldCeiling(), deltaPaths().lastOption.map(_._1).getOrElse(0))
 
   /** Append-only upsert: writes ONLY the batch (last-writer-wins replaces
     * any older rows with the same key at read time). Keys must be unique
@@ -130,20 +219,64 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
   }
 
   /** Fold base + deltas into a fresh base (bounds read amplification).
-    * The merged snapshot is materialized to a temp dir first, then
-    * swapped in via rename-aside (base → base.old, tmp → base, delete
-    * old + deltas) so no crash point can make version-0 rows
-    * unreachable — [[recover]] heals every intermediate state.
+    * The merged snapshot is materialized to a temp dir first — stamped
+    * with its fold ceiling — then swapped in so no crash point can make
+    * version-0 rows unreachable; [[recover]] heals every intermediate
+    * state of either shape.
+    *
+    * `retire = false`: the folded base + deltas are deleted (no pinned
+    * reader needs them). `retire = true`: they are MOVED intact into
+    * `_retired/r<ceiling>/`, where [[readAt]] finds them for pins whose
+    * ceiling predates this fold; [[gcRetired]] deletes the generation
+    * when no pin needs it.
     */
-  def compact(): Unit = {
+  def compact(retire: Boolean = false): Unit = {
     recover()
     val deltas = deltaPaths()
     if (deltas.isEmpty) return
+    val newCeil = versionCeiling()
     read().sortWithinPartitions(keyCol).write.mode("overwrite").parquet(tmpPath.toString)
-    if (fs.exists(basePath)) fs.rename(basePath, oldPath)
-    fs.rename(tmpPath, basePath)
-    fs.delete(oldPath, true)
-    deltas.foreach { case (_, p) => fs.delete(p, true) }
+    writeCeiling(tmpPath, newCeil)
+    if (retire) {
+      val rTmp = new Path(retiredRoot, s"r$newCeil.tmp")
+      fs.mkdirs(rTmp)
+      deltas.foreach { case (_, p) => fs.rename(p, new Path(rTmp, p.getName)) }
+      if (fs.exists(basePath)) fs.rename(basePath, new Path(rTmp, basePath.getName))
+      fs.rename(tmpPath, basePath) // the retire commit point
+      fs.rename(rTmp, new Path(retiredRoot, s"r$newCeil"))
+    } else {
+      if (fs.exists(basePath)) fs.rename(basePath, oldPath)
+      fs.rename(tmpPath, basePath)
+      fs.delete(oldPath, true)
+      deltas.foreach { case (_, p) => fs.delete(p, true) }
+    }
+  }
+
+  /** Retired generation ceilings currently on disk (unsorted). */
+  def retiredGenerations(): Seq[Int] = {
+    if (!fs.exists(retiredRoot)) Seq.empty
+    else fs.listStatus(retiredRoot).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("r") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("r").toInt)
+  }
+
+  /** Delete every retired generation no open pin resolves to. A pin
+    * with ceiling c (below the live fold ceiling) reads the smallest
+    * retired generation >= c; any generation that is nobody's
+    * resolution target is unreachable and freed. Pins at or above the
+    * live fold ceiling read the live file set and keep nothing retired.
+    */
+  def gcRetired(pinnedCeilings: Set[Int]): Unit = {
+    recover()
+    val gens = retiredGenerations().sorted
+    if (gens.isEmpty) return
+    val g = foldCeiling()
+    val needed = pinnedCeilings.filter(_ < g)
+      .flatMap(c => gens.find(_ >= c))
+    gens.filterNot(needed).foreach(gen =>
+      fs.delete(new Path(retiredRoot, s"r$gen"), true))
+    if (fs.exists(retiredRoot) && fs.listStatus(retiredRoot).isEmpty)
+      fs.delete(retiredRoot, true)
   }
 
   /** Number of pending delta files (read-amplification indicator). */

@@ -1,0 +1,138 @@
+package graft.db
+
+/** JVM-global catalog of compiled [[DocSelector]]s, keyed by (Spark
+  * application, qualified DB folder, snapshot version, canonicalized
+  * predicate, shape knobs) — the selector analogue of [[BlockCache]].
+  *
+  * Why: compiling a selector costs one or two Catalyst jobs (predicate
+  * scan + collect/run-write). A serving process that builds the same
+  * selector per request — or two [[VectorDB]] instances over the same
+  * folder compiling the same predicate — was paying that repeatedly and,
+  * in the file-backed shape, writing duplicate run files. The catalog
+  * makes repeated compiles of one (folder, snapshot, predicate) return
+  * the SAME handle: refcounted while held, kept WARM at refcount zero
+  * (that is the rebuild-skip), and freed when its snapshot version is
+  * superseded by a commit (immediately if unreferenced, else at last
+  * release — in-flight filtered searches keep their ids).
+  *
+  * Predicates are keyed by their canonical SQL text
+  * ([[VectorDB.predKeyOf]]): two `Column`s that render to the same SQL
+  * share an entry; semantically-equal-but-differently-written predicates
+  * conservatively get separate entries (correct, just unshared).
+  *
+  * Entries are per Spark application (broadcast ids die with their
+  * SparkContext); acquiring under a new application drops the dead
+  * application's entries for that folder.
+  */
+private[graft] object SelectorCatalog {
+
+  /** Identity of one compiled selector: where, against which snapshot,
+    * which predicate, and which physical-shape knobs (a different
+    * `maxBroadcast`/`runSize` is a different physical object).
+    */
+  final case class Key(cache: BlockCache.Key, version: String,
+                       pred: String, maxBroadcast: Int, runSize: Int)
+
+  private final class Entry(val sel: DocSelector) {
+    var refs: Int = 0
+    var superseded: Boolean = false
+  }
+
+  private val entries = new java.util.concurrent.ConcurrentHashMap[Key, Entry]()
+
+  /** Get-or-build the shared selector for `key`; the caller owns one
+    * reference and must release it (via [[DocSelector.release]] —
+    * exactly once per acquire). A warm entry (refcount zero, version
+    * still current) is a hit: that is the skipped rebuild.
+    */
+  def acquire(key: Key)(build: => DocSelector): DocSelector = synchronized {
+    // Entries left by a PREVIOUS Spark application over this folder can
+    // never be valid again (their broadcasts died with the context);
+    // drop them so restarted sessions don't accumulate dead handles.
+    val it0 = entries.entrySet().iterator()
+    while (it0.hasNext) {
+      val e = it0.next()
+      if (e.getKey.cache.folder == key.cache.folder &&
+          e.getKey.cache.app != key.cache.app) it0.remove()
+    }
+    val e = entries.get(key)
+    if (e != null) { e.refs += 1; e.sel }
+    else {
+      val sel = build
+      val ne = new Entry(sel)
+      ne.refs = 1
+      entries.put(key, ne)
+      sel
+    }
+  }
+
+  /** Drop one reference. The entry stays warm at refcount zero while
+    * its snapshot is current; a superseded entry frees its backing
+    * (broadcast / run files) at the last release.
+    */
+  def release(key: Key): Unit = synchronized {
+    val e = entries.get(key)
+    if (e != null) {
+      e.refs -= 1
+      if (e.refs <= 0 && e.superseded) {
+        entries.remove(key)
+        e.sel.freeBacking()
+      }
+    }
+  }
+
+  /** A commit installed `newVersion` for this folder: every cataloged
+    * selector compiled against an older snapshot is stale (its id set
+    * no longer equals the predicate's matches). Unreferenced stale
+    * entries free now; held ones free at last release. Called from
+    * [[BlockCache.invalidate]] — the single funnel every commit path
+    * (COW, MOR, compaction, cross-JVM marker adoption) goes through.
+    */
+  def invalidateFolder(cache: BlockCache.Key, newVersion: String): Unit =
+    synchronized {
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.cache == cache && e.getKey.version != newVersion) {
+          e.getValue.superseded = true
+          if (e.getValue.refs <= 0) {
+            it.remove()
+            e.getValue.sel.freeBacking()
+          }
+        }
+      }
+    }
+
+  /** Free every unreferenced entry for `folder` regardless of version —
+    * the explicit "give the memory back" hook for a service that is
+    * done with a folder but keeps the JVM up. Held entries are left
+    * alone (marked superseded, so they free at last release).
+    */
+  def clear(folder: String): Unit = synchronized {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.cache.folder == folder) {
+        e.getValue.superseded = true
+        if (e.getValue.refs <= 0) {
+          it.remove()
+          e.getValue.sel.freeBacking()
+        }
+      }
+    }
+  }
+
+  /** Test hook: number of live entries (any version) for a folder. */
+  private[graft] def liveFor(folder: String): Int = synchronized {
+    var n = 0
+    val it = entries.keySet().iterator()
+    while (it.hasNext) if (it.next().cache.folder == folder) n += 1
+    n
+  }
+
+  /** Test hook: refcount of `key`, 0 if absent. */
+  private[graft] def refsFor(key: Key): Int = synchronized {
+    val e = entries.get(key)
+    if (e == null) 0 else e.refs
+  }
+}

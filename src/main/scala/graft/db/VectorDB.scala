@@ -437,19 +437,45 @@ class VectorDB private (
 
   /** MOR only: fold pending deltas into the base files (bounds read
     * amplification; the amortized rewrite). No-op under copy-on-write.
+    *
+    * Open snapshot pins do NOT block compaction: when a pin's ceiling
+    * predates the fold, the folded file set is retired intact into the
+    * table's `_retired/` generation (the COW versioned-generation
+    * pattern applied to MOR file sets) and the pinned reads route to
+    * it; the generation is GC'd when its last pin closes. One caveat
+    * carries over from file movement: a DataFrame obtained from the
+    * snapshot BEFORE the compaction resolved its file listing against
+    * the old locations — re-materialize via [[Snapshot.codes]]/
+    * [[Snapshot.docs]] after compacting (each access re-resolves).
     */
   def compact(): Unit = if (isMor) {
-    val morPins = SnapshotPins.pinnedVersions(cacheKey.folder)
-      .filter(_.startsWith(VectorDB.MorPinPrefix))
-    if (morPins.nonEmpty)
-      throw new IllegalStateException(
-        s"cannot compact: ${morPins.size} open snapshot(s) pin the current " +
-          "delta files (compaction would delete them); close the snapshots " +
-          "first")
-    codesMor.compact()
-    docsMor.compact()
+    val (codesPins, docsPins) = morPinnedCeilings()
+    codesMor.compact(retire = codesPins.exists(_ < codesMor.versionCeiling()))
+    docsMor.compact(retire = docsPins.exists(_ < docsMor.versionCeiling()))
+    codesMor.gcRetired(codesPins)
+    docsMor.gcRetired(docsPins)
     invalidateCache()
     bumpVersion()
+  }
+
+  /** Open MOR pin ceilings per tier, parsed from the pin registry
+    * (`mor-<codesCeil>:<docsCeil>`).
+    */
+  private def morPinnedCeilings(): (Set[Int], Set[Int]) = {
+    val pins = SnapshotPins.pinnedVersions(cacheKey.folder)
+      .filter(_.startsWith(VectorDB.MorPinPrefix))
+      .map(_.stripPrefix(VectorDB.MorPinPrefix).split(':'))
+      .collect { case Array(c, d) => (c.toInt, d.toInt) }
+    (pins.map(_._1), pins.map(_._2))
+  }
+
+  /** Drop retired MOR generations no open pin needs (called at pin
+    * close and after compaction).
+    */
+  private[db] def gcMorRetired(): Unit = if (isMor) {
+    val (codesPins, docsPins) = morPinnedCeilings()
+    codesMor.gcRetired(codesPins)
+    docsMor.gcRetired(docsPins)
   }
 
   /** Pending delta commits on the hot tier (0 under copy-on-write). */
@@ -755,7 +781,34 @@ class VectorDB private (
     */
   def selector(pred: org.apache.spark.sql.Column,
                maxBroadcast: Int = VectorDB.MaxSelectorIds,
-               runSize: Int = VectorDB.SelectorRunSize): DocSelector = {
+               runSize: Int = VectorDB.SelectorRunSize): DocSelector =
+    buildSelector(pred, maxBroadcast, runSize, catalogKey = None)
+
+  /** [[selector]] through the JVM-wide [[SelectorCatalog]]: repeated
+    * compiles of the same predicate (canonical SQL text) against the
+    * same snapshot — from this instance, another instance over the same
+    * folder, or a per-request service loop — return the SAME compiled
+    * handle instead of re-running the Catalyst jobs (and, file-backed,
+    * re-writing run files). The handle is refcounted: [[DocSelector
+    * .release]] drops a reference, the compiled ids stay WARM at zero
+    * references (the skipped rebuild), and a commit to the folder
+    * supersedes them — freed immediately if unreferenced, else at last
+    * release, so in-flight filtered searches keep their ids. Use
+    * [[VectorDB.clearSelectorCache]] to give warm memory back early.
+    */
+  def selectorCached(pred: org.apache.spark.sql.Column,
+                     maxBroadcast: Int = VectorDB.MaxSelectorIds,
+                     runSize: Int = VectorDB.SelectorRunSize): DocSelector = {
+    maybeRefresh()
+    val key = SelectorCatalog.Key(cacheKey, lastSeenVersion,
+      VectorDB.predKeyOf(pred), maxBroadcast, runSize)
+    SelectorCatalog.acquire(key)(
+      buildSelector(pred, maxBroadcast, runSize, Some(key)))
+  }
+
+  private def buildSelector(pred: org.apache.spark.sql.Column,
+                            maxBroadcast: Int, runSize: Int,
+                            catalogKey: Option[SelectorCatalog.Key]): DocSelector = {
     require(maxBroadcast >= 0, s"maxBroadcast must be >= 0, got $maxBroadcast")
     require(runSize >= 1, s"runSize must be >= 1, got $runSize")
     val matches = docs.filter(pred).select(col("doc_id"))
@@ -763,7 +816,8 @@ class VectorDB private (
     if (n <= maxBroadcast) {
       val ids = matches.collect().map(_.getLong(0))
       java.util.Arrays.sort(ids)
-      new DocSelector(pred, new BroadcastIdSet(spark.sparkContext.broadcast(ids)))
+      new DocSelector(pred,
+        new BroadcastIdSet(spark.sparkContext.broadcast(ids)), catalogKey)
     } else {
       val dir = s"$folder/_selectors/sel-${java.util.UUID.randomUUID()}"
       val numRuns = math.max(1, ((n + runSize - 1) / runSize).toInt)
@@ -792,9 +846,15 @@ class VectorDB private (
             s"${b2.path} [${b2.min},${b2.max}]")
         case _ =>
       }
-      new DocSelector(pred, new RunIdSet(dir, metas, n, confProps))
+      new DocSelector(pred, new RunIdSet(dir, metas, n, confProps), catalogKey)
     }
   }
+
+  /** Free every unreferenced cataloged selector for this folder (any
+    * snapshot version); held ones free at their last release. See
+    * [[selectorCached]].
+    */
+  def clearSelectorCache(): Unit = SelectorCatalog.clear(cacheKey.folder)
 
   private def validateSearch(k: Int, binaryOversample: Int,
                              int8Oversample: Int, nprobe: Int): Unit = {
@@ -1266,9 +1326,11 @@ class VectorDB private (
     *  - copy-on-write: the pinned generation's files are kept on disk
     *    (commit-time GC skips pinned versions until [[Snapshot.close]]).
     *  - merge-on-read: the pin records the current commit-version
-    *    ceiling; reads merge only deltas up to it — stable because
-    *    deltas are append-only. [[compact]] refuses while such a pin
-    *    is open (folding would delete the pinned delta files).
+    *    ceiling; reads merge only files up to it — stable because
+    *    deltas are append-only. [[compact]] under an open pin retires
+    *    the folded file set into a versioned generation the pinned
+    *    reads route to (GC'd at last pin close), so compaction
+    *    proceeds rather than refusing.
     */
   def snapshot(): Snapshot = {
     maybeRefresh()
@@ -1278,7 +1340,7 @@ class VectorDB private (
       // but each table owns its version counter)
       val codesCeil = if (empty) -1 else codesMor.versionCeiling()
       val docsCeil = if (empty) -1 else docsMor.versionCeiling()
-      val v = s"${VectorDB.MorPinPrefix}$codesCeil"
+      val v = s"${VectorDB.MorPinPrefix}$codesCeil:$docsCeil"
       SnapshotPins.pin(cacheKey.folder, v)
       def tier(t: MorTable, ceil: Int, hot: Boolean): DataFrame =
         if (ceil < 0)
@@ -1301,11 +1363,11 @@ class VectorDB private (
   * ([[VectorDB.snapshot]] / [[VectorDB.snapshotAt]]). Under
   * copy-on-write, reads resolve to the pinned generation's files,
   * which commits leave in place until [[close]] (in-JVM pin registry +
-  * commit-time GC). Under merge-on-read, reads merge the delta set up
+  * commit-time GC). Under merge-on-read, reads merge the file set up
   * to the pinned commit ceiling — append-only deltas make that view
-  * stable under later commits, and [[VectorDB.compact]] refuses while
-  * the pin is open (folding would delete the pinned files). Idempotent
-  * close.
+  * stable under later commits, and [[VectorDB.compact]] retires the
+  * folded files into a versioned generation this pin keeps reading
+  * (freed at [[close]]). Idempotent close.
   */
 final class Snapshot private[db] (
     db: VectorDB,
@@ -1335,8 +1397,10 @@ final class Snapshot private[db] (
   def count(): Long = codes.count()
 
   override def close(): Unit =
-    if (open.compareAndSet(true, false))
+    if (open.compareAndSet(true, false)) {
       VectorDB.SnapshotPins.unpin(db.blockCacheKey.folder, version)
+      if (version.startsWith(VectorDB.MorPinPrefix)) db.gcMorRetired()
+    }
 }
 
 /** A compiled cold-tier predicate — the faiss `IDSelectorBatch`
@@ -1352,17 +1416,31 @@ final class Snapshot private[db] (
   */
 final class DocSelector private[db] (
     private[db] val pred: org.apache.spark.sql.Column,
-    private[graft] val idSet: IdSet) {
+    private[graft] val idSet: IdSet,
+    private[graft] val catalogKey: Option[SelectorCatalog.Key] = None) {
   /** Number of ids the predicate matched at compile time. */
   def size: Long = idSet.size
   /** True when the ids live as run files on the shared FS rather than
     * one broadcast array (the past-the-ceiling shape).
     */
   def isFileBacked: Boolean = idSet.isInstanceOf[RunIdSet]
-  /** Release the backing broadcast / run files (the handle must not be
-    * used afterwards).
+  /** True when this handle is owned by the JVM-wide [[SelectorCatalog]]
+    * (built by [[VectorDB.selectorCached]]) — [[release]] then drops a
+    * catalog reference instead of freeing the backing directly.
     */
-  def release(): Unit = idSet.release()
+  def isCached: Boolean = catalogKey.isDefined
+  /** Release this handle — exactly once per [[VectorDB.selector]] /
+    * [[VectorDB.selectorCached]] call. Uncached: frees the backing
+    * broadcast / run files immediately (the handle must not be used
+    * afterwards). Cached: drops one catalog reference; the compiled
+    * ids stay warm for the next [[VectorDB.selectorCached]] of the
+    * same predicate and free when a commit supersedes their snapshot.
+    */
+  def release(): Unit = catalogKey match {
+    case Some(k) => SelectorCatalog.release(k)
+    case None    => freeBacking()
+  }
+  private[db] def freeBacking(): Unit = idSet.release()
 }
 
 object VectorDB {
@@ -1399,8 +1477,10 @@ object VectorDB {
   /** Snapshot version of a folder before its first versioned commit. */
   private[db] val GenesisVersion = "genesis"
 
-  /** Pin-id prefix for merge-on-read snapshots (suffix = the pinned
-    * commit-version ceiling); such pins block [[VectorDB.compact]].
+  /** Pin-id prefix for merge-on-read snapshots (suffix =
+    * `<codesCeiling>:<docsCeiling>`, the per-tier pinned commit-version
+    * ceilings); [[VectorDB.compact]] retires — rather than deletes —
+    * file sets such pins still read.
     */
   private[db] val MorPinPrefix = "mor-"
 
@@ -1436,6 +1516,15 @@ object VectorDB {
     * shared FS, lazily loaded per executor — no ceiling.
     */
   val MaxSelectorIds: Int = 10 * 1000 * 1000
+
+  /** Canonical cache key of a selector predicate: the column node's
+    * text rendering (stable across sessions — attribute text is the
+    * bare name, no expression ids). Distinct-but-equivalent spellings
+    * key apart, which is conservative: an unshared rebuild, never a
+    * wrong share.
+    */
+  private[db] def predKeyOf(pred: org.apache.spark.sql.Column): String =
+    pred.toString
 
   /** Default ids per selector run file (64 MB of longs): small enough
     * that one probed run loads fast, large enough that a 1G-id selector

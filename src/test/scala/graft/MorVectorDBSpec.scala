@@ -153,6 +153,51 @@ class MorVectorDBSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$dir/base.parquet.old")))
   }
 
+  test("interrupted RETIRE-mode compaction: rollback and roll-forward both heal") {
+    import org.apache.hadoop.fs.Path
+    val fsOf = (d: String) => org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+
+    // --- crash BEFORE the swap landed → roll back ---------------------
+    val dirA = freshDir() + "/morA"
+    val a = new graft.db.MorTable(spark, dirA, "id")
+    a.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    a.upsert(Seq((3L, "c")).toDF("id", "v"))            // v2
+    // Simulate: fresh snapshot written, deltas + base already moved into
+    // the retirement staging dir, process dies before tmp→base rename.
+    val fsA = fsOf(dirA)
+    a.read().write.mode("overwrite").parquet(s"$dirA/base.parquet.compacting")
+    val rt = new Path(s"$dirA/_retired/r2.tmp")
+    fsA.mkdirs(rt)
+    fsA.listStatus(new Path(dirA)).map(_.getPath)
+      .filter(_.getName.startsWith("delta_v"))
+      .foreach(p => assert(fsA.rename(p, new Path(rt, p.getName))))
+    // fresh handle: the staged retirement must roll back — all rows
+    // visible, no retired generation left behind
+    val a2 = new graft.db.MorTable(spark, dirA, "id")
+    assert(a2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(a2.deltaCount() == 2, "rolled-back deltas must be live again")
+    assert(!fsA.exists(rt))
+
+    // --- crash AFTER the swap landed → roll forward -------------------
+    val dirB = freshDir() + "/morB"
+    val b = new graft.db.MorTable(spark, dirB, "id")
+    b.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    b.compact() // base {1,2} at fold ceiling 1
+    b.upsert(Seq((3L, "c")).toDF("id", "v"))            // v2
+    b.compact(retire = true) // live base {1,2,3} ceil 2; retired r2
+    val fsB = fsOf(dirB)
+    // Undo the finalize rename, simulating a crash between the base
+    // swap and the retirement finalize.
+    assert(fsB.rename(new Path(s"$dirB/_retired/r2"), new Path(s"$dirB/_retired/r2.tmp")))
+    val b2 = new graft.db.MorTable(spark, dirB, "id")
+    assert(b2.read().count() == 3)
+    assert(b2.retiredGenerations() == Seq(2),
+      "an interrupted finalize must roll forward to a named generation")
+    assert(b2.readAt(1).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "a pre-fold ceiling must read through the rolled-forward generation")
+  }
+
   test("MOR upserts are O(batch): the base file is never touched by a commit") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)

@@ -1,0 +1,142 @@
+package graft
+
+import graft.db.{RunIdSet, SelectorCatalog, VectorDB}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The JVM-wide selector catalog ([[VectorDB.selectorCached]]): repeated
+  * compiles of one (folder, snapshot, predicate) share ONE compiled
+  * handle; entries stay warm at refcount zero (the skipped rebuild) and
+  * free when a commit supersedes their snapshot — immediately if
+  * unreferenced, at last release if held. Results through a cached
+  * handle must be identical to an uncached [[VectorDB.selector]].
+  */
+class SelectorCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftdb").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def fixture(n: Int, from: Int = 0): org.apache.spark.sql.DataFrame =
+    (from until (from + n)).map(i => (i.toLong,
+      s"document number $i about topic ${i % 13}")).toDF("doc_id", "text")
+
+  private val qv = (0 until 64).map(i => math.sin(i * 1.3 + 0.5) / 8.0)
+  private val pred = col("doc").contains(" topic 5")
+
+  test("same predicate returns the same handle; warm at zero refs; rebuild skipped") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(200))
+    val folder = db.blockCacheKey.folder
+    assert(SelectorCatalog.liveFor(folder) == 0)
+
+    val s1 = db.selectorCached(pred)
+    val s2 = db.selectorCached(pred)
+    assert(s1 eq s2, "second compile of the same predicate must be a cache hit")
+    assert(s1.isCached && SelectorCatalog.liveFor(folder) == 1)
+    assert(SelectorCatalog.refsFor(s1.catalogKey.get) == 2)
+
+    s1.release()
+    assert(SelectorCatalog.refsFor(s2.catalogKey.get) == 1)
+    s2.release()
+    // zero refs, version still current: the entry stays WARM …
+    assert(SelectorCatalog.liveFor(folder) == 1)
+    // … so a later compile is the same object again (no Catalyst rebuild)
+    val s3 = db.selectorCached(pred)
+    assert(s3 eq s1)
+    s3.release()
+    db.clearSelectorCache()
+    assert(SelectorCatalog.liveFor(folder) == 0)
+  }
+
+  test("distinct predicates and distinct shape knobs key apart") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(150))
+    val folder = db.blockCacheKey.folder
+    val a = db.selectorCached(pred)
+    val b = db.selectorCached(col("doc").contains(" topic 6"))
+    val c = db.selectorCached(pred, maxBroadcast = 0, runSize = 4)
+    assert((a ne b) && (a ne c))
+    assert(SelectorCatalog.liveFor(folder) == 3)
+    assert(!a.isFileBacked && c.isFileBacked)
+    Seq(a, b, c).foreach(_.release())
+    db.clearSelectorCache()
+    assert(SelectorCatalog.liveFor(folder) == 0)
+  }
+
+  test("a commit supersedes warm entries; the recompile sees the new snapshot") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(200))
+    val folder = db.blockCacheKey.folder
+    val before = db.selectorCached(pred)
+    val sizeBefore = before.size
+    before.release() // warm
+    assert(SelectorCatalog.liveFor(folder) == 1)
+
+    db.addDocuments(fixture(100, from = 200)) // commit → supersede
+    assert(SelectorCatalog.liveFor(folder) == 0,
+      "unreferenced stale entry must free at commit")
+
+    val after = db.selectorCached(pred)
+    assert(after ne before)
+    assert(after.size > sizeBefore,
+      "recompiled selector must reflect the post-commit match set")
+    after.release()
+    db.clearSelectorCache()
+  }
+
+  test("a handle held across a commit keeps its ids until its last release") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(200))
+    val folder = db.blockCacheKey.folder
+    val held = db.selectorCached(pred)
+    val sizeAtCompile = held.size
+    db.addDocuments(fixture(100, from = 200))
+    // stale but held: still resident, still probes its frozen id set
+    assert(SelectorCatalog.liveFor(folder) == 1)
+    assert(held.size == sizeAtCompile)
+    val probe = held.idSet.probe()
+    val frozenIds = db.docs.filter(pred).filter(col("doc_id") < 200)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(frozenIds.nonEmpty && frozenIds.forall(probe.contains))
+    held.release()
+    assert(SelectorCatalog.liveFor(folder) == 0,
+      "stale entry must free at last release")
+  }
+
+  test("file-backed cached selector: run files live while warm, deleted on supersede") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(150))
+    val sel = db.selectorCached(pred, maxBroadcast = 0, runSize = 4)
+    assert(sel.isFileBacked)
+    val runDir = new java.io.File(
+      new java.net.URI(sel.idSet.asInstanceOf[RunIdSet].dir).getPath)
+    assert(runDir.exists)
+    sel.release()
+    assert(runDir.exists, "warm file-backed entry keeps its run files")
+    db.addDocuments(fixture(50, from = 150))
+    assert(!runDir.exists, "superseded unreferenced entry deletes its run files")
+    db.clearSelectorCache()
+  }
+
+  test("filtered search through a cached selector == through an uncached one") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(260))
+    db.enableServing()
+    val plain = db.selector(pred)
+    val cached = db.selectorCached(pred)
+    val viaPlain = db.searchVectorWhere(qv, plain, 6, 8, 3, Int.MaxValue)
+      .collect().toSeq.map(_.toSeq)
+    val viaCached = db.searchVectorWhere(qv, cached, 6, 8, 3, Int.MaxValue)
+      .collect().toSeq.map(_.toSeq)
+    assert(viaCached == viaPlain)
+    plain.release()
+    cached.release()
+    db.disableServing()
+    db.clearSelectorCache()
+  }
+}

@@ -100,8 +100,9 @@ class SnapshotSpec extends AnyFunSuite {
     snap.close()
   }
 
-  test("merge-on-read snapshot: stable under commits, blocks compaction while open") {
-    val db = VectorDB.openOrCreate(spark, freshDir(),
+  test("merge-on-read snapshot: stable under commits AND under compaction") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir,
       storage = VectorDB.StorageMor)
     db.addDocuments(fixture(0 until 30))
     val snap = db.snapshot()
@@ -116,18 +117,49 @@ class SnapshotSpec extends AnyFunSuite {
       (0L until 30L).toSet)
     assert(db.count() == 38)
 
-    // compaction would delete the pinned delta files: refused while open
-    val e = intercept[IllegalStateException] { db.compact() }
-    assert(e.getMessage.contains("pin"))
-    assert(db.pendingDeltas() > 0, "refused compaction must not fold anything")
-
-    snap.close()
+    // compaction under the open pin: the fold proceeds (deltas gone),
+    // the folded file set retires into a versioned generation the pin
+    // keeps reading
     db.compact()
-    assert(db.pendingDeltas() == 0)
+    assert(db.pendingDeltas() == 0, "compaction must fold under an open pin")
     assert(db.count() == 38)
+    assert(snap.count() == 30, "pinned view must survive the fold")
+    assert(snap.codes.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 30L).toSet)
+    val retired = new java.io.File(s"$dir/codes.mor/_retired")
+    assert(retired.exists && retired.listFiles().nonEmpty,
+      "pre-fold files must be retired, not deleted, while pinned")
+
+    // the pin survives further commits AND a second fold
+    db.addDocuments(fixture(40 until 45))
+    db.compact()
+    assert(snap.count() == 30, "pinned view must survive a second fold")
+
+    // last pin close frees the retired generations
+    snap.close()
+    assert(!retired.exists,
+      s"retired generations must GC at last pin close")
+    assert(db.count() == 43)
 
     // MOR time travel stays out of scope (ceilings, not generations)
     intercept[IllegalArgumentException] { db.snapshotAt("mor-1") }
+  }
+
+  test("MOR versions stay monotonic across compaction (no ceiling collision)") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    db.addDocuments(fixture(0 until 10)) // v1
+    db.addDocuments(fixture(10 until 20)) // v2
+    db.compact() // fold ceiling 2; WITHOUT retirement (no pins)
+    assert(!new java.io.File(s"$dir/codes.mor/_retired").exists,
+      "unpinned compaction must delete, not retire")
+    // a pin taken now must not be confused by post-fold delta numbering
+    val snap = db.snapshot()
+    db.addDocuments(fixture(20 until 30)) // must be v3, not v1
+    assert(snap.count() == 20,
+      "post-compaction deltas must version ABOVE the fold ceiling")
+    assert(db.count() == 30)
+    snap.close()
   }
 
   test("empty-db snapshot yields empty tiers, not an error") {
