@@ -122,7 +122,15 @@ object ServeBench {
     val selMatches = selBc.size
     selBc.release(); selFb.release()
 
-    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"hits_ms":${median(hits)}%.1f,"hits_phase1_ms":$p1%.2f,"hits_phase2_ms":$p2%.2f,"hits_phase3_ms":$p3%.2f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"hits_concurrent_per_query_ms":${median(hitsConcRounds)}%.1f,"sel_matches":$selMatches,"sel_build_bc_ms":$selBuildBc%.1f,"sel_build_fb_ms":$selBuildFb%.1f,"sel_hits_bc_ms":${median(selHitsBc)}%.1f,"sel_hits_fb_ms":${median(selHitsFb)}%.1f,"unit":"ms"}""")
+    // Catalog reuse (selectorCached): cold pays the one-off compile;
+    // warm is a map hit on the SAME released handle — the per-request
+    // service loop the catalog exists for.
+    val selCachedPred = col("doc_id") % 2 === 1
+    val selCacheCold = time { db.selectorCached(selCachedPred).release() }
+    val selCacheWarm = time { db.selectorCached(selCachedPred).release() }
+    db.clearSelectorCache()
+
+    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"hits_ms":${median(hits)}%.1f,"hits_phase1_ms":$p1%.2f,"hits_phase2_ms":$p2%.2f,"hits_phase3_ms":$p3%.2f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"hits_concurrent_per_query_ms":${median(hitsConcRounds)}%.1f,"sel_matches":$selMatches,"sel_build_bc_ms":$selBuildBc%.1f,"sel_build_fb_ms":$selBuildFb%.1f,"sel_hits_bc_ms":${median(selHitsBc)}%.1f,"sel_hits_fb_ms":${median(selHitsFb)}%.1f,"sel_cache_cold_ms":$selCacheCold%.1f,"sel_cache_warm_ms":$selCacheWarm%.1f,"unit":"ms"}""")
     spark.stop()
   }
 }
