@@ -67,6 +67,18 @@ object Demo {
     db.searchVectorWhere(qv, sel).show(3, 60)
     sel.release()
 
+    // Cataloged selectors: repeat compiles of one predicate are a
+    // JVM-wide cache hit (warm entries persist at zero refs; commits
+    // invalidate; file-backed compiles persist a manifest other JVMs
+    // adopt without recompiling).
+    val cachedPred = org.apache.spark.sql.functions.col("doc").contains("data")
+    val t0 = System.nanoTime(); db.selectorCached(cachedPred).release()
+    val cold = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime(); db.selectorCached(cachedPred).release()
+    val warm = (System.nanoTime() - t1) / 1e6
+    println(f"cataloged selector: cold compile $cold%.1f ms, warm reuse $warm%.1f ms")
+    db.clearSelectorCache()
+
     // Transactional reads: pin the current snapshot, commit on top of
     // it, and show the pin still answering from its generation while
     // the live view moved (copy-on-write generations + GC; time travel
@@ -77,6 +89,23 @@ object Demo {
     println(s"pinned snapshot: ${snap.count()} docs; live view: ${db.count()} " +
       s"(generations retained: ${db.generations().size})")
     snap.close()
+
+    // Merge-on-read + compaction under a pin: folds proceed with the
+    // snapshot open (the pre-fold file set retires into a versioned
+    // generation the pin reads; GC'd at close).
+    val mor = VectorDB.openOrCreate(spark, s"$dbDir-mor",
+      storage = VectorDB.StorageMor)
+    mor.addDocuments(spark.createDataFrame(
+      (1L to 40L).map(i => (i, s"mor doc $i"))).toDF("doc_id", "text"))
+    val morPin = mor.snapshot()
+    mor.addDocuments(spark.createDataFrame(
+      (41L to 60L).map(i => (i, s"mor doc $i"))).toDF("doc_id", "text"))
+    mor.compact()
+    println(s"mor compaction under an open pin: pin=${morPin.count()} " +
+      s"live=${mor.count()} pendingDeltas=${mor.pendingDeltas()} " +
+      s"retiredGenerations=${mor.retiredMorGenerations()}")
+    morPin.close()
+    println(s"after pin close: retiredGenerations=${mor.retiredMorGenerations()}")
 
     // IVF strategy: same API, cell-partitioned hot tier; nprobe trades
     // scan fraction for recall (all cells ≡ flat, exactly).

@@ -70,6 +70,15 @@ object SoakBench {
     val loopMs = new Array[Double](nBatches)
     val commitMs = new Array[Double](nBatches)
     var pendingMax = 0
+    // Pin a repeatable-read snapshot on the commit-only DB once warm
+    // and hold it across every subsequent compaction: the soak then
+    // exercises compaction-under-pins end to end — folds must proceed
+    // (read amplification stays bounded for LIVE readers), the pinned
+    // view must stay frozen, and the retired-generation count is the
+    // disk overhead the open pin costs.
+    var pinned: graft.db.Snapshot = null
+    var pinnedCount = -1L
+    var retiredMax = 0
     (0 until nBatches).foreach { b =>
       val fresh = (0 until batchSize).map(i => (b.toLong * batchSize + i,
         text(b.toLong * batchSize + i)))
@@ -87,7 +96,18 @@ object SoakBench {
       val t1 = System.nanoTime()
       commitDb.addDocuments(fresh.toDF("doc_id", "text"))
       commitMs(b) = (System.nanoTime() - t1) / 1e6
-      if (commitDb.pendingDeltas() >= compactEvery) commitDb.compact()
+      if (b == warmup) {
+        pinned = commitDb.snapshot()
+        pinnedCount = pinned.count()
+      }
+      if (commitDb.pendingDeltas() >= compactEvery) {
+        commitDb.compact()
+        if (pinned != null) {
+          retiredMax = math.max(retiredMax, commitDb.retiredMorGenerations())
+          require(pinned.count() == pinnedCount,
+            s"pinned view moved under compaction: ${pinned.count()} != $pinnedCount")
+        }
+      }
 
       pendingMax = math.max(pendingMax, loopDb.pendingDeltas())
       if ((b + 1) % 10 == 0)
@@ -112,7 +132,11 @@ object SoakBench {
     val commitRatio = commitQ4 / commitQ1
     val flat = commitRatio < 2.0
 
-    println(f"""{"metric":"soak_commit_flatness","n_batches":$nBatches,"batch_size":$batchSize,"commit_ms_q1_median":$commitQ1%.1f,"commit_ms_q4_median":$commitQ4%.1f,"commit_ratio":$commitRatio%.2f,"commit_flat":$flat,"loop_ms_q1_median":$loopQ1%.1f,"loop_ms_q4_median":$loopQ4%.1f,"final_count":${loopDb.count()},"pending_deltas_max":$pendingMax,"unit":"ms","note":"MOR delta commits must stay O(batch) as the corpus grows (commit_ratio ~ 1); loop_ms includes the incremental dedup whose corpus side is a linear scan locally and parallelizes on a cluster"}""")
+    val pinStable = pinned != null && pinned.count() == pinnedCount
+    if (pinned != null) pinned.close()
+    val retiredAfterClose = commitDb.retiredMorGenerations()
+
+    println(f"""{"metric":"soak_commit_flatness","n_batches":$nBatches,"batch_size":$batchSize,"commit_ms_q1_median":$commitQ1%.1f,"commit_ms_q4_median":$commitQ4%.1f,"commit_ratio":$commitRatio%.2f,"commit_flat":$flat,"loop_ms_q1_median":$loopQ1%.1f,"loop_ms_q4_median":$loopQ4%.1f,"final_count":${loopDb.count()},"pending_deltas_max":$pendingMax,"pin_count":$pinnedCount,"pin_stable":$pinStable,"retired_gens_max":$retiredMax,"retired_gens_after_close":$retiredAfterClose,"unit":"ms","note":"MOR delta commits must stay O(batch) as the corpus grows (commit_ratio ~ 1); loop_ms includes the incremental dedup whose corpus side is a linear scan locally and parallelizes on a cluster; the pin_ fields hold a repeatable-read snapshot open across every compaction -- folds proceed, the pinned view stays frozen, retired generations GC at close"}""")
     spark.stop()
   }
 }

@@ -80,7 +80,8 @@ private[graft] final class RunIdSet(
     val dir: String,
     val runs: Array[RunMeta],
     val total: Long,
-    val confProps: Map[String, String]) extends IdSet {
+    val confProps: Map[String, String],
+    val owned: Boolean = true) extends IdSet {
 
   override def size: Long = total
 
@@ -116,14 +117,91 @@ private[graft] final class RunIdSet(
     }
   }
 
-  /** Delete the run directory. Driver-side (uses the live Hadoop conf
-    * via the recorded props, which on the driver equal the originals).
+  /** Release the backing. Owned (built in this JVM): delete the run
+    * directory. Adopted from another JVM's persisted manifest
+    * (`owned = false`): only drop the local caches — the building JVM
+    * keeps deletion duty, so one reader's release cannot pull files
+    * out from under the rest of the fleet. Driver-side (uses the live
+    * Hadoop conf via the recorded props, which on the driver equal the
+    * originals).
     */
   override def release(): Unit = {
-    val fs = FileSystem.get(new java.net.URI(dir), RunIdSet.confOf(confProps))
-    fs.delete(new Path(dir), true)
+    if (owned) {
+      val fs = FileSystem.get(new java.net.URI(dir), RunIdSet.confOf(confProps))
+      fs.delete(new Path(dir), true)
+    }
     RunIdSet.dropCached(dir)
   }
+}
+
+/** Persistence of a compiled file-backed selector's identity + run
+  * manifest beside its run files (`<sel-dir>/manifest`) — the
+  * cross-JVM face of the selector catalog: the building JVM pays the
+  * predicate scan and run write ONCE, every other JVM over the folder
+  * adopts the selector by reading this one small file (no Catalyst
+  * job, no duplicate run files). Written only for CATALOGED selectors
+  * (their run files live until a commit supersedes them — an uncached
+  * `selector()` handle deletes its files at release, which would race
+  * adopters). Line-based, predicate base64-encoded (predicate text is
+  * arbitrary); unknown/corrupt manifests read as None and the caller
+  * falls back to compiling.
+  */
+private[graft] object SelectorManifest {
+
+  final case class Manifest(version: String, dir: String, pred: String,
+                            maxBroadcast: Int, runSize: Int, total: Long,
+                            runs: Array[RunMeta])
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  def write(fs: FileSystem, dir: String, version: String, pred: String,
+            maxBroadcast: Int, runSize: Int, total: Long,
+            runs: Array[RunMeta]): Unit = {
+    val sb = new StringBuilder
+    sb.append("version=").append(version).append('\n')
+    sb.append("dir=").append(b64(dir)).append('\n')
+    sb.append("pred=").append(b64(pred)).append('\n')
+    sb.append("maxBroadcast=").append(maxBroadcast).append('\n')
+    sb.append("runSize=").append(runSize).append('\n')
+    sb.append("total=").append(total).append('\n')
+    runs.foreach { r =>
+      sb.append("run=").append(b64(r.path)).append('\t').append(r.min)
+        .append('\t').append(r.max).append('\t').append(r.count).append('\n')
+    }
+    val out = fs.create(new Path(s"$dir/manifest"), true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def read(fs: FileSystem, dir: String): Option[Manifest] =
+    try {
+      val p = new Path(s"$dir/manifest")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val fields = scala.collection.mutable.Map[String, String]()
+        val runs = Array.newBuilder[RunMeta]
+        text.linesIterator.filter(_.nonEmpty).foreach { line =>
+          val i = line.indexOf('=')
+          require(i > 0, s"bad manifest line: $line")
+          val (k, v) = (line.substring(0, i), line.substring(i + 1))
+          if (k == "run") {
+            val parts = v.split('\t')
+            require(parts.length == 4, s"bad run line: $line")
+            runs += RunMeta(unb64(parts(0)), parts(1).toLong,
+              parts(2).toLong, parts(3).toLong)
+          } else fields(k) = v
+        }
+        Some(Manifest(fields("version"), unb64(fields("dir")),
+          unb64(fields("pred")),
+          fields("maxBroadcast").toInt, fields("runSize").toInt,
+          fields("total").toLong, runs.result()))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 private[graft] object RunIdSet {

@@ -122,6 +122,15 @@ private[graft] object SelectorCatalog {
     }
   }
 
+  /** Test hook: drop a folder's entries WITHOUT freeing their backing —
+    * simulates a fresh JVM whose catalog is empty while the previous
+    * JVM's run files (and manifests) are still on the shared FS.
+    */
+  private[graft] def forgetForTest(folder: String): Unit = synchronized {
+    val it = entries.keySet().iterator()
+    while (it.hasNext) if (it.next().cache.folder == folder) it.remove()
+  }
+
   /** Test hook: number of live entries (any version) for a folder. */
   private[graft] def liveFor(folder: String): Int = synchronized {
     var n = 0

@@ -481,6 +481,13 @@ class VectorDB private (
   /** Pending delta commits on the hot tier (0 under copy-on-write). */
   def pendingDeltas(): Int = if (isMor) codesMor.deltaCount() else 0
 
+  /** Retired MOR generations currently held for open pins on the hot
+    * tier (0 under copy-on-write or with no pins) — the disk-overhead
+    * indicator of compaction-under-pins.
+    */
+  def retiredMorGenerations(): Int =
+    if (isMor) codesMor.retiredGenerations().size else 0
+
   /** Funnel sizing guards: positive stages, and the heap arities the
     * stages multiply into must stay inside Int (the aggregate buffer is
     * sized by them — overflow would wrap to a tiny/negative heap).
@@ -795,6 +802,16 @@ class VectorDB private (
     * supersedes them — freed immediately if unreferenced, else at last
     * release, so in-flight filtered searches keep their ids. Use
     * [[VectorDB.clearSelectorCache]] to give warm memory back early.
+    *
+    * Cross-JVM: a file-backed cataloged selector persists its run
+    * manifest beside its run files; a catalog miss here first tries to
+    * ADOPT such a manifest (same predicate, same snapshot version, same
+    * knobs) written by another JVM over this folder — one small file
+    * read instead of the predicate scan + run write. Adopted handles
+    * never delete the run files (the building JVM keeps deletion duty);
+    * the usual cross-JVM staleness contract applies — a reader between
+    * marker polls may race the writer's supersession GC by the poll
+    * interval, exactly as for serving blocks.
     */
   def selectorCached(pred: org.apache.spark.sql.Column,
                      maxBroadcast: Int = VectorDB.MaxSelectorIds,
@@ -803,7 +820,39 @@ class VectorDB private (
     val key = SelectorCatalog.Key(cacheKey, lastSeenVersion,
       VectorDB.predKeyOf(pred), maxBroadcast, runSize)
     SelectorCatalog.acquire(key)(
-      buildSelector(pred, maxBroadcast, runSize, Some(key)))
+      adoptSelector(pred, key).getOrElse(
+        buildSelector(pred, maxBroadcast, runSize, Some(key))))
+  }
+
+  /** Adopt a file-backed selector another JVM persisted for the same
+    * (predicate, snapshot version, knobs): scan `folder/_selectors`
+    * manifests — one FS listing plus a small read per candidate, paid
+    * only on a catalog miss, never on the query hot path.
+    */
+  private def adoptSelector(pred: org.apache.spark.sql.Column,
+                            key: SelectorCatalog.Key): Option[DocSelector] = {
+    val root = new Path(s"$folder/_selectors")
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator.map(_.getPath).flatMap { selDir =>
+      SelectorManifest.read(fs, selDir.toString) match {
+        case Some(m) if m.version == key.version && m.pred == key.pred &&
+            m.maxBroadcast == key.maxBroadcast && m.runSize == key.runSize =>
+          // m.dir is the builder's ORIGINAL dir string: run paths in
+          // the manifest are prefixed by it, and cache eviction keys
+          // off that prefix — do not re-qualify it here.
+          Iterator.single(new DocSelector(pred,
+            new RunIdSet(m.dir, m.runs, m.total, hadoopConfProps,
+              owned = false), Some(key)))
+        case _ => Iterator.empty
+      }
+    }.nextOption()
+  }
+
+  private def hadoopConfProps: Map[String, String] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
   }
 
   private def buildSelector(pred: org.apache.spark.sql.Column,
@@ -821,12 +870,7 @@ class VectorDB private (
     } else {
       val dir = s"$folder/_selectors/sel-${java.util.UUID.randomUUID()}"
       val numRuns = math.max(1, ((n + runSize - 1) / runSize).toInt)
-      val confProps = {
-        val it = spark.sparkContext.hadoopConfiguration.iterator()
-        val b = Map.newBuilder[String, String]
-        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-        b.result()
-      }
+      val confProps = hadoopConfProps
       // Range-partition + sort, then each partition streams its ids
       // straight to one run file from the executor — the driver only
       // ever sees the O(runs) manifest.
@@ -846,6 +890,13 @@ class VectorDB private (
             s"${b2.path} [${b2.min},${b2.max}]")
         case _ =>
       }
+      // Persist the run manifest for cataloged selectors only: their
+      // run files live until a commit supersedes them, so another JVM
+      // can adopt this compile instead of repeating it. An uncached
+      // handle deletes its files at release — a manifest there would
+      // race adopters.
+      catalogKey.foreach(k => SelectorManifest.write(fs, dir, k.version,
+        k.pred, maxBroadcast, runSize, n, metas))
       new DocSelector(pred, new RunIdSet(dir, metas, n, confProps), catalogKey)
     }
   }

@@ -123,6 +123,51 @@ class SelectorCatalogSpec extends AnyFunSuite {
     db.clearSelectorCache()
   }
 
+  test("a fresh JVM adopts a persisted file-backed selector instead of recompiling") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(200))
+    val folder = db.blockCacheKey.folder
+
+    val built = db.selectorCached(pred, maxBroadcast = 0, runSize = 4)
+    assert(built.isFileBacked)
+    val builtDir = built.idSet.asInstanceOf[RunIdSet].dir
+    assert(new java.io.File(new java.net.URI(builtDir).getPath, "manifest").exists,
+      "cataloged file-backed selector must persist its manifest")
+    val expectIds = db.docs.filter(pred).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    built.release()
+
+    // simulate a fresh JVM: empty catalog, files still on the shared FS
+    SelectorCatalog.forgetForTest(folder)
+    val adopted = db.selectorCached(pred, maxBroadcast = 0, runSize = 4)
+    assert(adopted ne built)
+    assert(adopted.isFileBacked &&
+      adopted.idSet.asInstanceOf[RunIdSet].dir == builtDir,
+      "adoption must reuse the SAME run files, not write new ones")
+    assert(!adopted.idSet.asInstanceOf[RunIdSet].owned)
+    assert(adopted.size == built.size)
+    val probe = adopted.idSet.probe()
+    assert(expectIds.forall(probe.contains) &&
+      !probe.contains(-1L) && !probe.contains(1000000L))
+
+    // an adopted handle must NOT delete the owner's files, even when
+    // superseded: forget it, commit (supersedes), nothing freed here
+    // owns the dir
+    adopted.release()
+    db.addDocuments(fixture(20, from = 200))
+    assert(SelectorCatalog.liveFor(folder) == 0)
+    assert(new java.io.File(new java.net.URI(builtDir).getPath).exists,
+      "adopted release must leave the building JVM's run files in place")
+
+    // a NEW version's compile must not adopt the stale manifest
+    val fresh = db.selectorCached(pred, maxBroadcast = 0, runSize = 4)
+    assert(fresh.idSet.asInstanceOf[RunIdSet].dir != builtDir,
+      "a superseded manifest must not be adopted under the new snapshot")
+    assert(fresh.size > built.size)
+    fresh.release()
+    db.clearSelectorCache()
+  }
+
   test("filtered search through a cached selector == through an uncached one") {
     val db = VectorDB.openOrCreate(spark, freshDir())
     db.addDocuments(fixture(260))
