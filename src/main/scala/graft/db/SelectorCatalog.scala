@@ -33,9 +33,22 @@ private[graft] object SelectorCatalog {
   final case class Key(cache: BlockCache.Key, version: String,
                        pred: String, maxBroadcast: Int, runSize: Int)
 
-  private final class Entry(val sel: DocSelector) {
+  /** One cataloged selector. The compile runs OUTSIDE the catalog's
+    * global lock, memoized per entry (`lazy val`): two threads racing
+    * on the SAME key block each other only on this entry's initializer
+    * (one compiles, the other adopts the result), while compiles for
+    * DIFFERENT keys — other predicates, other folders — proceed fully
+    * in parallel. A failed compile is not cached: Scala re-attempts a
+    * lazy initializer whose previous attempt threw, and the failing
+    * acquirer removes its provisional entry. `built` guards teardown:
+    * freeing an entry whose compile never ran must not trigger one.
+    */
+  private final class Entry(buildFn: () => DocSelector) {
     var refs: Int = 0
     var superseded: Boolean = false
+    @volatile var built: Boolean = false
+    lazy val sel: DocSelector = { val s = buildFn(); built = true; s }
+    def freeIfBuilt(): Unit = if (built) sel.freeBacking()
   }
 
   private val entries = new java.util.concurrent.ConcurrentHashMap[Key, Entry]()
@@ -43,26 +56,38 @@ private[graft] object SelectorCatalog {
   /** Get-or-build the shared selector for `key`; the caller owns one
     * reference and must release it (via [[DocSelector.release]] —
     * exactly once per acquire). A warm entry (refcount zero, version
-    * still current) is a hit: that is the skipped rebuild.
+    * still current) is a hit: that is the skipped rebuild. The build
+    * itself runs outside the catalog lock — see [[Entry]].
     */
-  def acquire(key: Key)(build: => DocSelector): DocSelector = synchronized {
-    // Entries left by a PREVIOUS Spark application over this folder can
-    // never be valid again (their broadcasts died with the context);
-    // drop them so restarted sessions don't accumulate dead handles.
-    val it0 = entries.entrySet().iterator()
-    while (it0.hasNext) {
-      val e = it0.next()
-      if (e.getKey.cache.folder == key.cache.folder &&
-          e.getKey.cache.app != key.cache.app) it0.remove()
+  def acquire(key: Key)(build: => DocSelector): DocSelector = {
+    val e = synchronized {
+      // Entries left by a PREVIOUS Spark application over this folder
+      // can never be valid again (their broadcasts died with the
+      // context); drop them so restarted sessions don't accumulate
+      // dead handles.
+      val it0 = entries.entrySet().iterator()
+      while (it0.hasNext) {
+        val en = it0.next()
+        if (en.getKey.cache.folder == key.cache.folder &&
+            en.getKey.cache.app != key.cache.app) it0.remove()
+      }
+      val ex = entries.get(key)
+      if (ex != null) { ex.refs += 1; ex }
+      else {
+        val ne = new Entry(() => build)
+        ne.refs = 1
+        entries.put(key, ne)
+        ne
+      }
     }
-    val e = entries.get(key)
-    if (e != null) { e.refs += 1; e.sel }
-    else {
-      val sel = build
-      val ne = new Entry(sel)
-      ne.refs = 1
-      entries.put(key, ne)
-      sel
+    try e.sel
+    catch {
+      case t: Throwable =>
+        synchronized {
+          e.refs -= 1
+          if (e.refs <= 0 && !e.built) entries.remove(key, e)
+        }
+        throw t
     }
   }
 
@@ -76,7 +101,7 @@ private[graft] object SelectorCatalog {
       e.refs -= 1
       if (e.refs <= 0 && e.superseded) {
         entries.remove(key)
-        e.sel.freeBacking()
+        e.freeIfBuilt()
       }
     }
   }
@@ -97,7 +122,7 @@ private[graft] object SelectorCatalog {
           e.getValue.superseded = true
           if (e.getValue.refs <= 0) {
             it.remove()
-            e.getValue.sel.freeBacking()
+            e.getValue.freeIfBuilt()
           }
         }
       }
@@ -116,11 +141,27 @@ private[graft] object SelectorCatalog {
         e.getValue.superseded = true
         if (e.getValue.refs <= 0) {
           it.remove()
-          e.getValue.sel.freeBacking()
+          e.getValue.freeIfBuilt()
         }
       }
     }
   }
+
+  /** Run directories backing LIVE entries for `folder` (held or warm,
+    * any version) — the writer's orphan sweep must not touch these:
+    * a held superseded entry keeps its files until last release.
+    */
+  private[graft] def liveRunDirsFor(folder: String): Set[String] =
+    synchronized {
+      val b = Set.newBuilder[String]
+      entries.forEach { (k, e) =>
+        if (k.cache.folder == folder && e.built) e.sel.idSet match {
+          case r: RunIdSet => b += r.dir
+          case _ =>
+        }
+      }
+      b.result()
+    }
 
   /** Test hook: drop a folder's entries WITHOUT freeing their backing —
     * simulates a fresh JVM whose catalog is empty while the previous

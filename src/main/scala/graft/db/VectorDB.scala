@@ -214,6 +214,30 @@ class VectorDB private (
     try out.write(v.getBytes("UTF-8")) finally out.close()
     BlockCache.invalidate(cacheKey, v)
     lastSeenVersion = v
+    sweepOrphanSelectorDirs(v)
+  }
+
+  /** Writer-side orphan GC for persisted selector manifests: a
+    * building JVM that died leaves `_selectors/sel-*` dirs no catalog
+    * entry owns (adopters never delete them — unowned). Each commit
+    * sweeps manifest-carrying dirs whose snapshot version is no longer
+    * current, EXCEPT those backing live in-JVM entries (a held
+    * superseded selector keeps its files until last release; the
+    * catalog's own supersession already freed unreferenced ones).
+    * Manifest-less dirs (uncached `selector()` handles) are owned by
+    * live handles and never swept.
+    */
+  private def sweepOrphanSelectorDirs(current: String): Unit = {
+    val root = new Path(s"$folder/_selectors")
+    if (!fs.exists(root)) return
+    val live = SelectorCatalog.liveRunDirsFor(cacheKey.folder)
+    fs.listStatus(root).map(_.getPath).foreach { d =>
+      SelectorManifest.read(fs, d.toString) match {
+        case Some(m) if m.version != current && !live.contains(m.dir) =>
+          fs.delete(d, true)
+        case _ =>
+      }
+    }
   }
 
   /** The snapshot version this instance's caches were built against. */

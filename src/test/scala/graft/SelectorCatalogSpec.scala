@@ -150,21 +150,73 @@ class SelectorCatalogSpec extends AnyFunSuite {
     assert(expectIds.forall(probe.contains) &&
       !probe.contains(-1L) && !probe.contains(1000000L))
 
-    // an adopted handle must NOT delete the owner's files, even when
-    // superseded: forget it, commit (supersedes), nothing freed here
-    // owns the dir
+    // an adopted handle must NOT delete the owner's files: release is
+    // a catalog decrement, the dir stays for the rest of the fleet
     adopted.release()
-    db.addDocuments(fixture(20, from = 200))
-    assert(SelectorCatalog.liveFor(folder) == 0)
     assert(new java.io.File(new java.net.URI(builtDir).getPath).exists,
       "adopted release must leave the building JVM's run files in place")
 
-    // a NEW version's compile must not adopt the stale manifest
+    // a commit supersedes the manifest; the WRITER's orphan sweep then
+    // reclaims the dir (no live in-JVM entry backs it — the builder
+    // was 'a dead JVM' here), and the recompile must not adopt it
+    db.addDocuments(fixture(20, from = 200))
+    assert(SelectorCatalog.liveFor(folder) == 0)
+    assert(!new java.io.File(new java.net.URI(builtDir).getPath).exists,
+      "the writer's commit must sweep orphaned superseded selector dirs")
     val fresh = db.selectorCached(pred, maxBroadcast = 0, runSize = 4)
     assert(fresh.idSet.asInstanceOf[RunIdSet].dir != builtDir,
       "a superseded manifest must not be adopted under the new snapshot")
     assert(fresh.size > built.size)
+    // a held selector's files survive the sweep until its last release
+    db.addDocuments(fixture(10, from = 220))
+    val freshDirPath = new java.io.File(
+      new java.net.URI(fresh.idSet.asInstanceOf[RunIdSet].dir).getPath)
+    assert(freshDirPath.exists,
+      "held superseded selector must keep its files through the sweep")
     fresh.release()
+    assert(!freshDirPath.exists, "freed at last release")
+    db.clearSelectorCache()
+  }
+
+  test("concurrent acquires: one compile per key, parallel across keys") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(300))
+    val folder = db.blockCacheKey.folder
+    val preds = (0 until 4).map(t => col("doc").contains(s" topic $t"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(16))
+    // 16 threads × 4 distinct predicates, 4 racing threads per predicate
+    val got = Await.result(
+      Future.sequence((0 until 16).map(i =>
+        Future(db.selectorCached(preds(i % 4))))), Duration.Inf)
+    // each predicate resolved to exactly ONE shared handle…
+    val byPred = got.grouped(4).toSeq.transpose
+    preds.indices.foreach { p =>
+      val handles = got.zipWithIndex.collect { case (s, i) if i % 4 == p => s }
+      assert(handles.forall(_ eq handles.head),
+        s"predicate $p produced ${handles.map(System.identityHashCode).distinct.size} handles")
+      assert(SelectorCatalog.refsFor(handles.head.catalogKey.get) == 4)
+    }
+    assert(byPred.size == 4 && SelectorCatalog.liveFor(folder) == 4)
+    got.foreach(_.release())
+    db.clearSelectorCache()
+    assert(SelectorCatalog.liveFor(folder) == 0)
+  }
+
+  test("a failed compile is not cached; the next acquire retries") {
+    val db = VectorDB.openOrCreate(spark, freshDir())
+    db.addDocuments(fixture(50))
+    val folder = db.blockCacheKey.folder
+    val bad = col("no_such_column") === 1
+    intercept[Exception] { db.selectorCached(bad) }
+    assert(SelectorCatalog.liveFor(folder) == 0,
+      "a failed compile must not leave a poisoned entry")
+    val ok = db.selectorCached(pred)
+    assert(ok.size > 0)
+    ok.release()
     db.clearSelectorCache()
   }
 
