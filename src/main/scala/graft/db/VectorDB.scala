@@ -295,6 +295,95 @@ class VectorDB private (
     }
   }
 
+  // ── Advisory writer lease (opt-in) ─────────────────────────────────
+  // The reference disclaims multi-process safety outright
+  // (`README.md:174`); the engine's transactional layer makes reads
+  // safe, but two WRITERS racing commits would still interleave
+  // versions. The lease is the fail-fast guard: once any writer
+  // acquires it, every commit on the folder — from any instance that
+  // checks, holder or not — verifies the on-disk lease, so an
+  // accidental second writer errors instead of corrupting. Advisory by
+  // construction (a writer that never opens the folder through this
+  // class is invisible to it); the steal-after-expiry window between
+  // read and write is not atomic on a generic Hadoop FS — the TTL and
+  // heartbeat keep it negligible, and the post-steal commit fence
+  // catches the loser.
+
+  @volatile private[db] var heldLease: Option[WriterLease] = None
+
+  private def leasePath = new Path(s"$folder/_lease")
+
+  /** Become THE writer for this folder: errors if a live lease is held
+    * elsewhere; steals an expired one (dead writer). The returned
+    * handle heartbeats (renews every ttl/3) until closed. While ANY
+    * fresh lease exists on disk, commits from non-holders fail fast —
+    * including this instance after its own lease is stolen (fencing).
+    */
+  def acquireWriterLease(ttlMs: Long = VectorDB.DefaultLeaseTtlMs): WriterLease =
+    synchronized {
+      require(ttlMs >= 100, s"lease ttl must be >= 100 ms, got $ttlMs")
+      require(heldLease.isEmpty, "this instance already holds the writer lease")
+      val now = System.currentTimeMillis()
+      readLease() match {
+        case Some((otherId, expiry)) if expiry > now =>
+          throw new IllegalStateException(
+            s"folder $folder is leased by writer $otherId for another " +
+              s"${expiry - now} ms; close that lease (or let it expire) first")
+        case _ => () // absent or expired: take it
+      }
+      val id = java.util.UUID.randomUUID().toString
+      writeLease(id, now + ttlMs)
+      val l = new WriterLease(this, id, ttlMs)
+      heldLease = Some(l)
+      l
+    }
+
+  private[db] def readLease(): Option[(String, Long)] =
+    if (!fs.exists(leasePath)) None
+    else try {
+      val in = fs.open(leasePath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val lines = text.trim.split('\n')
+      Some((lines(0).trim, lines(1).trim.toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[db] def writeLease(id: String, expiryMs: Long): Unit = {
+    val out = fs.create(leasePath, true)
+    try out.write(s"$id\n$expiryMs".getBytes("UTF-8")) finally out.close()
+  }
+
+  private[db] def dropLease(id: String): Unit = synchronized {
+    if (readLease().exists(_._1 == id)) fs.delete(leasePath, false)
+    if (heldLease.exists(_.id == id)) heldLease = None
+  }
+
+  /** Commit-time fence: a fresh lease held by someone else fails the
+    * commit — whether this instance never leased (accidental second
+    * writer) or held a lease that was stolen after expiry (fenced
+    * loser). One FS stat per commit; no lease file anywhere = the
+    * reference's unguarded behavior.
+    */
+  private def assertWritable(): Unit = {
+    val now = System.currentTimeMillis()
+    readLease() match {
+      case Some((id, expiry)) if !heldLease.exists(_.id == id) =>
+        if (heldLease.isDefined)
+          throw new IllegalStateException(
+            s"writer lease on $folder lost to writer $id: this instance " +
+              "is fenced; re-acquire after closing the stale handle")
+        if (expiry > now)
+          throw new IllegalStateException(
+            s"folder $folder is leased by writer $id for another " +
+              s"${expiry - now} ms; refusing a concurrent commit")
+      case None if heldLease.isDefined =>
+        throw new IllegalStateException(
+          s"writer lease on $folder lost (lease file removed): this " +
+            "instance is fenced; re-acquire before committing")
+      case _ => ()
+    }
+  }
+
   private def hasData: Boolean =
     if (isMor) codesMor.exists else fs.exists(new Path(codesPath))
 
@@ -382,6 +471,7 @@ class VectorDB private (
     * `BinaryVectorDB.py:92-101`).
     */
   def addDocuments(input: DataFrame, embedder: Embedder = new HashingEmbedder()): Unit = {
+    assertWritable()
     Kernels.install(spark)
     require(embedder.dim == dim,
       s"embedder dim ${embedder.dim} != index dim $dim — a mismatch would " +
@@ -444,6 +534,7 @@ class VectorDB private (
 
   /** O5: delete by id; error if any id is absent (`BinaryVectorDB.py:159-160`). */
   def removeDocs(ids: Seq[Long]): Unit = {
+    assertWritable()
     val idDf = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
     val missing = idDf.join(codes, Seq("doc_id"), "left_anti").count()
     if (missing > 0)
@@ -473,6 +564,7 @@ class VectorDB private (
     * [[Snapshot.docs]] after compacting (each access re-resolves).
     */
   def compact(): Unit = if (isMor) {
+    assertWritable()
     val (codesPins, docsPins) = morPinnedCeilings()
     codesMor.compact(retire = codesPins.exists(_ < codesMor.versionCeiling()))
     docsMor.compact(retire = docsPins.exists(_ < docsMor.versionCeiling()))
@@ -1478,6 +1570,47 @@ final class Snapshot private[db] (
     }
 }
 
+/** The advisory single-writer lease handle ([[VectorDB
+  * .acquireWriterLease]]): heartbeats every ttl/3 to keep the on-disk
+  * lease fresh while this process is alive, and stops renewing the
+  * moment the lease is observed to belong to someone else (a
+  * steal-after-expiry — renewing then would clobber the new writer).
+  * [[close]] stops the heartbeat and removes the lease file if it is
+  * still ours. Idempotent close; AutoCloseable for try-with-resources
+  * writers.
+  */
+final class WriterLease private[db] (
+    db: VectorDB, private[db] val id: String, ttlMs: Long)
+  extends AutoCloseable {
+
+  @volatile private var closed = false
+  /** True once a renewal observed the on-disk lease held by another
+    * writer — this handle is fenced and will never renew again.
+    */
+  @volatile var lost: Boolean = false
+
+  private val beat = new Thread(() => {
+    while (!closed && !lost) {
+      try Thread.sleep(math.max(50L, ttlMs / 3))
+      catch { case _: InterruptedException => () }
+      if (!closed && !lost) {
+        if (db.readLease().exists(_._1 == id))
+          db.writeLease(id, System.currentTimeMillis() + ttlMs)
+        else lost = true
+      }
+    }
+  }, s"graft-writer-lease-$id")
+  beat.setDaemon(true)
+  beat.start()
+
+  override def close(): Unit = if (!closed) {
+    closed = true
+    beat.interrupt()
+    beat.join(1000)
+    db.dropLease(id)
+  }
+}
+
 /** A compiled cold-tier predicate — the faiss `IDSelectorBatch`
   * analogue for filtered search. Built by [[VectorDB.selector]]: the
   * predicate is evaluated once (pushed into the cold-tier scan) and the
@@ -1584,6 +1717,13 @@ object VectorDB {
       b.result()
     }
   }
+
+  /** Default writer-lease TTL: long enough that a GC pause or slow FS
+    * never lets the lease lapse under a live writer (heartbeat = ttl/3),
+    * short enough that a crashed writer's folder is reclaimable in
+    * under a minute.
+    */
+  val DefaultLeaseTtlMs: Long = 60000L
 
   /** Switch point between [[VectorDB.selector]]'s broadcast shape and
     * its file-backed sorted-run shape (80 MB of broadcast ids). Below:
