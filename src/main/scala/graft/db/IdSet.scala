@@ -142,12 +142,19 @@ private[graft] final class RunIdSet(
   * job, no duplicate run files). Written only for CATALOGED selectors
   * (their run files live until a commit supersedes them — an uncached
   * `selector()` handle deletes its files at release, which would race
-  * adopters). Line-based, predicate base64-encoded (predicate text is
-  * arbitrary); unknown/corrupt manifests read as None and the caller
-  * falls back to compiling.
+  * adopters). Run entries are stored RELATIVE to the selector dir (run
+  * files always live directly inside it), so the whole `_selectors`
+  * tree is PORTABLE: replicate or move the DB folder and adoption
+  * resolves runs against wherever the manifest now lives. Line-based,
+  * predicate base64-encoded (predicate text is arbitrary);
+  * unknown/corrupt manifests read as None and the caller falls back
+  * to compiling.
   */
 private[graft] object SelectorManifest {
 
+  /** `dir` is the directory the manifest was READ from (runs resolved
+    * against it), not wherever the builder originally wrote.
+    */
   final case class Manifest(version: String, dir: String, pred: String,
                             maxBroadcast: Int, runSize: Int, total: Long,
                             runs: Array[RunMeta])
@@ -161,14 +168,17 @@ private[graft] object SelectorManifest {
             maxBroadcast: Int, runSize: Int, total: Long,
             runs: Array[RunMeta]): Unit = {
     val sb = new StringBuilder
+    sb.append("format=2").append('\n')
     sb.append("version=").append(version).append('\n')
-    sb.append("dir=").append(b64(dir)).append('\n')
     sb.append("pred=").append(b64(pred)).append('\n')
     sb.append("maxBroadcast=").append(maxBroadcast).append('\n')
     sb.append("runSize=").append(runSize).append('\n')
     sb.append("total=").append(total).append('\n')
     runs.foreach { r =>
-      sb.append("run=").append(b64(r.path)).append('\t').append(r.min)
+      require(r.path.startsWith(dir + "/"),
+        s"run ${r.path} not inside selector dir $dir")
+      sb.append("run=").append(b64(r.path.stripPrefix(dir + "/")))
+        .append('\t').append(r.min)
         .append('\t').append(r.max).append('\t').append(r.count).append('\n')
     }
     val out = fs.create(new Path(s"$dir/manifest"), true)
@@ -192,12 +202,12 @@ private[graft] object SelectorManifest {
           if (k == "run") {
             val parts = v.split('\t')
             require(parts.length == 4, s"bad run line: $line")
-            runs += RunMeta(unb64(parts(0)), parts(1).toLong,
+            runs += RunMeta(s"$dir/${unb64(parts(0))}", parts(1).toLong,
               parts(2).toLong, parts(3).toLong)
           } else fields(k) = v
         }
-        Some(Manifest(fields("version"), unb64(fields("dir")),
-          unb64(fields("pred")),
+        require(fields("format") == "2", s"unknown manifest format")
+        Some(Manifest(fields("version"), dir, unb64(fields("pred")),
           fields("maxBroadcast").toInt, fields("runSize").toInt,
           fields("total").toLong, runs.result()))
       }

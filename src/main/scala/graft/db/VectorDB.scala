@@ -232,7 +232,10 @@ class VectorDB private (
     if (!fs.exists(root)) return
     val live = SelectorCatalog.liveRunDirsFor(cacheKey.folder)
     fs.listStatus(root).map(_.getPath).foreach { d =>
-      SelectorManifest.read(fs, d.toString) match {
+      // resolve under OUR folder string, matching how live entries name
+      // their dirs (builder and adopter both use `$folder/_selectors/…`)
+      val selDir = s"$folder/_selectors/${d.getName}"
+      SelectorManifest.read(fs, selDir) match {
         case Some(m) if m.version != current && !live.contains(m.dir) =>
           fs.delete(d, true)
         case _ =>
@@ -949,13 +952,15 @@ class VectorDB private (
                             key: SelectorCatalog.Key): Option[DocSelector] = {
     val root = new Path(s"$folder/_selectors")
     if (!fs.exists(root)) None
-    else fs.listStatus(root).iterator.map(_.getPath).flatMap { selDir =>
-      SelectorManifest.read(fs, selDir.toString) match {
+    else fs.listStatus(root).iterator.map(_.getPath.getName).flatMap { name =>
+      // resolve under OUR folder string (manifests store runs relative
+      // to their dir), so the adopted dir + run paths share one
+      // consistent prefix regardless of how the FS qualifies listings
+      // — and a moved/replicated folder adopts its own copies.
+      val selDir = s"$folder/_selectors/$name"
+      SelectorManifest.read(fs, selDir) match {
         case Some(m) if m.version == key.version && m.pred == key.pred &&
             m.maxBroadcast == key.maxBroadcast && m.runSize == key.runSize =>
-          // m.dir is the builder's ORIGINAL dir string: run paths in
-          // the manifest are prefixed by it, and cache eviction keys
-          // off that prefix — do not re-qualify it here.
           Iterator.single(new DocSelector(pred,
             new RunIdSet(m.dir, m.runs, m.total, hadoopConfProps,
               owned = false), Some(key)))

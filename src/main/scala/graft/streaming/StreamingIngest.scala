@@ -254,6 +254,21 @@ object StreamingIngest {
                                             checkpointDir: Option[String] = None) {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     private var corpusSim: Option[DataFrame] = None
+    private var lease: Option[graft.db.WriterLease] = None
+
+    /** Claim the DB's advisory writer lease for this loop's lifetime
+      * (released at [[close]]). The loop's correctness already ASSUMES
+      * it is the folder's only writer while it runs (the state would
+      * diverge from the DB otherwise — see the class doc); the lease
+      * turns that assumption into a fail-fast guarantee: any other
+      * writer's commit errors instead of racing the loop, and a second
+      * loop over the same folder fails at this call. Idempotent.
+      */
+    def withWriterLease(
+        ttlMs: Long = graft.db.VectorDB.DefaultLeaseTtlMs): this.type = {
+      if (lease.isEmpty) lease = Some(db.acquireWriterLease(ttlMs))
+      this
+    }
 
     /** Materialize a state generation with truncated lineage. Default:
       * `localCheckpoint` (executor block store — fastest; blocks die
@@ -280,10 +295,14 @@ object StreamingIngest {
       s
     }
 
-    /** Release the state blocks (the loop rebuilds lazily if reused). */
+    /** Release the state blocks (the loop rebuilds lazily if reused)
+      * and the writer lease, if one was claimed.
+      */
     def close(): Unit = {
       corpusSim.foreach(_.unpersist())
       corpusSim = None
+      lease.foreach(_.close())
+      lease = None
     }
 
     /** One micro-batch of (doc_id, text): flag against the state, land

@@ -178,6 +178,39 @@ class SelectorCatalogSpec extends AnyFunSuite {
     db.clearSelectorCache()
   }
 
+  test("manifests are portable: a moved/replicated folder adopts its own copies") {
+    val dir1 = freshDir()
+    val db1 = VectorDB.openOrCreate(spark, dir1)
+    db1.addDocuments(fixture(150))
+    val sel1 = db1.selectorCached(pred, maxBroadcast = 0, runSize = 4)
+    val expect = db1.docs.filter(pred).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    sel1.release() // warm entry: files + manifest stay on disk
+    SelectorCatalog.forgetForTest(db1.blockCacheKey.folder)
+
+    // replicate the WHOLE folder to a new path (rsync-style move)
+    val dir2 = freshDir()
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copyTree(new java.io.File(dir1), new java.io.File(dir2))
+
+    val db2 = VectorDB.openOrCreate(spark, dir2)
+    val adopted = db2.selectorCached(pred, maxBroadcast = 0, runSize = 4)
+    assert(adopted.isFileBacked && !adopted.idSet.asInstanceOf[RunIdSet].owned,
+      "the replica must adopt, not recompile")
+    assert(adopted.idSet.asInstanceOf[RunIdSet].dir.startsWith(dir2),
+      "adoption must resolve runs under the REPLICA's path")
+    val probe = adopted.idSet.probe()
+    assert(expect.nonEmpty && expect.forall(probe.contains))
+    adopted.release()
+    db2.clearSelectorCache()
+    db1.clearSelectorCache()
+  }
+
   test("concurrent acquires: one compile per key, parallel across keys") {
     val db = VectorDB.openOrCreate(spark, freshDir())
     db.addDocuments(fixture(300))

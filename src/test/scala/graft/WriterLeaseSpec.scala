@@ -77,6 +77,30 @@ class WriterLeaseSpec extends AnyFunSuite {
     leaseA.close() // idempotent / must not delete B's released state wrongly
   }
 
+  test("a lease-guarded crawl loop fences other writers and releases at close") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    db.addDocuments(fixture(0 until 10))
+    val loop = graft.streaming.StreamingIngest.crawlLoop(db).withWriterLease()
+
+    // the loop's OWN db commits through the lease it holds
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    in.addData((100L, "w100a w100b w100c"), (101L, "w101a w101b w101c"))
+    loop.stream(in.toDF().toDF("doc_id", "text")).stop()
+    assert(db.count() == 12)
+
+    // any other writer over the folder is fenced while the loop runs
+    val other = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    intercept[IllegalStateException] { other.addDocuments(fixture(50 until 55)) }
+    intercept[IllegalStateException] { other.acquireWriterLease() }
+
+    loop.close() // releases the lease with the state
+    other.addDocuments(fixture(50 until 55))
+    assert(other.count() == 17)
+  }
+
   test("the heartbeat keeps a short-ttl lease alive") {
     val dir = freshDir()
     val writer = VectorDB.openOrCreate(spark, dir)
