@@ -101,6 +101,9 @@ object SparkEntry {
     // P6: p4 with a broadcast-bloom pre-filter (identical output).
     "p6_decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
     "p5_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
+    // X: transactional storage exercised end-to-end (pin → commits →
+    // delete → compaction-under-pin → close), oracle-checked.
+    "x1_pinned_compaction" -> ((s, d) => Transactional.pinnedCompaction(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +112,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Search.oracles ++ MLSimilarity.oracles ++ Relational.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Events.oracles ++ Temporal.oracles ++ Retrieval.oracles ++
-      graft.multimodal.Multimodal.oracles ++ Pipeline.oracles ++ Sketches.oracles
+      graft.multimodal.Multimodal.oracles ++ Pipeline.oracles ++ Sketches.oracles ++
+      Transactional.oracles
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.db.VectorDB
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate face of the engine's transactional storage layer:
+  * exercises pin → concurrent commits → delete → compaction-under-pin →
+  * pin close END TO END per round, with a plain-SQL oracle over the
+  * fixture — so a regression in snapshot pinning, MOR retirement, or
+  * retired-generation GC fails the correctness gate, not just a unit
+  * spec. (The reference has no transactional surface at all; this
+  * guards capabilities the engine adds on top — `MorTable`,
+  * `VectorDB.snapshot`, retire-mode `compact`.)
+  */
+object Transactional {
+
+  /** `x1_pinned_compaction`: land the `doc_id % 3 == 0` slice of
+    * `documents` in a merge-on-read DB, pin a snapshot, then — with the
+    * pin open — upsert the `% 3 == 1` slice, delete the `% 9 == 0`
+    * rows, and compact. Deterministic outputs the oracle recomputes
+    * from the parquet alone:
+    *  - `pinned_count`: the pin must keep answering |%3==0| through
+    *    the commits AND the fold (its file set was retired, not
+    *    deleted);
+    *  - `live_count`: |%3∈{0,1}| − |%9==0| (the fold is
+    *    read-equivalent);
+    *  - `retired_under_pin` = 1: exactly one retired generation exists
+    *    while the pin is open (the fold retired, the GC kept only it);
+    *  - `retired_after_close` = 0: closing the last pin reclaims it.
+    */
+  def pinnedCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val first = docs.filter(col("doc_id") % 3 === 0)
+    val second = docs.filter(col("doc_id") % 3 === 1)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tx").toString + "/db"
+    val db = VectorDB.openOrCreate(spark, tmp, storage = VectorDB.StorageMor)
+    db.addDocuments(first)
+    val snap = db.snapshot()
+    try {
+      db.addDocuments(second)
+      val dels = first.filter(col("doc_id") % 9 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      if (dels.nonEmpty) db.removeDocs(dels)
+      db.compact() // under the open pin: fold + retire, never refuse
+      val rows = Seq(
+        ("live_count", db.count()),
+        ("pinned_count", snap.count()),
+        ("retired_under_pin", db.retiredMorGenerations().toLong))
+      snap.close()
+      val after = ("retired_after_close", db.retiredMorGenerations().toLong)
+      spark.createDataFrame(rows :+ after).toDF("metric", "value")
+        .orderBy("metric")
+    } finally snap.close() // idempotent
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x1_pinned_compaction" ->
+      """SELECT * FROM (
+        |  SELECT 'live_count' AS metric,
+        |         CAST((SELECT count(*) FROM documents WHERE doc_id % 3 <= 1)
+        |            - (SELECT count(*) FROM documents WHERE doc_id % 9 = 0)
+        |           AS BIGINT) AS value
+        |  UNION ALL
+        |  SELECT 'pinned_count',
+        |         CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS BIGINT)
+        |  UNION ALL SELECT 'retired_after_close', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'retired_under_pin', CAST(1 AS BIGINT)
+        |) ORDER BY metric""".stripMargin)
+}
