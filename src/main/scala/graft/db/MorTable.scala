@@ -171,26 +171,46 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     }
   }
 
+  /** Merge plan, sized for a base that dwarfs the deltas (the regime
+    * compaction maintains): last-writer-wins is resolved by a window
+    * over the DELTAS ONLY — the bounded small side — and the base
+    * contributes via one LEFT ANTI join against the delta keys, which
+    * Catalyst broadcasts at realistic delta sizes. The base is
+    * therefore never shuffled by a merged read; the earlier shape (one
+    * window over base ∪ deltas) re-shuffled the ENTIRE table per read,
+    * which at 100 TB would make every post-commit first read a
+    * full-table exchange. Tombstoned keys fall out on both sides: the
+    * anti join removes them from the base, the `!_deleted` filter from
+    * the resolved deltas. MorPlan assertion lives in MorVectorDBSpec.
+    */
   private def readFrom(d: Path, maxV: Int): DataFrame = {
     val base = new Path(d, "base.parquet")
-    val parts =
-      (if (fs.exists(base))
-        Seq(spark.read.parquet(base.toString)
-          .withColumn("_v", lit(0)).withColumn("_deleted", lit(false)))
-      else Seq.empty) ++
-      deltaPathsIn(d).filter(_._1 <= maxV).map { case (v, p) =>
-        val df = spark.read.parquet(p.toString)
-        (if (df.columns.contains("_deleted")) df
-         else df.withColumn("_deleted", lit(false)))
-          .withColumn("_v", lit(v))
-      }
-    require(parts.nonEmpty, s"MOR table $d is empty at version $maxV")
-    val all = parts.reduce(_ unionByName (_, allowMissingColumns = true))
+    val baseDf =
+      if (fs.exists(base)) Some(spark.read.parquet(base.toString)) else None
+    val deltaDfs = deltaPathsIn(d).filter(_._1 <= maxV).map { case (v, p) =>
+      val df = spark.read.parquet(p.toString)
+      (if (df.columns.contains("_deleted")) df
+       else df.withColumn("_deleted", lit(false)))
+        .withColumn("_v", lit(v))
+    }
+    require(baseDf.nonEmpty || deltaDfs.nonEmpty,
+      s"MOR table $d is empty at version $maxV")
+    if (deltaDfs.isEmpty) return baseDf.get
+    val allDeltas = deltaDfs
+      .reduce(_ unionByName (_, allowMissingColumns = true))
     val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
-    all
+    val resolved = allDeltas
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col("_deleted"))
       .drop("_rn", "_v", "_deleted")
+    baseDf match {
+      case None => resolved
+      case Some(b) =>
+        // no distinct on the keys: LEFT ANTI tolerates duplicates, and
+        // a distinct would add the one shuffle this plan exists to avoid
+        b.join(allDeltas.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(resolved.select(b.columns.map(col).toSeq: _*))
+    }
   }
 
   /** Highest committed version (0 = empty/legacy base only) — the

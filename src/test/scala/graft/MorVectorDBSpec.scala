@@ -198,6 +198,30 @@ class MorVectorDBSpec extends AnyFunSuite {
       "a pre-fold ceiling must read through the rolled-forward generation")
   }
 
+  test("MOR merged read: base joins anti against delta keys, never re-shuffled") {
+    val dir = freshDir() + "/morplan"
+    val t = new graft.db.MorTable(spark, dir, "id")
+    t.upsert((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.compact() // establish a base of 1000 rows
+    t.upsert(Seq((1L, "updated"), (2000L, "brand new")).toDF("id", "v"))
+    t.delete(Seq(Tuple1(2L)).toDF("id"), t.read())
+
+    val df = t.read()
+    // last-writer-wins semantics across update / insert / tombstone
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "updated" && got(2000L) == "brand new")
+    assert(!got.contains(2L) && got.size == 1000)
+
+    // plan shape: the base reaches the merge through a broadcast LEFT
+    // ANTI join (streamed, no exchange); the only window runs over the
+    // small delta union. The pre-fix shape windowed base ∪ deltas —
+    // a full shuffle of the table per merged read, fatal at 100 TB.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti-join merge:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"small delta keys must broadcast, not shuffle the base:\n$plan")
+  }
+
   test("MOR upserts are O(batch): the base file is never touched by a commit") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
