@@ -1,0 +1,69 @@
+package graft
+
+import graft.db.VectorDB
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Second-JVM driver for CrossJvmSpec: the multi-process claims —
+  * writer-lease fencing, selector-manifest adoption, marker-based
+  * snapshot freshness — are exercised against a REAL separate JVM
+  * here, not an in-process simulation (the specs' `forgetForTest`
+  * shape). Each command prints exactly one machine-parsed `PROBE:`
+  * line on stdout; Spark logs go to stderr.
+  *
+  * Usage: graft.CrossJvmProbe <cmd> <folder> [args…]
+  *  - count                 → `PROBE: COUNT <n>`
+  *  - commit <fromId> <n>   → upsert n synthetic docs; `PROBE: COMMIT_OK <liveCount>`
+  *                            or `PROBE: COMMIT_FENCED` when the folder
+  *                            is leased by another writer
+  *  - adopt <needle>        → compile a cached file-backed selector for
+  *                            `doc contains <needle>`;
+  *                            `PROBE: ADOPT <size> adopted=<bool>`
+  *                            (adopted = reused this folder's persisted
+  *                            manifest instead of compiling)
+  */
+object CrossJvmProbe {
+  def main(args: Array[String]): Unit = {
+    val cmd = args(0)
+    val folder = args(1)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-crossjvm-probe")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val db = VectorDB.openOrCreate(spark, folder)
+    cmd match {
+      case "count" =>
+        println(s"PROBE: COUNT ${db.count()}")
+      case "commit" =>
+        val from = args(2).toLong
+        val n = args(3).toInt
+        val batch = (from until from + n)
+          .map(i => (i, s"probe doc $i from the second jvm"))
+          .toDF("doc_id", "text")
+        try {
+          db.addDocuments(batch)
+          println(s"PROBE: COMMIT_OK ${db.count()}")
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("leased") =>
+            println("PROBE: COMMIT_FENCED")
+        }
+      case "adopt" =>
+        val sel = db.selectorCached(col("doc").contains(args(2)),
+          maxBroadcast = 0, runSize = 4)
+        val adopted = sel.idSet match {
+          case r: graft.db.RunIdSet => !r.owned
+          case _ => false
+        }
+        println(s"PROBE: ADOPT ${sel.size} adopted=$adopted")
+        sel.release()
+      case other =>
+        throw new IllegalArgumentException(s"unknown probe command: $other")
+    }
+    spark.stop()
+  }
+}

@@ -210,6 +210,14 @@ class VectorDB private (
     installVersion(java.util.UUID.randomUUID().toString)
 
   private def installVersion(v: String): Unit = {
+    // Last-line fence: the mutator-entry check bounds the window to the
+    // commit's own duration; re-checking here — just before the marker
+    // flip makes the commit VISIBLE — shrinks it to the final write for
+    // copy-on-write (a fenced loser's freshly written generation never
+    // becomes current; commit-time GC reclaims it as an unreferenced
+    // orphan). MOR deltas are visible from their file write, so for MOR
+    // this is defense in depth, not a complete fence.
+    assertWritable()
     val out = fs.create(markerPath, true)
     try out.write(v.getBytes("UTF-8")) finally out.close()
     BlockCache.invalidate(cacheKey, v)
