@@ -141,6 +141,12 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     fs.exists(basePath) || deltaPaths().nonEmpty
   }
 
+  /** True when a folded base exists (committed by construction). */
+  def hasBase: Boolean = {
+    recover()
+    fs.exists(basePath)
+  }
+
   /** The merged current snapshot (no `_v`/`_deleted` internals). */
   def read(): DataFrame = readAt(Int.MaxValue)
 
@@ -221,22 +227,41 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
 
   /** Append-only upsert: writes ONLY the batch (last-writer-wins replaces
     * any older rows with the same key at read time). Keys must be unique
-    * within a batch.
+    * within a batch. Returns the delta's commit version — the facade
+    * records it in the folder's `_committed` ceilings AFTER both tiers
+    * land, which is what makes the commit visible (see
+    * [[graft.db.VectorDB]]'s MOR commit protocol).
     */
-  def upsert(rows: DataFrame): Unit = {
+  def upsert(rows: DataFrame): Int = {
     val v = nextVersion()
     rows.withColumn("_deleted", lit(false))
       .write.mode("errorifexists").parquet(s"$dir/delta_v$v.parquet")
+    v
   }
 
-  /** Append-only delete: writes key-only tombstone markers. */
-  def delete(ids: DataFrame, template: DataFrame): Unit = {
+  /** Append-only delete: writes key-only tombstone markers. Returns the
+    * delta's commit version (see [[upsert]]).
+    */
+  def delete(ids: DataFrame, template: DataFrame): Int = {
     val v = nextVersion()
     val nullCols = template.schema.fields.filter(_.name != keyCol).map(f =>
       lit(null).cast(f.dataType).as(f.name))
     ids.select((col(keyCol) +: nullCols.toSeq) :+ lit(true).as("_deleted"): _*)
       .write.mode("errorifexists").parquet(s"$dir/delta_v$v.parquet")
+    v
   }
+
+  /** Delete every delta above `ceiling` — orphans of a commit that
+    * never reached its `_committed` flip (a crash or a fenced writer
+    * between the two tiers' writes). Called by the facade at commit
+    * start, so an orphan can never be folded in once a later ceiling
+    * passes its version. Readers never saw the orphans (ceiling-gated
+    * reads), so this is garbage collection, not data loss.
+    */
+  def truncateAbove(ceiling: Int): Unit =
+    deltaPaths().filter(_._1 > ceiling).foreach { case (_, p) =>
+      fs.delete(p, true)
+    }
 
   /** Fold base + deltas into a fresh base (bounds read amplification).
     * The merged snapshot is materialized to a temp dir first — stamped

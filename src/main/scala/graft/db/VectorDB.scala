@@ -395,8 +395,70 @@ class VectorDB private (
     }
   }
 
+  // ── MOR cross-tier commit atomicity ───────────────────────────────
+  // A MOR commit touches TWO tables (codes + docs). Delta files used to
+  // become visible the moment each was written, so a crash — or a
+  // fenced writer — between the two writes left a TORN table: codes
+  // rows whose payloads don't exist. Commits are now gated by the
+  // folder-level `_committed` ceilings file (the MOR analogue of COW's
+  // marker flip): reads merge only deltas at or below the recorded
+  // ceilings, the file is flipped once AFTER both tiers' deltas land
+  // (with the lease fence re-checked just before), and orphan deltas
+  // above the ceilings — the crash/fence debris — are truncated at the
+  // next commit before they could ever be folded in. Absent file =
+  // legacy folder whose on-disk deltas were all fully committed; MOR
+  // folders get the file from creation.
+
+  private def committedPath = new Path(s"$folder/_committed")
+
+  private def readCommitted(): Option[(Int, Int)] =
+    if (!fs.exists(committedPath)) None
+    else try {
+      val in = fs.open(committedPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val m = text.trim.linesIterator.map { l =>
+        val Array(k, v) = l.split('='); (k, v.toInt)
+      }.toMap
+      Some((m("codes"), m("docs")))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[db] def writeCommitted(codesCeil: Int, docsCeil: Int): Unit = {
+    val out = fs.create(committedPath, true)
+    try out.write(s"codes=$codesCeil\ndocs=$docsCeil".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Per-tier visibility ceilings. Legacy fallback (no file): every
+    * delta on disk is committed — true for folders written before the
+    * protocol existed; new-code commits baseline the file first
+    * ([[ensureCommittedBaseline]]) so their own crash debris can never
+    * ride the fallback.
+    */
+  private def committedCeilings(): (Int, Int) = readCommitted().getOrElse(
+    (codesMor.versionCeiling(), docsMor.versionCeiling()))
+
+  /** Commit-start hygiene: pin the legacy baseline if the ceilings file
+    * is missing, then drop orphan deltas above it (debris of a crashed
+    * or fenced earlier commit — readers never saw them).
+    */
+  private def beginMorCommit(): (Int, Int) = {
+    if (readCommitted().isEmpty)
+      writeCommitted(codesMor.versionCeiling(), docsMor.versionCeiling())
+    val (cc, dc) = committedCeilings()
+    codesMor.truncateAbove(cc)
+    docsMor.truncateAbove(dc)
+    (cc, dc)
+  }
+
+  /** COMMITTED data exists. MOR: a folded base, or a nonzero committed
+    * ceiling — NOT the raw file listing, which would count a torn first
+    * commit's orphan deltas and make ceiling-gated reads throw on what
+    * is logically an empty table.
+    */
   private def hasData: Boolean =
-    if (isMor) codesMor.exists else fs.exists(new Path(codesPath))
+    if (isMor) codesMor.hasBase || committedCeilings()._1 > 0
+    else fs.exists(new Path(codesPath))
 
   private def emptyCodesSchema: StructType = {
     val base =
@@ -433,7 +495,8 @@ class VectorDB private (
     val df =
       if (!hasData) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptyCodesSchema)
-      else if (isMor) codesMor.read().persist(StorageLevel.MEMORY_AND_DISK)
+      else if (isMor)
+        codesMor.readAt(committedCeilings()._1).persist(StorageLevel.MEMORY_AND_DISK)
       else spark.read.parquet(codesPath).persist(StorageLevel.MEMORY_AND_DISK)
     codesCache = Some(df)
     df
@@ -445,7 +508,7 @@ class VectorDB private (
     maybeRefresh()
     if (!hasData) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docsSchema)
-    else if (isMor) docsMor.read()
+    else if (isMor) docsMor.readAt(committedCeilings()._2)
     else spark.read.parquet(docsPath)
   }
 
@@ -528,10 +591,16 @@ class VectorDB private (
         Kernels.int8(col("embedding"), lit(if (ma > 0) ma else 1.0)).as("emb_int8"))
 
       if (isMor) {
-        // O(batch): append delta files; last-writer-wins replaces old ids
-        // at read time. No table rewrite.
-        codesMor.upsert(newCodes)
-        docsMor.upsert(newDocs)
+        // O(batch): append delta files; last-writer-wins replaces old
+        // ids at read time. No table rewrite. Visibility is the
+        // `_committed` flip AFTER both tiers land (fence re-checked) —
+        // a crash or fenced writer between the writes leaves only
+        // invisible orphans, truncated by the next commit.
+        beginMorCommit()
+        val nc = codesMor.upsert(newCodes)
+        val nd = docsMor.upsert(newDocs)
+        assertWritable()
+        writeCommitted(nc, nd)
         invalidateCache()
         bumpVersion()
       } else {
@@ -551,9 +620,13 @@ class VectorDB private (
     if (missing > 0)
       throw new IllegalArgumentException(s"$missing of ${ids.size} ids not in index")
     if (isMor) {
-      // O(batch): append tombstone markers only.
-      codesMor.delete(idDf, codes)
-      docsMor.delete(idDf, docs)
+      // O(batch): append tombstone markers only (same commit protocol
+      // as the upsert path: both tiers land, then `_committed` flips).
+      beginMorCommit()
+      val nc = codesMor.delete(idDf, codes)
+      val nd = docsMor.delete(idDf, docs)
+      assertWritable()
+      writeCommitted(nc, nd)
       invalidateCache()
       bumpVersion()
     } else writeSnapshot(
@@ -576,9 +649,12 @@ class VectorDB private (
     */
   def compact(): Unit = if (isMor) {
     assertWritable()
+    // orphans above the committed ceilings must go BEFORE the fold —
+    // folding would otherwise bake uncommitted debris into the base
+    val (cc, dc) = beginMorCommit()
     val (codesPins, docsPins) = morPinnedCeilings()
-    codesMor.compact(retire = codesPins.exists(_ < codesMor.versionCeiling()))
-    docsMor.compact(retire = docsPins.exists(_ < docsMor.versionCeiling()))
+    codesMor.compact(retire = codesPins.exists(_ < cc))
+    docsMor.compact(retire = docsPins.exists(_ < dc))
     codesMor.gcRetired(codesPins)
     docsMor.gcRetired(docsPins)
     invalidateCache()
@@ -1518,8 +1594,8 @@ class VectorDB private (
       val empty = !hasData
       // per-table ceilings captured at pin time (committed in lockstep,
       // but each table owns its version counter)
-      val codesCeil = if (empty) -1 else codesMor.versionCeiling()
-      val docsCeil = if (empty) -1 else docsMor.versionCeiling()
+      val ceilings = if (empty) (-1, -1) else committedCeilings()
+      val (codesCeil, docsCeil) = ceilings
       val v = s"${VectorDB.MorPinPrefix}$codesCeil:$docsCeil"
       SnapshotPins.pin(cacheKey.folder, v)
       def tier(t: MorTable, ceil: Int, hot: Boolean): DataFrame =
@@ -1867,7 +1943,13 @@ object VectorDB {
           s""""storage": "$storage", "layout": "$layout", "index": "$index", """ +
           s""""ivf_cells": $ivfCells}""").getBytes("UTF-8"))
       finally out.close()
-      new VectorDB(spark, folder, model, dim, storage, layout, index, ivfCells)
+      val db = new VectorDB(spark, folder, model, dim, storage, layout, index, ivfCells)
+      // MOR folders carry their commit-visibility ceilings from birth,
+      // so even a torn FIRST commit leaves only invisible orphans (a
+      // legacy folder without the file falls back to everything-on-disk
+      // -is-committed, which was true when old code wrote it).
+      if (storage == StorageMor) db.writeCommitted(0, 0)
+      db
     }
   }
 }
