@@ -91,8 +91,8 @@ object Demo {
     snap.close()
 
     // Merge-on-read + compaction under a pin: folds proceed with the
-    // snapshot open (the pre-fold file set retires into a versioned
-    // generation the pin reads; GC'd at close).
+    // snapshot open (the pre-fold generation is retained in place for
+    // the pin and the in-flight reader window; reclaimed after close).
     val mor = VectorDB.openOrCreate(spark, s"$dbDir-mor",
       storage = VectorDB.StorageMor)
     mor.addDocuments(spark.createDataFrame(
@@ -103,9 +103,9 @@ object Demo {
     mor.compact()
     println(s"mor compaction under an open pin: pin=${morPin.count()} " +
       s"live=${mor.count()} pendingDeltas=${mor.pendingDeltas()} " +
-      s"retiredGenerations=${mor.retiredMorGenerations()}")
+      s"retainedGenerations=${mor.retainedMorGenerations()}")
     morPin.close()
-    println(s"after pin close: retiredGenerations=${mor.retiredMorGenerations()}")
+    println(s"after pin close: retainedGenerations=${mor.retainedMorGenerations()}")
 
     // IVF strategy: same API, cell-partitioned hot tier; nprobe trades
     // scan fraction for recall (all cells ≡ flat, exactly).

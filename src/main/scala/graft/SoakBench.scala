@@ -74,8 +74,8 @@ object SoakBench {
     // and hold it across every subsequent compaction: the soak then
     // exercises compaction-under-pins end to end — folds must proceed
     // (read amplification stays bounded for LIVE readers), the pinned
-    // view must stay frozen, and the retired-generation count is the
-    // disk overhead the open pin costs.
+    // view must stay frozen, and the retained-generation count is the
+    // disk overhead of the reader window plus the open pin.
     var pinned: graft.db.Snapshot = null
     var pinnedCount = -1L
     var retiredMax = 0
@@ -103,7 +103,7 @@ object SoakBench {
       if (commitDb.pendingDeltas() >= compactEvery) {
         commitDb.compact()
         if (pinned != null) {
-          retiredMax = math.max(retiredMax, commitDb.retiredMorGenerations())
+          retiredMax = math.max(retiredMax, commitDb.retainedMorGenerations())
           require(pinned.count() == pinnedCount,
             s"pinned view moved under compaction: ${pinned.count()} != $pinnedCount")
         }
@@ -134,9 +134,9 @@ object SoakBench {
 
     val pinStable = pinned != null && pinned.count() == pinnedCount
     if (pinned != null) pinned.close()
-    val retiredAfterClose = commitDb.retiredMorGenerations()
+    val retiredAfterClose = commitDb.retainedMorGenerations()
 
-    println(f"""{"metric":"soak_commit_flatness","n_batches":$nBatches,"batch_size":$batchSize,"commit_ms_q1_median":$commitQ1%.1f,"commit_ms_q4_median":$commitQ4%.1f,"commit_ratio":$commitRatio%.2f,"commit_flat":$flat,"loop_ms_q1_median":$loopQ1%.1f,"loop_ms_q4_median":$loopQ4%.1f,"final_count":${loopDb.count()},"pending_deltas_max":$pendingMax,"pin_count":$pinnedCount,"pin_stable":$pinStable,"retired_gens_max":$retiredMax,"retired_gens_after_close":$retiredAfterClose,"unit":"ms","note":"MOR delta commits must stay O(batch) as the corpus grows (commit_ratio ~ 1); loop_ms includes the incremental dedup whose corpus side is a linear scan locally and parallelizes on a cluster; the pin_ fields hold a repeatable-read snapshot open across every compaction -- folds proceed, the pinned view stays frozen, retired generations GC at close"}""")
+    println(f"""{"metric":"soak_commit_flatness","n_batches":$nBatches,"batch_size":$batchSize,"commit_ms_q1_median":$commitQ1%.1f,"commit_ms_q4_median":$commitQ4%.1f,"commit_ratio":$commitRatio%.2f,"commit_flat":$flat,"loop_ms_q1_median":$loopQ1%.1f,"loop_ms_q4_median":$loopQ4%.1f,"final_count":${loopDb.count()},"pending_deltas_max":$pendingMax,"pin_count":$pinnedCount,"pin_stable":$pinStable,"retained_gens_max":$retiredMax,"retained_gens_after_close":$retiredAfterClose,"unit":"ms","note":"MOR delta commits must stay O(batch) as the corpus grows (commit_ratio ~ 1); loop_ms includes the incremental dedup whose corpus side is a linear scan locally and parallelizes on a cluster; the pin_ fields hold a repeatable-read snapshot open across every compaction -- folds proceed, the pinned view stays frozen, retained generations stay bounded (steady state 1 = the {current, previous} reader window) and pin-held file sets free at close"}""")
     spark.stop()
   }
 }

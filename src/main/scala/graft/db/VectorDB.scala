@@ -634,29 +634,26 @@ class VectorDB private (
       docs.join(idDf, Seq("doc_id"), "left_anti"))
   }
 
-  /** MOR only: fold pending deltas into the base files (bounds read
-    * amplification; the amortized rewrite). No-op under copy-on-write.
+  /** MOR only: fold pending deltas into a NEW base generation (bounds
+    * read amplification; the amortized rewrite). No-op under
+    * copy-on-write.
     *
-    * Open snapshot pins do NOT block compaction: when a pin's ceiling
-    * predates the fold, the folded file set is retired intact into the
-    * table's `_retired/` generation (the COW versioned-generation
-    * pattern applied to MOR file sets) and the pinned reads route to
-    * it; the generation is GC'd when its last pin closes. One caveat
-    * carries over from file movement: a DataFrame obtained from the
-    * snapshot BEFORE the compaction resolved its file listing against
-    * the old locations — re-materialize via [[Snapshot.codes]]/
-    * [[Snapshot.docs]] after compacting (each access re-resolves).
+    * Neither open snapshot pins nor in-flight readers block (or are
+    * broken by) compaction: the fold writes a fresh
+    * `base_v<ceiling>.parquet` and touches nothing a resolved plan
+    * could be mid-scan on — the previous generation and its deltas
+    * survive until the NEXT fold (the copy-on-write {current,
+    * previous} window), and generations a pinned ceiling resolves to
+    * survive until the pin closes.
     */
   def compact(): Unit = if (isMor) {
     assertWritable()
     // orphans above the committed ceilings must go BEFORE the fold —
     // folding would otherwise bake uncommitted debris into the base
-    val (cc, dc) = beginMorCommit()
+    beginMorCommit()
     val (codesPins, docsPins) = morPinnedCeilings()
-    codesMor.compact(retire = codesPins.exists(_ < cc))
-    docsMor.compact(retire = docsPins.exists(_ < dc))
-    codesMor.gcRetired(codesPins)
-    docsMor.gcRetired(docsPins)
+    codesMor.compact(codesPins)
+    docsMor.compact(docsPins)
     invalidateCache()
     bumpVersion()
   }
@@ -672,24 +669,25 @@ class VectorDB private (
     (pins.map(_._1), pins.map(_._2))
   }
 
-  /** Drop retired MOR generations no open pin needs (called at pin
-    * close and after compaction).
+  /** Drop retained MOR generations no open pin (or reader window)
+    * needs — called at pin close.
     */
   private[db] def gcMorRetired(): Unit = if (isMor) {
     val (codesPins, docsPins) = morPinnedCeilings()
-    codesMor.gcRetired(codesPins)
-    docsMor.gcRetired(docsPins)
+    codesMor.gc(codesPins)
+    docsMor.gc(docsPins)
   }
 
   /** Pending delta commits on the hot tier (0 under copy-on-write). */
   def pendingDeltas(): Int = if (isMor) codesMor.deltaCount() else 0
 
-  /** Retired MOR generations currently held for open pins on the hot
-    * tier (0 under copy-on-write or with no pins) — the disk-overhead
-    * indicator of compaction-under-pins.
+  /** Hot-tier MOR base generations retained beyond the live one — the
+    * in-flight reader window plus whatever open pins still resolve to
+    * (0 under copy-on-write; steady state under folds is 1, the
+    * {current, previous} window).
     */
-  def retiredMorGenerations(): Int =
-    if (isMor) codesMor.retiredGenerations().size else 0
+  def retainedMorGenerations(): Int =
+    if (isMor) codesMor.pastGenerations() else 0
 
   /** Funnel sizing guards: positive stages, and the heap arities the
     * stages multiply into must stay inside Int (the aggregate buffer is

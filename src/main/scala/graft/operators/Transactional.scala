@@ -20,14 +20,13 @@ object Transactional {
     * pin open — upsert the `% 3 == 1` slice, delete the `% 9 == 0`
     * rows, and compact. Deterministic outputs the oracle recomputes
     * from the parquet alone:
-    *  - `pinned_count`: the pin must keep answering |%3==0| through
-    *    the commits AND the fold (its file set was retired, not
-    *    deleted);
+    *  - `pinned_count`: the pin must answer |%3==0| after the commits;
+    *  - `pinned_after_compact`: and STILL after the fold (its file set
+    *    is retained by pin-aware GC, never deleted under it);
     *  - `live_count`: |%3∈{0,1}| − |%9==0| (the fold is
     *    read-equivalent);
-    *  - `retired_under_pin` = 1: exactly one retired generation exists
-    *    while the pin is open (the fold retired, the GC kept only it);
-    *  - `retired_after_close` = 0: closing the last pin reclaims it.
+    *  - `live_after_close`: unchanged once the pin closes and its
+    *    retained files are reclaimed.
     */
   def pinnedCompaction(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -44,13 +43,14 @@ object Transactional {
       val dels = first.filter(col("doc_id") % 9 === 0)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       if (dels.nonEmpty) db.removeDocs(dels)
-      db.compact() // under the open pin: fold + retire, never refuse
+      val pinnedPre = snap.count()
+      db.compact() // under the open pin: fold proceeds, pin retained
       val rows = Seq(
         ("live_count", db.count()),
-        ("pinned_count", snap.count()),
-        ("retired_under_pin", db.retiredMorGenerations().toLong))
+        ("pinned_after_compact", snap.count()),
+        ("pinned_count", pinnedPre))
       snap.close()
-      val after = ("retired_after_close", db.retiredMorGenerations().toLong)
+      val after = ("live_after_close", db.count())
       spark.createDataFrame(rows :+ after).toDF("metric", "value")
         .orderBy("metric")
     } finally snap.close() // idempotent
@@ -64,9 +64,15 @@ object Transactional {
         |            - (SELECT count(*) FROM documents WHERE doc_id % 9 = 0)
         |           AS BIGINT) AS value
         |  UNION ALL
+        |  SELECT 'live_after_close',
+        |         CAST((SELECT count(*) FROM documents WHERE doc_id % 3 <= 1)
+        |            - (SELECT count(*) FROM documents WHERE doc_id % 9 = 0)
+        |           AS BIGINT)
+        |  UNION ALL
         |  SELECT 'pinned_count',
         |         CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS BIGINT)
-        |  UNION ALL SELECT 'retired_after_close', CAST(0 AS BIGINT)
-        |  UNION ALL SELECT 'retired_under_pin', CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'pinned_after_compact',
+        |         CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS BIGINT)
         |) ORDER BY metric""".stripMargin)
 }

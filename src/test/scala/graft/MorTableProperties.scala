@@ -76,13 +76,9 @@ class MorTableProperties extends AnyFunSuite {
             t.delete(ks.map(Tuple1(_)).toDF("id"), t.read())
             model --= ks
           }
-        case Compact(retire) =>
-          if (nonEmpty) {
-            // retire exactly when a pre-fold pin exists — the facade's
-            // rule; unpinned folds delete
-            val mustRetire = retire || pins.nonEmpty
-            t.compact(retire = mustRetire)
-          }
+        case Compact(_) =>
+          // retention is pin-aware: pass the ceilings of every open pin
+          if (nonEmpty) t.compact(pins.keySet)
         case Pin =>
           if (nonEmpty) pins += (t.versionCeiling() -> model)
       }
@@ -94,12 +90,13 @@ class MorTableProperties extends AnyFunSuite {
           assert(readMap(t.readAt(ceil)) == frozen,
             s"seed $seed: pinned ceiling $ceil no longer reads its frozen view")
         }
-        // GC with no remaining pins reclaims every retired generation
-        t.gcRetired(Set.empty)
-        assert(t.retiredGenerations().isEmpty,
-          s"seed $seed: unpinned retired generations must GC")
+        // GC with no remaining pins: retention collapses to the
+        // {current, previous} reader window; live reads are unaffected
+        t.gc(Set.empty)
+        assert(t.pastGenerations() <= 1,
+          s"seed $seed: unpinned retention must collapse to the reader window")
         assert(readMap(t.read()) == model,
-          s"seed $seed: live read changed after retired GC")
+          s"seed $seed: live read changed after generation GC")
       }
     }
   }

@@ -122,80 +122,63 @@ class MorVectorDBSpec extends AnyFunSuite {
     assert(db.searchMany(Seq((0L, qv))).head().getAs[Long]("doc_id") == 1L)
   }
 
-  test("interrupted compaction swap cannot lose version-0 rows") {
+  test("interrupted fold cannot lose rows: tmp-only and post-rename crash states heal") {
     import org.apache.hadoop.fs.Path
     val dir = freshDir() + "/mor"
-    val t = new graft.db.MorTable(spark, dir, "id")
-    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
-    t.compact() // establish a base: rows 1,2 live only at version 0
-    t.upsert(Seq((3L, "c")).toDF("id", "v"))
-
-    // Simulate a crash inside the swap at the worst point: the fresh
-    // snapshot is fully written and the live base is already moved out
-    // of place (the pre-fix code hard-DELETED it here), process dies
-    // before the rename-in. Version-0 rows exist only in base.old.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    t.read().write.mode("overwrite").parquet(s"$dir/base.parquet.compacting")
-    assert(fs.rename(new Path(s"$dir/base.parquet"), new Path(s"$dir/base.parquet.old")))
+    val t = new graft.db.MorTable(spark, dir, "id")
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    t.compact() // generation base_v1
+    t.upsert(Seq((3L, "c")).toDF("id", "v"))            // v2
 
-    // A fresh handle (post-restart) must recover and see every row.
+    // crash BEFORE the fold's rename: only the temp dir exists — a
+    // fresh handle drops it and reads the intact generation + delta
+    t.read().write.mode("overwrite").parquet(s"$dir/base.parquet.compacting")
     val t2 = new graft.db.MorTable(spark, dir, "id")
     assert(t2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
-    t2.compact()
-    assert(t2.deltaCount() == 0)
-    assert(t2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(!fs.exists(new Path(s"$dir/base.parquet.compacting")))
 
-    // Crash-after-swap leftovers (stale base.old) are also healed.
-    t2.read().write.mode("overwrite").parquet(s"$dir/base.parquet.old")
-    val t3 = new graft.db.MorTable(spark, dir, "id")
-    assert(t3.read().count() == 3)
-    assert(!fs.exists(new Path(s"$dir/base.parquet.old")))
+    // crash AFTER the rename but before GC: both generations + the
+    // folded delta remain — reads are correct from the NEW generation,
+    // and the next compact's GC collapses retention to the window
+    t2.compact() // base_v2 lands; base_v1 + delta_v2 retained (window)
+    assert(fs.exists(new Path(s"$dir/base_v2.parquet")))
+    assert(fs.exists(new Path(s"$dir/base_v1.parquet")),
+      "the previous generation must survive one fold (in-flight readers)")
+    assert(t2.deltaCount() == 0, "folded deltas are retained but not pending")
+    assert(t2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    t2.upsert(Seq((4L, "d")).toDF("id", "v"))
+    t2.compact() // rotates the window: base_v1 and its deltas reclaimed
+    assert(!fs.exists(new Path(s"$dir/base_v1.parquet")),
+      "a generation outside {current, previous} must be reclaimed")
+    assert(t2.read().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
   }
 
-  test("interrupted RETIRE-mode compaction: rollback and roll-forward both heal") {
+  test("legacy layout crash crumbs (pre-versioned base.old) still heal on upgrade") {
     import org.apache.hadoop.fs.Path
-    val fsOf = (d: String) => org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
-
-    // --- crash BEFORE the swap landed → roll back ---------------------
-    val dirA = freshDir() + "/morA"
-    val a = new graft.db.MorTable(spark, dirA, "id")
-    a.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
-    a.upsert(Seq((3L, "c")).toDF("id", "v"))            // v2
-    // Simulate: fresh snapshot written, deltas + base already moved into
-    // the retirement staging dir, process dies before tmp→base rename.
-    val fsA = fsOf(dirA)
-    a.read().write.mode("overwrite").parquet(s"$dirA/base.parquet.compacting")
-    val rt = new Path(s"$dirA/_retired/r2.tmp")
-    fsA.mkdirs(rt)
-    fsA.listStatus(new Path(dirA)).map(_.getPath)
-      .filter(_.getName.startsWith("delta_v"))
-      .foreach(p => assert(fsA.rename(p, new Path(rt, p.getName))))
-    // fresh handle: the staged retirement must roll back — all rows
-    // visible, no retired generation left behind
-    val a2 = new graft.db.MorTable(spark, dirA, "id")
-    assert(a2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
-    assert(a2.deltaCount() == 2, "rolled-back deltas must be live again")
-    assert(!fsA.exists(rt))
-
-    // --- crash AFTER the swap landed → roll forward -------------------
-    val dirB = freshDir() + "/morB"
-    val b = new graft.db.MorTable(spark, dirB, "id")
-    b.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
-    b.compact() // base {1,2} at fold ceiling 1
-    b.upsert(Seq((3L, "c")).toDF("id", "v"))            // v2
-    b.compact(retire = true) // live base {1,2,3} ceil 2; retired r2
-    val fsB = fsOf(dirB)
-    // Undo the finalize rename, simulating a crash between the base
-    // swap and the retirement finalize.
-    assert(fsB.rename(new Path(s"$dirB/_retired/r2"), new Path(s"$dirB/_retired/r2.tmp")))
-    val b2 = new graft.db.MorTable(spark, dirB, "id")
-    assert(b2.read().count() == 3)
-    assert(b2.retiredGenerations() == Seq(2),
-      "an interrupted finalize must roll forward to a named generation")
-    assert(b2.readAt(1).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
-      "a pre-fold ceiling must read through the rolled-forward generation")
+    val dir = freshDir() + "/morlegacy"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val t = new graft.db.MorTable(spark, dir, "id")
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // hand-craft the OLD code's crash-in-swap state: rows live only in
+    // base.parquet.old, a fully written .compacting beside it
+    t.read().write.mode("overwrite").parquet(s"$dir/base.parquet.old")
+    t.read().write.mode("overwrite").parquet(s"$dir/base.parquet.compacting")
+    fs.delete(new Path(s"$dir/delta_v1.parquet"), true)
+    // a fresh (new-code) handle restores the aside and reads every row
+    val t2 = new graft.db.MorTable(spark, dir, "id")
+    assert(t2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(fs.exists(new Path(s"$dir/base.parquet")))
+    assert(!fs.exists(new Path(s"$dir/base.parquet.old")))
+    assert(!fs.exists(new Path(s"$dir/base.parquet.compacting")))
+    // the legacy base participates as a generation: a new fold
+    // supersedes it and the window GC eventually reclaims it
+    t2.upsert(Seq((3L, "c")).toDF("id", "v"))
+    t2.compact()
+    assert(t2.read().count() == 3)
   }
 
   test("MOR merged read: base joins anti against delta keys, never re-shuffled") {
@@ -226,9 +209,9 @@ class MorVectorDBSpec extends AnyFunSuite {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
     db.addDocuments((1L to 50L).map(i => (i, s"doc number $i words")).toDF("doc_id", "text"))
-    db.compact() // establish a base
-    val base = new java.io.File(s"$dir/codes.mor/base.parquet")
-    assert(base.exists)
+    db.compact() // establish a base generation
+    val base = new java.io.File(s"$dir/codes.mor").listFiles()
+      .filter(_.getName.startsWith("base_v")).head
     val before = base.lastModified()
 
     db.addDocuments(Seq((999L, "a new tiny batch")).toDF("doc_id", "text"))

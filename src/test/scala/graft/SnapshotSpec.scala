@@ -117,28 +117,30 @@ class SnapshotSpec extends AnyFunSuite {
       (0L until 30L).toSet)
     assert(db.count() == 38)
 
-    // compaction under the open pin: the fold proceeds (deltas gone),
-    // the folded file set retires into a versioned generation the pin
-    // keeps reading
+    // compaction under the open pin: the fold proceeds (no pending
+    // deltas afterwards), while the pin's pre-fold file set — here the
+    // delta range (0, pinCeiling] — is RETAINED in place for it
     db.compact()
     assert(db.pendingDeltas() == 0, "compaction must fold under an open pin")
     assert(db.count() == 38)
     assert(snap.count() == 30, "pinned view must survive the fold")
     assert(snap.codes.select("doc_id").collect().map(_.getLong(0)).toSet ==
       (0L until 30L).toSet)
-    val retired = new java.io.File(s"$dir/codes.mor/_retired")
-    assert(retired.exists && retired.listFiles().nonEmpty,
-      "pre-fold files must be retired, not deleted, while pinned")
+    val pinDelta = new java.io.File(s"$dir/codes.mor/delta_v1.parquet")
+    assert(pinDelta.exists,
+      "the pinned ceiling's file set must be retained through the fold")
 
     // the pin survives further commits AND a second fold
     db.addDocuments(fixture(40 until 45))
     db.compact()
     assert(snap.count() == 30, "pinned view must survive a second fold")
+    assert(pinDelta.exists)
 
-    // last pin close frees the retired generations
+    // after the last pin closes, the second fold's window (its folded
+    // deltas) is all that stays retained — the pin's range is reclaimed
     snap.close()
-    assert(!retired.exists,
-      s"retired generations must GC at last pin close")
+    assert(!pinDelta.exists,
+      "a closed pin's retained file set must be reclaimed")
     assert(db.count() == 43)
 
     // MOR time travel stays out of scope (ceilings, not generations)
@@ -150,9 +152,9 @@ class SnapshotSpec extends AnyFunSuite {
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
     db.addDocuments(fixture(0 until 10)) // v1
     db.addDocuments(fixture(10 until 20)) // v2
-    db.compact() // fold ceiling 2; WITHOUT retirement (no pins)
-    assert(!new java.io.File(s"$dir/codes.mor/_retired").exists,
-      "unpinned compaction must delete, not retire")
+    db.compact() // fold ceiling 2
+    assert(db.retainedMorGenerations() == 0,
+      "the first fold has no past generation to retain")
     // a pin taken now must not be confused by post-fold delta numbering
     val snap = db.snapshot()
     db.addDocuments(fixture(20 until 30)) // must be v3, not v1
