@@ -64,6 +64,46 @@ object Bench {
       math.max(12.0, 1.5 * cpus)
     }
 
+  /** Per-query baseline minima from the last quiet-machine local bench
+    * (`BENCH_baseline_local.json`, refreshed each round) — the second
+    * contamination guard (round-10 verdict item 4): the loadavg ceiling
+    * missed BENCH_r10's 1.5-1.8× d-family inflation because ambient
+    * load peaked at 6.35, under any self-load-tolerant ceiling. A
+    * family whose MEDIAN exceeds its baseline MIN by
+    * [[baselineSlack]]× is re-run once regardless of load — plan
+    * regressions survive both attempts and still show; transient load
+    * doesn't. Empty when the file is missing or was recorded at a
+    * different scale factor.
+    */
+  private def baselineMins(sfDir: String): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "BENCH_baseline_local.json")
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val baseSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+      // the baseline only means anything at the same scale factor
+      if (!baseSf.endsWith(sfDir.split('/').last)) Map.empty
+      else {
+        val node = root.get("queries_min")
+        if (node == null) Map.empty
+        else {
+          val names = node.fieldNames()
+          val b = Map.newBuilder[String, Double]
+          while (names.hasNext) {
+            val k = names.next(); b += k -> node.get(k).asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Exception => Map.empty }
+  }
+
+  private def baselineSlack(): Double =
+    sys.env.get("SPARK_GRAFT_BASELINE_SLACK").flatMap(_.toDoubleOption)
+      .getOrElse(1.5)
+
   /** `loadStart`/`loadEnd` are point samples at run start/end;
     * `famMax` is the max load any family's timing observed (forked
     * path: max over child-reported samples; in-process: max of the two
@@ -144,10 +184,19 @@ object Bench {
     val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
     var errors = 0
     var famMax = loadStart
+    val baseline = baselineMins(sfDir)
     families.foreach { case (fam, names) =>
-      // Load guard (round-9 contamination finding): a family timed while
-      // the machine was busy with unrelated work is re-run ONCE, and the
-      // attempt that saw the quieter machine wins.
+      // Two contamination guards, each re-running the family ONCE:
+      //  - load (round-9 finding): the family's child saw loadavg above
+      //    the ceiling — keep the attempt that saw the quieter machine;
+      //  - baseline (round-10 finding): some query's median exceeds its
+      //    last quiet-machine min by the slack factor — ambient load
+      //    under the ceiling still inflates timings; keep the FASTER
+      //    attempt (a real plan regression is slow in both).
+      def slowVsBaseline(med: Seq[(String, Double)]): Seq[String] =
+        med.collect {
+          case (q, v) if baseline.get(q).exists(b => v > b * baselineSlack()) => q
+        }
       val first = runFamily(names)
       val attempt = first match {
         case Some(r) if r._5 > loadMax() =>
@@ -156,6 +205,15 @@ object Bench {
           reruns += fam.toString
           runFamily(names) match {
             case Some(r2) if r2._5 < r._5 => Some(r2)
+            case _ => Some(r)
+          }
+        case Some(r) if slowVsBaseline(r._1).nonEmpty =>
+          System.err.println(s"[bench] family '$fam' queries " +
+            s"${slowVsBaseline(r._1).mkString(",")} exceed the local baseline " +
+            s"min by >${baselineSlack()}x — re-running once")
+          reruns += fam.toString
+          runFamily(names) match {
+            case Some(r2) if r2._1.map(_._2).sum < r._1.map(_._2).sum => Some(r2)
             case _ => Some(r)
           }
         case other => other

@@ -102,10 +102,15 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
   private def legacyCeiling(): Int = {
     val p = new Path(legacyBasePath, "_graft_ceiling")
     if (!fs.exists(p)) 0
-    else {
+    else try {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
       finally in.close()
+    } catch {
+      // Same NonFatal-to-default contract as `_committed`/lease reads:
+      // a corrupt/truncated ceiling file degrades to "every base row is
+      // older than any delta" instead of failing every read.
+      case scala.util.control.NonFatal(_) => 0
     }
   }
 

@@ -47,11 +47,38 @@ private[graft] object SelectorCatalog {
     var refs: Int = 0
     var superseded: Boolean = false
     @volatile var built: Boolean = false
-    lazy val sel: DocSelector = { val s = buildFn(); built = true; s }
+    lazy val sel: DocSelector = {
+      val s = buildFn()
+      built = true
+      // Only after `built` is visible may the in-flight registration
+      // drop: [[liveRunDirsFor]] samples `building` BEFORE the entry
+      // scan, so any sweep that misses the dir here must observe the
+      // built entry (write order built→remove, read order
+      // building→entries).
+      s.idSet match {
+        case r: RunIdSet => doneBuilding(r.dir)
+        case _           =>
+      }
+      s
+    }
     def freeIfBuilt(): Unit = if (built) sel.freeBacking()
   }
 
   private val entries = new java.util.concurrent.ConcurrentHashMap[Key, Entry]()
+
+  /** Run dirs whose cataloged build is IN FLIGHT: the run files and
+    * manifest land (keyed to the pre-commit snapshot version) before
+    * the owning entry flips `built`, so without this set a concurrent
+    * commit's orphan sweep could delete a dir the about-to-return
+    * [[DocSelector]] references (ADVICE r10). Registered by
+    * `VectorDB.buildSelector` before the first run write; dropped when
+    * the entry is built (above) or the build fails.
+    */
+  private val building =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def registerBuilding(dir: String): Unit = building.add(dir)
+  private[graft] def doneBuilding(dir: String): Unit = building.remove(dir)
 
   /** Get-or-build the shared selector for `key`; the caller owns one
     * reference and must release it (via [[DocSelector.release]] —
@@ -154,6 +181,13 @@ private[graft] object SelectorCatalog {
   private[graft] def liveRunDirsFor(folder: String): Set[String] =
     synchronized {
       val b = Set.newBuilder[String]
+      // Sample in-flight builds FIRST, built entries second: a build
+      // flips `built` before deregistering, so a dir absent from this
+      // snapshot is either long gone or already a built entry below.
+      // All folders' in-flight dirs are included (raw vs qualified
+      // folder strings don't compare reliably) — an extra live dir
+      // only makes the sweep skip it, never delete.
+      building.forEach { d => b += d }
       entries.forEach { (k, e) =>
         if (k.cache.folder == folder && e.built) e.sel.idSet match {
           case r: RunIdSet => b += r.dir

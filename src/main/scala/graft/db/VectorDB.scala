@@ -670,13 +670,32 @@ class VectorDB private (
   }
 
   /** Drop retained MOR generations no open pin (or reader window)
-    * needs — called at pin close.
+    * needs — called at pin close. Gated on [[mayGcRetired]]: the pin
+    * registry is per-JVM, so a READER process closing a pin must not
+    * delete generations a writer process's still-open pins (invisible
+    * here) resolve to. When skipped, the writer's own `compact()` /
+    * pin-close runs the same GC.
     */
-  private[db] def gcMorRetired(): Unit = if (isMor) {
+  private[db] def gcMorRetired(): Unit = if (isMor && mayGcRetired()) {
     val (codesPins, docsPins) = morPinnedCeilings()
     codesMor.gc(codesPins)
     docsMor.gc(docsPins)
   }
+
+  /** Non-throwing twin of [[assertWritable]] for GC decisions: this
+    * process may delete retained generations only when it holds the
+    * folder's lease (a fenced or non-holder instance may not destroy
+    * another writer's pinned reads) or when no lease file exists at
+    * all and this instance was never fenced — the leaseless
+    * single-process mode, where the in-JVM pin registry IS the whole
+    * pin population.
+    */
+  private def mayGcRetired(): Boolean =
+    readLease() match {
+      case Some((id, expiry)) =>
+        heldLease.exists(_.id == id) || expiry <= System.currentTimeMillis()
+      case None => heldLease.isEmpty
+    }
 
   /** Pending delta commits on the hot tier (0 under copy-on-write). */
   def pendingDeltas(): Int = if (isMor) codesMor.deltaCount() else 0
@@ -1072,6 +1091,26 @@ class VectorDB private (
         new BroadcastIdSet(spark.sparkContext.broadcast(ids)), catalogKey)
     } else {
       val dir = s"$folder/_selectors/sel-${java.util.UUID.randomUUID()}"
+      // Shield the dir from a concurrent commit's orphan sweep for the
+      // whole build window (runs + manifest land before the catalog
+      // entry flips `built`); dropped by the entry initializer on
+      // success, here on failure.
+      catalogKey.foreach(_ => SelectorCatalog.registerBuilding(dir))
+      try buildRunSelector(pred, matches, dir, n, runSize, maxBroadcast, catalogKey)
+      catch {
+        case t: Throwable =>
+          catalogKey.foreach(_ => SelectorCatalog.doneBuilding(dir))
+          throw t
+      }
+    }
+  }
+
+  private def buildRunSelector(pred: org.apache.spark.sql.Column,
+                               matches: DataFrame,
+                               dir: String, n: Long, runSize: Int,
+                               maxBroadcast: Int,
+                               catalogKey: Option[SelectorCatalog.Key]): DocSelector = {
+    {
       val numRuns = math.max(1, ((n + runSize - 1) / runSize).toInt)
       val confProps = hadoopConfProps
       // Range-partition + sort, then each partition streams its ids
@@ -1681,9 +1720,14 @@ final class WriterLease private[db] (
       try Thread.sleep(math.max(50L, ttlMs / 3))
       catch { case _: InterruptedException => () }
       if (!closed && !lost) {
-        if (db.readLease().exists(_._1 == id))
+        val stillOurs = db.readLease().exists(_._1 == id)
+        // Re-check `closed` AFTER the (possibly slow) lease read:
+        // close() may have run while this thread was blocked in it —
+        // renewing now would resurrect the dropped lease and block
+        // other writers for a full TTL.
+        if (!stillOurs) lost = true
+        else if (!closed)
           db.writeLease(id, System.currentTimeMillis() + ttlMs)
-        else lost = true
       }
     }
   }, s"graft-writer-lease-$id")
@@ -1692,8 +1736,10 @@ final class WriterLease private[db] (
 
   override def close(): Unit = if (!closed) {
     closed = true
-    beat.interrupt()
-    beat.join(1000)
+    // Wait for the heartbeat to ACTUALLY exit before dropping the
+    // lease: a timed-out join would let a heartbeat blocked in a slow
+    // FS call rewrite the lease file after the drop.
+    while (beat.isAlive) { beat.interrupt(); beat.join(1000) }
     db.dropLease(id)
   }
 }

@@ -34,10 +34,12 @@ object Transactional {
     val first = docs.filter(col("doc_id") % 3 === 0)
     val second = docs.filter(col("doc_id") % 3 === 1)
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft-tx").toString + "/db"
-    val db = VectorDB.openOrCreate(spark, tmp, storage = VectorDB.StorageMor)
-    db.addDocuments(first)
-    val snap = db.snapshot()
+    val scratch = scratchDir(spark)
+    val db = VectorDB.openOrCreate(spark, s"$scratch/db",
+      storage = VectorDB.StorageMor)
+    val snap =
+      try { db.addDocuments(first); db.snapshot() }
+      catch { case t: Throwable => deleteScratch(spark, scratch); throw t }
     try {
       db.addDocuments(second)
       val dels = first.filter(col("doc_id") % 9 === 0)
@@ -51,9 +53,35 @@ object Transactional {
         ("pinned_count", pinnedPre))
       snap.close()
       val after = ("live_after_close", db.count())
+      // The counts above are already materialized Longs, so the
+      // returned frame is a LocalRelation — safe to delete the scratch
+      // DB underneath it.
       spark.createDataFrame(rows :+ after).toDF("metric", "value")
         .orderBy("metric")
-    } finally snap.close() // idempotent
+    } finally {
+      snap.close() // idempotent
+      deleteScratch(spark, scratch)
+    }
+  }
+
+  /** Unique per-run scratch root for the temporary MOR DB, on a
+    * filesystem EXECUTORS can reach (a driver-local `java.io.tmpdir`
+    * only works in local mode): `graft.scratch.dir` if set (shared FS
+    * on a real cluster), else the session's warehouse dir. Deleted in
+    * the operator's `finally` — earlier rounds leaked one full DB copy
+    * per correctness-gate run (ADVICE r10).
+    */
+  private def scratchDir(spark: SparkSession): String = {
+    val root = spark.conf.getOption("graft.scratch.dir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
+    s"$root/graft-tx-${java.util.UUID.randomUUID()}"
+  }
+
+  private def deleteScratch(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.delete(p, true)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   val oracles: Map[String, String] = Map(
