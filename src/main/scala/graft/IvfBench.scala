@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * retention (that is RECALL_r{N}'s job). Latency is the served
   * `searchHits` median over the query set.
   *
+  * Round 11 additions:
+  *  - every grid row records the cell-size balance of its build
+  *    (`cell_ratio` = max/median over non-empty cells) — the pruning
+  *    payoff collapses when one cell holds the corpus;
+  *  - a SKEWED manifold pass (non-centered clusters: the first 32
+  *    center coordinates forced positive) compares the learned
+  *    k-majority assignment (now the default) against the legacy
+  *    sign-code prefix — the degenerate case the round-10 verdict
+  *    flagged, where prefix cells collapse into one.
+  *
   * Usage: `graft.IvfBench [nDocs] [dim] [nQueries]` (default
   * 200k × 1024 × 20; cells grid 16/64/256).
   */
@@ -34,6 +44,8 @@ object IvfBench {
     val clusters = 100
     val intrinsicDim = 8
     val sigma = 0.5
+    val skewBias = 1.0
+    val skewDims = 32
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,12 +61,13 @@ object IvfBench {
     // the text column — same math, same seed as RecallBench.synthesize,
     // so the DB's stored vectors ARE the manifold points.
     class SynthEmbedder(val dim: Int, clusters: Int, intrinsicDim: Int,
-                        sigma: Double) extends Embedder {
+                        sigma: Double, bias: Double, biasDims: Int) extends Embedder {
       override def embed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
         // ONE generator instance captured by the udf closure — pointGen
         // memoizes cluster geometry per instance, so building it per row
         // would redo the O(intrinsicDim·dim) gaussian setup 200k times.
-        val gen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma)
+        val gen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma,
+          bias = bias, biasDims = biasDims)
         val genUdf = udf { id: Long => gen(id)._1 }
         genUdf(text.cast("long")).cast("array<float>")
       }
@@ -62,23 +75,41 @@ object IvfBench {
 
     val docs = spark.range(n).select(col("id").as("doc_id"),
       col("id").cast("string").as("text"))
-    val qGen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma)
     val qids = (0 until nQueries).map(i => i.toLong * (n / nQueries) + i)
-    val queries = qids.map(id => id -> qGen(id)._1.map(_.toDouble).toSeq).toMap
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
     }
 
-    val cellsGrid = Seq(16, 64, 256)
-    val rows = cellsGrid.flatMap { cells =>
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-ivf$cells").toString + "/db"
+    /** Build + serve one DB; return its grid rows (each carrying the
+      * build's cell balance) and tear serving down.
+      */
+    def sweep(cells: Int, assign: String, manifold: String,
+              probes: Seq[Int]): Seq[String] = {
+      val (bias, biasDims) =
+        if (manifold == "skewed") (skewBias, skewDims) else (0.0, 0)
+      val qGen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma,
+        bias = bias, biasDims = biasDims)
+      val queries = qids.map(id => id -> qGen(id)._1.map(_.toDouble).toSeq).toMap
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-ivf$cells-$assign-$manifold").toString + "/db"
       val db = VectorDB.openOrCreate(spark, dir, model = s"graft-synth-$dim",
-        dim = dim, index = VectorDB.IndexIvf, ivfCells = cells)
-      db.addDocuments(docs, new SynthEmbedder(dim, clusters, intrinsicDim, sigma))
+        dim = dim, index = VectorDB.IndexIvf, ivfCells = cells,
+        ivfAssign = assign)
+      db.addDocuments(docs,
+        new SynthEmbedder(dim, clusters, intrinsicDim, sigma, bias, biasDims))
+      // Cell balance of this build: max/median over NON-EMPTY cells,
+      // plus how many of the configured cells hold anything at all.
+      val sizes = db.codes.groupBy("cell").count()
+        .collect().map(_.getLong(1)).sorted
+      val cellRatio = sizes(sizes.length / 2) match {
+        case 0 => -1.0
+        case med => sizes.last.toDouble / med
+      }
+      val balance = f""""cells_nonempty":${sizes.length},""" +
+        f""""cell_ratio":$cellRatio%.2f"""
       db.enableServing()
-      // Full-probe truth + latency (nprobe >= cells ≡ flat).
       db.searchHits(queries(qids.head), k = 10) // warm
       val full = qids.map { q =>
         q -> db.searchHits(queries(q), k = 10).map(_.docId).toSet
@@ -88,7 +119,7 @@ object IvfBench {
       // the skip branch and would otherwise pollute the first grid row.
       db.searchHits(queries(qids.head), k = 10, nprobe = 1)
 
-      val probeRows = Seq(1, 2, 4, 8).filter(_ < cells).map { np =>
+      val probeRows = probes.filter(_ < cells).map { np =>
         val (recalls, times) = qids.map { q =>
           val t0 = System.nanoTime()
           val got = db.searchHits(queries(q), k = 10, nprobe = np)
@@ -98,20 +129,31 @@ object IvfBench {
         }.unzip
         val rec = recalls.sum / recalls.size
         val ms = median(times)
-        println(f"""{"cells":$cells,"nprobe":$np,"recall_vs_full":$rec%.3f,"hits_ms":$ms%.1f}""")
-        f"""{"cells":$cells,"nprobe":$np,"recall_vs_full":$rec%.3f,"hits_ms":$ms%.1f}"""
+        f"""{"cells":$cells,"assign":"$assign","manifold":"$manifold",""" +
+          f""""nprobe":$np,"recall_vs_full":$rec%.3f,"hits_ms":$ms%.1f,$balance}"""
       }
       val fullRow =
-        f"""{"cells":$cells,"nprobe":$cells,"recall_vs_full":1.000,"hits_ms":$fullMs%.1f}"""
-      println(fullRow)
+        f"""{"cells":$cells,"assign":"$assign","manifold":"$manifold",""" +
+          f""""nprobe":$cells,"recall_vs_full":1.000,"hits_ms":$fullMs%.1f,$balance}"""
+      (probeRows :+ fullRow).foreach(println)
       db.disableServing()
       probeRows :+ fullRow
     }
 
+    // The r10 grid, now under the learned (default) assignment…
+    val centered = Seq(16, 64, 256).flatMap(cells =>
+      sweep(cells, VectorDB.IvfAssignKmeans, "centered", Seq(1, 2, 4, 8)))
+    // …and the skewed-manifold comparison at one geometry: learned
+    // cells must stay bounded where prefix cells collapse.
+    val skewed = Seq(VectorDB.IvfAssignKmeans, VectorDB.IvfAssignPrefix)
+      .flatMap(assign => sweep(64, assign, "skewed", Seq(4, 8)))
+    val rows = centered ++ skewed
+
     println(s"""{"metric":"ivf_tuning","n":$n,"dim":$dim,"clusters":$clusters,""" +
       s""""intrinsic_dim":$intrinsicDim,"n_queries":$nQueries,""" +
+      s""""skew_bias":$skewBias,"skew_dims":$skewDims,""" +
       s""""rows":${rows.mkString("[", ",", "]")},""" +
-      """"note":"recall_vs_full isolates the probing knob: nprobe-probed results vs the same DB at full probe (= flat, parity spec-pinned); funnel-vs-exact retention is RECALL_r{N}'s job. Cells are sign-code prefixes (VectorDB.cellOf), so cell balance follows the sign distribution of the first log2(cells) dims."}""")
+      """"note":"recall_vs_full isolates the probing knob: nprobe-probed results vs the same DB at full probe (= flat, parity spec-pinned); funnel-vs-exact retention is RECALL_r{N}'s job. cell_ratio = max/median over non-empty cells of the build. assign=kmeans is the learned k-majority quantizer (default since r11); the skewed rows show prefix collapsing (cells_nonempty ~ 1) where kmeans stays balanced."}""")
     spark.stop()
   }
 }

@@ -45,8 +45,16 @@ object RecallBench {
     * partitioning (or any caller) yields identical rows. Returns the
     * generated (vector, cluster) pair.
     */
+  /** `biasDims > 0` makes the manifold SKEWED (non-centered clusters):
+    * the first `biasDims` coordinates of every cluster center are
+    * forced positive (|gaussian| + `bias`), so the sign bits a prefix
+    * quantizer reads are constant across the corpus — the degenerate
+    * case for sign-code-prefix cells that the learned k-majority
+    * assignment (round-11) must keep balanced.
+    */
   def pointGen(dim: Int, clusters: Int, intrinsicDim: Int, sigma: Double,
-               seed: Long = 42L): Long => (Array[Float], Int) = {
+               seed: Long = 42L, bias: Double = 0.0,
+               biasDims: Int = 0): Long => (Array[Float], Int) = {
     // Per-cluster geometry memoized per instance (clusters are few;
     // each is O(intrinsicDim * dim) to build).
     val geom = scala.collection.mutable.HashMap.empty[Int, (Array[Double], Array[Array[Double]])]
@@ -55,6 +63,11 @@ object RecallBench {
         geom.getOrElseUpdate(l, {
           val r = new scala.util.Random(seed * 1000003L + l)
           val c = Array.fill(dim)(r.nextGaussian())
+          var bi = 0
+          while (bi < biasDims && bi < dim) {
+            c(bi) = math.abs(c(bi)) + bias
+            bi += 1
+          }
           val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
           var i = 0
           while (i < dim) { c(i) *= inv; i += 1 }
