@@ -15,7 +15,11 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?usage: scripts/recallbench.sh <round> ...}"
 shift
 if [ -n "$SYNTH" ]; then
-  OUT="RECALL_r${ROUND}_synth.json"
+  # SUFFIX distinguishes extra synth geometries, e.g. SUFFIX=_1m for the
+  # per-round 1M x 1024 row (the reference's own scale; round-11 verdict
+  # item 5 — retention regressions must be caught at the geometry that
+  # mirrors the ~99.99% claim, not only at 100k).
+  OUT="RECALL_r${ROUND}_synth${SUFFIX}.json"
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
     scripts/run.sh graft.RecallBench synth "$@" \
     | tee /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"

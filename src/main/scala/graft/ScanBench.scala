@@ -22,7 +22,20 @@ import org.apache.spark.storage.StorageLevel
 object ScanBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    // Section gate (round-11: the 16M variance investigation needs many
+    // bare-scan-only runs): "bare" = array/flat/prepared/concurrent
+    // Phase-I scans; "funnel" = the three-phase rows; "float" = the
+    // 460 ms row. Default all; skipped sections print -1.
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SCAN_SECTIONS", "bare,funnel,float")
+      .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // Ambient-load stamps (round-11 root-cause of the 16M variance:
+    // slow runs are UNIFORMLY slow across every section with tight
+    // within-run rounds — co-located load, not GC; see ARCHITECTURE).
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scanbench")
@@ -40,87 +53,10 @@ object ScanBench {
     spark.sparkContext.setLogLevel("WARN")
     Kernels.install(spark)
 
-    val codes = spark.range(n).select(col("id").as("doc_id"),
-        transform(sequence(lit(0), lit(15)), i => xxhash64(col("id"), i)).as("code"))
-      .persist(StorageLevel.MEMORY_ONLY)
-    codes.count() // materialize the hot tier
-
-    val q = codes.filter(col("doc_id") === n / 2)
-      .head().getSeq[Long](1)
-    val qLit = typedlit(q)
-
-    def scanOnce(): Double = {
-      val t0 = System.nanoTime()
-      codes.select(col("doc_id"), Kernels.hamming(col("code"), qLit).as("d"))
-        .orderBy(col("d").asc, col("doc_id").asc)
-        .limit(100)
-        .collect()
-      (System.nanoTime() - t0) / 1e6
-    }
-
-    val times = (1 to 7).map(_ => scanOnce())
-    val median = times.sorted.apply(times.size / 2)
-    println(f"array_layout_runs_ms=${times.map(t => f"$t%.1f").mkString(",")}")
-
-    // Flattened layout: 16 primitive long columns — no per-row array
-    // object, columnar cache stays primitive, hamming is a codegen'd sum
-    // of builtin bit_count(xor) terms.
-    val flat = spark.range(n).select(col("id").as("doc_id") +:
-        (0 until 16).map(i => xxhash64(col("id"), lit(i)).as(s"c$i")): _*)
-      .persist(StorageLevel.MEMORY_ONLY)
-    flat.count()
-    val qf = flat.filter(col("doc_id") === n / 2).head()
-    val hammingFlat = (0 until 16).map(i =>
-      bit_count(col(s"c$i").bitwiseXOR(lit(qf.getLong(i + 1))))).reduce(_ + _)
-    def scanFlat(): Double = {
-      val t0 = System.nanoTime()
-      flat.select(col("doc_id"), hammingFlat.as("d"))
-        .orderBy(col("d").asc, col("doc_id").asc)
-        .limit(100)
-        .collect()
-      (System.nanoTime() - t0) / 1e6
-    }
-    val ftimes = (1 to 7).map(_ => scanFlat())
-    val fmedian = ftimes.sorted.apply(ftimes.size / 2)
-    println(f"flat_layout_runs_ms=${ftimes.map(t => f"$t%.1f").mkString(",")}")
-
-    // Prepared-SERVING floor: the shipped serving layer
-    // ([[graft.db.PreparedScan]] — the same blocks `enableServing()`
-    // builds) scans per-partition primitive arrays with bounded heaps in
-    // one bare RDD job: no per-call Catalyst work of any kind. The gap
-    // between this and `flat_layout_runs_ms` is per-call planning plus
-    // columnar-cache materialization; this is the regime the reference's
-    // published numbers assume (its faiss index is always RAM-resident).
-    val psFlat = graft.db.PreparedScan.build(flat, 16,
-      isFlat = true, isIvf = false)
-    val qWordsFlat = Array.tabulate(16)(i => qf.getLong(i + 1))
-    def scanPrepared(): Double = {
-      val t0 = System.nanoTime()
-      val top = psFlat.topB(qWordsFlat, 100)
-      require(top.length == 100)
-      (System.nanoTime() - t0) / 1e6
-    }
-    scanPrepared() // warm the block cache path once, outside the window
-    val ptimes = (1 to 7).map(_ => scanPrepared())
-    val pmedian = ptimes.sorted.apply(ptimes.size / 2)
-    println(f"prepared_flat_runs_ms=${ptimes.map(t => f"$t%.1f").mkString(",")}")
-
-    // Concurrent queries: the engine's serving model amortizes fixed
-    // job-scheduling overhead across in-flight queries (the reference
-    // serves one query per 24 ms; Spark overlaps them). Each in-flight
-    // slot is a DISTINCT query vector against the SAME shipped
-    // PreparedScan blocks — the serving layer benched exactly where it
-    // ships; FAIR scheduling round-robins the in-flight scan jobs.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val nConc = 16
-    val scanSlots = (0 until nConc).map { s =>
-      val seed = (n / 2 + s * 1000 + 1) % n
-      val qRow = flat.filter(col("doc_id") === seed).head()
-      Array.tabulate(16)(i => qRow.getLong(i + 1))
-    }
-    scanSlots.foreach(q => psFlat.topB(q, 100)) // warm outside the window
     // Median of 3 concurrency rounds: a single 16-query batch is one
     // ~0.5 s wall sample — any box-load blip lands on it whole.
     def concurrentRound[A](work: Seq[() => A]): Double = {
@@ -130,13 +66,103 @@ object ScanBench {
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
       (System.nanoTime() - t0) / 1e6 / work.size
     }
-    val concRounds = (1 to 3).map(_ =>
-      concurrentRound(scanSlots.map(q => () => psFlat.topB(q, 100))))
-    val concPerQuery = concRounds.sorted.apply(concRounds.size / 2)
-    println(f"concurrent_rounds_ms=${concRounds.map(t => f"$t%.1f").mkString(",")}")
-    println(f"concurrent_per_query_ms=$concPerQuery%.1f")
-    psFlat.unpersist()
 
+    var median = -1.0
+    var fmedian = -1.0
+    var pmedian = -1.0
+    var concPerQuery = -1.0
+    if (sections("bare")) {
+      val codes = spark.range(n).select(col("id").as("doc_id"),
+          transform(sequence(lit(0), lit(15)), i => xxhash64(col("id"), i)).as("code"))
+        .persist(StorageLevel.MEMORY_ONLY)
+      codes.count() // materialize the hot tier
+
+      val q = codes.filter(col("doc_id") === n / 2)
+        .head().getSeq[Long](1)
+      val qLit = typedlit(q)
+
+      def scanOnce(): Double = {
+        val t0 = System.nanoTime()
+        codes.select(col("doc_id"), Kernels.hamming(col("code"), qLit).as("d"))
+          .orderBy(col("d").asc, col("doc_id").asc)
+          .limit(100)
+          .collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+
+      val times = (1 to 7).map(_ => scanOnce())
+      median = times.sorted.apply(times.size / 2)
+      println(f"array_layout_runs_ms=${times.map(t => f"$t%.1f").mkString(",")}")
+
+      // Flattened layout: 16 primitive long columns — no per-row array
+      // object, columnar cache stays primitive, hamming is a codegen'd sum
+      // of builtin bit_count(xor) terms.
+      val flat = spark.range(n).select(col("id").as("doc_id") +:
+          (0 until 16).map(i => xxhash64(col("id"), lit(i)).as(s"c$i")): _*)
+        .persist(StorageLevel.MEMORY_ONLY)
+      flat.count()
+      val qf = flat.filter(col("doc_id") === n / 2).head()
+      val hammingFlat = (0 until 16).map(i =>
+        bit_count(col(s"c$i").bitwiseXOR(lit(qf.getLong(i + 1))))).reduce(_ + _)
+      def scanFlat(): Double = {
+        val t0 = System.nanoTime()
+        flat.select(col("doc_id"), hammingFlat.as("d"))
+          .orderBy(col("d").asc, col("doc_id").asc)
+          .limit(100)
+          .collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      val ftimes = (1 to 7).map(_ => scanFlat())
+      fmedian = ftimes.sorted.apply(ftimes.size / 2)
+      println(f"flat_layout_runs_ms=${ftimes.map(t => f"$t%.1f").mkString(",")}")
+
+      // Prepared-SERVING floor: the shipped serving layer
+      // ([[graft.db.PreparedScan]] — the same blocks `enableServing()`
+      // builds) scans per-partition primitive arrays with bounded heaps in
+      // one bare RDD job: no per-call Catalyst work of any kind. The gap
+      // between this and `flat_layout_runs_ms` is per-call planning plus
+      // columnar-cache materialization; this is the regime the reference's
+      // published numbers assume (its faiss index is always RAM-resident).
+      val psFlat = graft.db.PreparedScan.build(flat, 16,
+        isFlat = true, isIvf = false)
+      val qWordsFlat = Array.tabulate(16)(i => qf.getLong(i + 1))
+      def scanPrepared(): Double = {
+        val t0 = System.nanoTime()
+        val top = psFlat.topB(qWordsFlat, 100)
+        require(top.length == 100)
+        (System.nanoTime() - t0) / 1e6
+      }
+      scanPrepared() // warm the block cache path once, outside the window
+      val ptimes = (1 to 7).map(_ => scanPrepared())
+      pmedian = ptimes.sorted.apply(ptimes.size / 2)
+      println(f"prepared_flat_runs_ms=${ptimes.map(t => f"$t%.1f").mkString(",")}")
+
+      // Concurrent queries: the engine's serving model amortizes fixed
+      // job-scheduling overhead across in-flight queries (the reference
+      // serves one query per 24 ms; Spark overlaps them). Each in-flight
+      // slot is a DISTINCT query vector against the SAME shipped
+      // PreparedScan blocks — the serving layer benched exactly where it
+      // ships; FAIR scheduling round-robins the in-flight scan jobs.
+      val scanSlots = (0 until nConc).map { s =>
+        val seed = (n / 2 + s * 1000 + 1) % n
+        val qRow = flat.filter(col("doc_id") === seed).head()
+        Array.tabulate(16)(i => qRow.getLong(i + 1))
+      }
+      scanSlots.foreach(q => psFlat.topB(q, 100)) // warm outside the window
+      val concRounds = (1 to 3).map(_ =>
+        concurrentRound(scanSlots.map(q => () => psFlat.topB(q, 100))))
+      concPerQuery = concRounds.sorted.apply(concRounds.size / 2)
+      println(f"concurrent_rounds_ms=${concRounds.map(t => f"$t%.1f").mkString(",")}")
+      println(f"concurrent_per_query_ms=$concPerQuery%.1f")
+      psFlat.unpersist()
+      flat.unpersist(); codes.unpersist()
+    }
+
+    var funMedian = -1.0
+    var fpMedian = -1.0
+    var funConc = -1.0
+    var floatMedian = -1.0
+    if (sections("funnel")) {
     // ---- Full three-phase funnel at the same scale --------------------------
     // The reference's SECOND headline: 28 ms for the binary+int8 funnel at
     // 1M x 1024-bit (README.md:15 / BASELINE.md). Same N, real payloads:
@@ -144,7 +170,6 @@ object ScanBench {
     // primitive longs, int8 = quantize(floats, maxAbs=1) as 1024 bytes —
     // one cached two-tier relation (columnar cache reads only the scanned
     // columns, so Phase I still touches just doc_id + c0..c15).
-    flat.unpersist(); codes.unpersist()
     val dims = 1024
     val embV = transform(sequence(lit(0), lit(dims - 1)),
       i => (xxhash64(col("doc_id"), i) % 1000).cast("double") / lit(1000.0))
@@ -282,7 +307,7 @@ object ScanBench {
         .collect())
 
     val funTimes = (1 to 7).map(_ => funnelFresh())
-    val funMedian = funTimes.sorted.apply(funTimes.size / 2)
+    funMedian = funTimes.sorted.apply(funTimes.size / 2)
     println(f"funnel_runs_ms=${funTimes.map(t => f"$t%.1f").mkString(",")}")
     // the served funnel below carries payloads IN its blocks — the
     // point-lookup tier is only the fresh row's phase III; release it
@@ -334,16 +359,19 @@ object ScanBench {
     funnelSlots.foreach { case (qv, qw) => funnelServed(qv, qw) } // warm
     val fpTimes = (1 to 7).map(_ =>
       funnelServed(funnelSlots.head._1, funnelSlots.head._2))
-    val fpMedian = fpTimes.sorted.apply(fpTimes.size / 2)
+    fpMedian = fpTimes.sorted.apply(fpTimes.size / 2)
     println(f"funnel_prepared_runs_ms=${fpTimes.map(t => f"$t%.1f").mkString(",")}")
 
     val funConcRounds = (1 to 3).map(_ => concurrentRound(
       funnelSlots.map { case (qv, qw) => () => funnelServed(qv, qw) }))
-    val funConc = funConcRounds.sorted.apply(funConcRounds.size / 2)
-    pool.shutdown()
+    funConc = funConcRounds.sorted.apply(funConcRounds.size / 2)
     psTier.unpersist()
     println(f"funnel_concurrent_rounds_ms=${funConcRounds.map(t => f"$t%.1f").mkString(",")}")
     println(f"funnel_concurrent_per_query_ms=$funConc%.1f")
+    tier.unpersist()
+    coldIdx.unpersist()
+    } // sections("funnel")
+    pool.shutdown()
 
     // ---- Exhaustive float32 brute force: the 460 ms row -------------------
     // The reference's headline table leads with brute-force float32 at
@@ -356,10 +384,13 @@ object ScanBench {
     // Only measured at the baseline's own 1M scale: the float tier is the
     // 32×-bigger representation whose cost the funnel exists to avoid, and
     // at 16M it alone would out-size the funnel-tier heap budget.
-    val floatMedian: Double =
-      if (n > 1000000L) -1.0
-      else {
-        tier.unpersist(); coldIdx.unpersist()
+    if (sections("float") && n <= 1000000L) {
+        val dims = 1024
+        def qvFor(seed: Long): IndexedSeq[Double] =
+          spark.range(1).select(transform(sequence(lit(0), lit(dims - 1)),
+              i => (xxhash64(lit(seed), i) % 1000).cast("double") / lit(1000.0)))
+            .head().getSeq[Double](0).toIndexedSeq
+        val qv0 = qvFor(n / 2)
         // built with a typed map, NOT a row-norm Column inside the
         // transform lambda: a per-row scalar referenced from a
         // higher-order function is re-evaluated PER ELEMENT (no CSE
@@ -394,10 +425,10 @@ object ScanBench {
         val fl = (1 to 7).map(_ => scanFloat())
         println(f"float_scan_runs_ms=${fl.map(t => f"$t%.1f").mkString(",")}")
         fvec.unpersist()
-        fl.sorted.apply(fl.size / 2)
+        floatMedian = fl.sorted.apply(fl.size / 2)
       }
 
-    println(f"""{"metric":"phase1_scan_1m_ms","value":$fmedian%.1f,"unit":"ms","n":$n,"array_layout_ms":$median%.1f,"prepared_flat_ms":$pmedian%.1f,"concurrent_per_query_ms":$concPerQuery%.1f,"baseline_ms":24,"funnel_1m_ms":$funMedian%.1f,"funnel_prepared_1m_ms":$fpMedian%.1f,"funnel_concurrent_per_query_ms":$funConc%.1f,"funnel_baseline_ms":28,"float_scan_1m_ms":$floatMedian%.1f,"float_baseline_ms":460,"note":"reference README.md:13-15 - 1M x 1024-bit exhaustive hamming scan, 3-phase funnel, and float32 brute force (float row measured at 1M only, -1 elsewhere); prepared/concurrent modes bench the shipped graft.db.PreparedScan serving layer (bare RDD block scans, distinct query vectors per slot)"}""")
+    println(f"""{"metric":"phase1_scan_1m_ms","value":$fmedian%.1f,"unit":"ms","n":$n,"array_layout_ms":$median%.1f,"prepared_flat_ms":$pmedian%.1f,"concurrent_per_query_ms":$concPerQuery%.1f,"baseline_ms":24,"funnel_1m_ms":$funMedian%.1f,"funnel_prepared_1m_ms":$fpMedian%.1f,"funnel_concurrent_per_query_ms":$funConc%.1f,"funnel_baseline_ms":28,"float_scan_1m_ms":$floatMedian%.1f,"float_baseline_ms":460,"loadavg_start":${(math.round(loadStart * 100) / 100.0).toString},"loadavg_end":${(math.round(loadAvg() * 100) / 100.0).toString},"note":"reference README.md:13-15 - 1M x 1024-bit exhaustive hamming scan, 3-phase funnel, and float32 brute force (float row measured at 1M only, -1 elsewhere); prepared/concurrent modes bench the shipped graft.db.PreparedScan serving layer (bare RDD block scans, distinct query vectors per slot)"}""")
     spark.stop()
   }
 }

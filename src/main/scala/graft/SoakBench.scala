@@ -79,6 +79,12 @@ object SoakBench {
     var pinned: graft.db.Snapshot = null
     var pinnedCount = -1L
     var retiredMax = 0
+    // Same contract on the LOOP DB, whose folds are triggered by the
+    // CrawlLoop's own compactEvery knob (not this harness): the
+    // knob-driven auto-compaction must also proceed under an open pin
+    // and leave the pinned view frozen.
+    var loopPinned: graft.db.Snapshot = null
+    var loopPinnedCount = -1L
     (0 until nBatches).foreach { b =>
       val fresh = (0 until batchSize).map(i => (b.toLong * batchSize + i,
         text(b.toLong * batchSize + i)))
@@ -99,7 +105,13 @@ object SoakBench {
       if (b == warmup) {
         pinned = commitDb.snapshot()
         pinnedCount = pinned.count()
+        loopPinned = loopDb.snapshot()
+        loopPinnedCount = loopPinned.count()
       }
+      if (loopPinned != null)
+        require(loopPinned.count() == loopPinnedCount,
+          s"loop pin moved under knob-triggered compaction: " +
+            s"${loopPinned.count()} != $loopPinnedCount")
       if (commitDb.pendingDeltas() >= compactEvery) {
         commitDb.compact()
         if (pinned != null) {
@@ -134,9 +146,11 @@ object SoakBench {
 
     val pinStable = pinned != null && pinned.count() == pinnedCount
     if (pinned != null) pinned.close()
+    val loopPinStable = loopPinned != null && loopPinned.count() == loopPinnedCount
+    if (loopPinned != null) loopPinned.close()
     val retiredAfterClose = commitDb.retainedMorGenerations()
 
-    println(f"""{"metric":"soak_commit_flatness","n_batches":$nBatches,"batch_size":$batchSize,"commit_ms_q1_median":$commitQ1%.1f,"commit_ms_q4_median":$commitQ4%.1f,"commit_ratio":$commitRatio%.2f,"commit_flat":$flat,"loop_ms_q1_median":$loopQ1%.1f,"loop_ms_q4_median":$loopQ4%.1f,"final_count":${loopDb.count()},"pending_deltas_max":$pendingMax,"pin_count":$pinnedCount,"pin_stable":$pinStable,"retained_gens_max":$retiredMax,"retained_gens_after_close":$retiredAfterClose,"unit":"ms","note":"MOR delta commits must stay O(batch) as the corpus grows (commit_ratio ~ 1); loop_ms includes the incremental dedup whose corpus side is a linear scan locally and parallelizes on a cluster; the pin_ fields hold a repeatable-read snapshot open across every compaction -- folds proceed, the pinned view stays frozen, retained generations stay bounded (steady state 1 = the {current, previous} reader window) and pin-held file sets free at close"}""")
+    println(f"""{"metric":"soak_commit_flatness","n_batches":$nBatches,"batch_size":$batchSize,"commit_ms_q1_median":$commitQ1%.1f,"commit_ms_q4_median":$commitQ4%.1f,"commit_ratio":$commitRatio%.2f,"commit_flat":$flat,"loop_ms_q1_median":$loopQ1%.1f,"loop_ms_q4_median":$loopQ4%.1f,"final_count":${loopDb.count()},"pending_deltas_max":$pendingMax,"pin_count":$pinnedCount,"pin_stable":$pinStable,"loop_pin_stable":$loopPinStable,"loop_compact_every":$compactEvery,"retained_gens_max":$retiredMax,"retained_gens_after_close":$retiredAfterClose,"unit":"ms","note":"MOR delta commits must stay O(batch) as the corpus grows (commit_ratio ~ 1); loop_ms includes the incremental dedup whose corpus side is a linear scan locally and parallelizes on a cluster; the pin_ fields hold a repeatable-read snapshot open across every compaction -- folds proceed, the pinned view stays frozen, retained generations stay bounded (steady state 1 = the {current, previous} reader window) and pin-held file sets free at close"}""")
     spark.stop()
   }
 }

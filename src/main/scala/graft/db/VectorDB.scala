@@ -87,12 +87,23 @@ class VectorDB private (
 
   private val isMor = storage == VectorDB.StorageMor
   private val isFlat = layout == VectorDB.LayoutFlat
-  private val isIvf = index == VectorDB.IndexIvf
+  /** The pluggable index strategy behind the `index` name (the
+    * reference's `index_type` seam, `BinaryVectorDB.py:17`): built-ins
+    * flat/ivf, extensible via [[IndexStrategies.register]].
+    */
+  private val indexStrategy: IndexStrategy = IndexStrategies.get(index)
+    .getOrElse(throw new IllegalArgumentException(
+      s"index strategy '$index' is not registered in this JVM " +
+        s"(known: ${IndexStrategies.names.toSeq.sorted.mkString(", ")})"))
+  private val isIvf = indexStrategy.partitioned
   private val isKmeansAssign = isIvf && ivfAssign == VectorDB.IvfAssignKmeans
   /** Code words per vector (64 bits each). */
   private val nWords = (dim + 63) / 64
   /** log2(ivfCells) — the sign-code prefix width of the cell quantizer. */
   private val ivfPrefixBits = java.lang.Integer.numberOfTrailingZeros(ivfCells)
+  private lazy val strategyCtx = IndexStrategy.Context(
+    ivfCells, nWords, ivfPrefixBits, ivfAssign,
+    () => centroidModel, (df, n) => ensureCentroids(df, n))
 
   /** The learned coarse-quantizer model (kmeans assignment only) —
     * immutable once written, so cached forever per instance; absent
@@ -484,38 +495,25 @@ class VectorDB private (
     else base
   }
 
-  /** Legacy IVF coarse quantizer (`ivf_assign = prefix`): cell = the
-    * top log2([[ivfCells]]) bits of the first code word (a
-    * deterministic hamming-space prefix quantizer — two codes in the
-    * same cell agree on those bits). The snapshot is partitioned by
-    * cell, so a probe-limited search prunes non-probed cells at the
-    * file source. Geometry is an [[VectorDB.openOrCreate]] parameter
-    * persisted in config.json (the reference's `index_args`,
-    * `BinaryVectorDB.py:17`): size cells ~√N — even 10¹² vectors need
-    * only 2²⁰ cells, well inside one 64-bit word's prefix.
-    *
-    * Default for NEW indexes is the learned k-majority quantizer
-    * ([[IvfCentroids]], `ivf_assign = kmeans`): prefix cell sizes track
-    * the sign distribution of the first prefix-width dims, so biased
-    * real-world embeddings skew cells and degrade probe pruning
-    * (round-10 verdict item 2). Folders written before the knob existed
-    * open as `prefix` — their stored assignments stay valid.
-    */
-  private def cellOf(firstWord: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    shiftrightunsigned(firstWord, 64 - ivfPrefixBits)
-      .bitwiseAND(lit(ivfCells - 1)).cast("int")
+  // Cell quantizers live in [[IndexStrategies.Ivf]]: the learned
+  // k-majority model ([[IvfCentroids]], `ivf_assign = kmeans`, default
+  // for new indexes — prefix cell sizes track the sign distribution of
+  // the first prefix-width dims, so biased real-world embeddings skew
+  // cells and degrade probe pruning, round-10 verdict item 2) and the
+  // legacy sign-code prefix (what pre-knob folders store). The snapshot
+  // is partitioned by cell, so a probe-limited search prunes non-probed
+  // cells at the file source. Geometry is an [[VectorDB.openOrCreate]]
+  // parameter persisted in config.json (the reference's `index_args`,
+  // `BinaryVectorDB.py:17`): size cells ~√N — even 10¹² vectors need
+  // only 2²⁰ cells, well inside one 64-bit word's prefix.
 
-  /** Cells in ascending query-to-cell distance (probe order): hamming
-    * to the learned centroid under kmeans assignment, hamming of the
-    * sign-code prefix under the legacy prefix quantizer.
+  /** Cells in probe-priority order for a query — delegated to the
+    * [[IndexStrategy]] (Ivf: hamming to the learned centroid under
+    * kmeans assignment, hamming of the sign-code prefix under the
+    * legacy quantizer).
     */
   private def probeOrder(qWords: Seq[Long]): IndexedSeq[Int] =
-    centroidModel match {
-      case Some(m) => m.probeOrder(qWords.toArray)
-      case None =>
-        val qPrefix = (qWords(0) >>> (64 - ivfPrefixBits)).toInt & (ivfCells - 1)
-        (0 until ivfCells).sortBy(c => (java.lang.Integer.bitCount(c ^ qPrefix), c))
-    }
+    indexStrategy.probeOrder(strategyCtx, qWords)
 
   /** Get-or-learn the centroid model for this folder: learned from a
     * deterministic sample of the FIRST ingested batch's packed codes
@@ -635,18 +633,15 @@ class VectorDB private (
         else embedded.select(col("doc_id"), packed.as("code"))
       val newCodes =
         if (!isIvf) newCodesBase
-        else if (isKmeansAssign) {
-          // Learned assignment: nearest k-majority centroid by hamming.
-          // Ingest-only cost (O(cells · words) popcounts per row); the
-          // query hot path touches only the persisted cell column.
-          val m = ensureCentroids(embedded.select(packed.as("code")), nRows)
-          val assignU = udf((code: scala.collection.Seq[Long]) => m.assign(code.toArray))
+        else {
+          // Strategy-provided assignment (ingest-only — the query hot
+          // path touches only the persisted cell column).
           val codeArr =
             if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*)
             else col("code")
-          newCodesBase.withColumn("cell", assignU(codeArr))
-        } else newCodesBase.withColumn("cell",
-          cellOf(if (isFlat) col("c0") else element_at(col("code"), 1)))
+          newCodesBase.withColumn("cell", indexStrategy.cellColumn(
+            strategyCtx, codeArr, embedded.select(packed.as("code")), nRows))
+        }
       val newDocs = embedded.select(col("doc_id"), col("doc"),
         Kernels.int8(col("embedding"), lit(if (ma > 0) ma else 1.0)).as("emb_int8"))
 
@@ -2012,8 +2007,9 @@ object VectorDB {
       s"storage must be '$StorageCow' or '$StorageMor', got '$storage'")
     require(layout == LayoutArray || layout == LayoutFlat,
       s"layout must be '$LayoutArray' or '$LayoutFlat', got '$layout'")
-    require(index == IndexFlat || index == IndexIvf,
-      s"index must be '$IndexFlat' or '$IndexIvf', got '$index'")
+    require(IndexStrategies.get(index).isDefined,
+      s"index must be a registered strategy " +
+        s"(${IndexStrategies.names.toSeq.sorted.mkString(", ")}), got '$index'")
     require(ivfCells >= 2 && ivfCells <= MaxIvfCells &&
       java.lang.Integer.bitCount(ivfCells) == 1,
       s"ivfCells must be a power of two in [2, $MaxIvfCells], got $ivfCells")

@@ -115,6 +115,50 @@ class IndexStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("a registered custom strategy runs through openOrCreate (pluggable seam)") {
+    import org.apache.spark.sql.functions._
+    // Test-only strategy: stripe rows across cells by a hash of the
+    // first code word; probe order is fixed. Exercises the seam the
+    // reference's `index_type` constructor offers (any faiss binary
+    // index object) without faking a real ANN structure.
+    object Stripe extends graft.db.IndexStrategy {
+      val name = "stripe-test"
+      val partitioned = true
+      override def cellColumn(ctx: graft.db.IndexStrategy.Context,
+                              codeArray: org.apache.spark.sql.Column,
+                              packedCodes: org.apache.spark.sql.DataFrame,
+                              nRows: Long): org.apache.spark.sql.Column =
+        pmod(hash(element_at(codeArray, 1)), lit(ctx.cells)).cast("int")
+      override def probeOrder(ctx: graft.db.IndexStrategy.Context,
+                              qWords: Seq[Long]): IndexedSeq[Int] =
+        0 until ctx.cells
+    }
+    graft.db.IndexStrategies.register(Stripe)
+
+    val flat = VectorDB.openOrCreate(spark, freshDir())
+    val striped = VectorDB.openOrCreate(spark, freshDir(), index = "stripe-test")
+    flat.addDocuments(corpus.toDF("doc_id", "text"))
+    striped.addDocuments(corpus.toDF("doc_id", "text"))
+
+    // full-probe parity with flat, like any partitioned strategy
+    Seq("tok1 tok5", "tok12 tok2 tok30").foreach { q =>
+      assert(striped.search(q, k = 5).collect().map(_.getLong(0)).toSeq ==
+        flat.search(q, k = 5).collect().map(_.getLong(0)).toSeq, s"query '$q'")
+    }
+    // physically cell-partitioned on disk, exactly like ivf
+    assert(new java.io.File(striped.currentCodesPathForTest)
+      .listFiles().exists(_.getName.startsWith("cell=")))
+    // probe-limited search accepted (partitioned strategy ⇒ nprobe valid)
+    assert(striped.search("tok1 tok5", k = 5,
+      nprobe = striped.ivfCells).collect().length == 5)
+    // the stored name reopens through the registry…
+    assert(VectorDB.openOrCreate(spark, striped.folder).index == "stripe-test")
+    // …and an unregistered name is rejected up front
+    intercept[IllegalArgumentException] {
+      VectorDB.openOrCreate(spark, freshDir(), index = "no-such-strategy")
+    }
+  }
+
   test("ivf composes with the flat code layout and with MOR storage") {
     // ivf + flat layout: cell derives from the c0 primitive column.
     val a = VectorDB.openOrCreate(spark, freshDir(),

@@ -430,4 +430,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(db.pendingDeltas() == 1, "below threshold: delta left pending")
     assert(db.search("the fast key order sort table", k = 3).count() == 3)
   }
+
+  test("crawl loop auto-compaction triggers under an open pin; pinned view stays frozen") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graftdbapc").toFile
+    tmp.delete()
+    val db = VectorDB.openOrCreate(spark, tmp.getAbsolutePath,
+      storage = VectorDB.StorageMor)
+    def text(id: Long): String = (0 until 10).map(j => s"t${id}w$j").mkString(" ")
+
+    // knob low enough that the soak below MUST fold several times
+    val loop = StreamingIngest.crawlLoop(db, compactEvery = 3)
+    def sendBatch(b: Int): Unit = {
+      val in = MemoryStream[(Long, String)]
+      in.addData((0 until 5).map(i => (b * 5L + i, text(b * 5L + i))): _*)
+      loop.stream(in.toDF().toDF("doc_id", "text")).stop()
+    }
+
+    sendBatch(0)
+    val pin = db.snapshot()
+    val pinned = pin.count()
+    assert(pinned == 5)
+    var pendingMax = 0
+    var folds = 0
+    (1 until 10).foreach { b =>
+      val before = db.pendingDeltas()
+      sendBatch(b)
+      if (db.pendingDeltas() < before) folds += 1
+      pendingMax = math.max(pendingMax, db.pendingDeltas())
+      assert(pin.count() == pinned,
+        s"pinned view moved under knob-triggered compaction at batch $b")
+    }
+    assert(folds >= 2, s"compactEvery=3 must have folded several times, saw $folds")
+    assert(pendingMax < 3 + 1,
+      s"auto-compaction must bound pending deltas near the knob: $pendingMax")
+    assert(db.count() == 50)
+    pin.close()
+    loop.close()
+    // pin-retained generations free at close; the {current, previous}
+    // reader window remains
+    assert(db.retainedMorGenerations() <= 1)
+  }
 }
