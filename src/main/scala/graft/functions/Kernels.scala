@@ -36,6 +36,7 @@ object Kernels {
     // (the reference accepts any k/oversample, BinaryVectorDB.py:174).
     "graft_topk_hamming" -> (e => HammingTopKAgg(e(0), e(1), litInt(e(2), "graft_topk_hamming"))),
     "graft_topk_code" -> (e => HammingTopKCodeAgg(e(0), e(1), e(2), litInt(e(3), "graft_topk_code"))),
+    "graft_topk_cand" -> (e => HammingTopKCandAgg(e(0), e(1), e(2), e(3), litInt(e(4), "graft_topk_cand"))),
     "graft_topk_score" -> (e => ScoreTopKAgg(e(0), e(1), litInt(e(2), "graft_topk_score"))),
     "graft_kmv" -> (e => KmvSketchAgg(e(0), litInt(e(1), "graft_kmv"))),
     // Spark's own runtime-row-filter predicate (the expression behind
@@ -140,6 +141,15 @@ object Kernels {
     */
   def hammingTopKWithCode(score: Column, id: Column, code: Column, k: Int): Column =
     call_function("graft_topk_code", score, id, code, lit(k))
+
+  /** Top-k heap carrying BOTH funnel payloads (code for phase II,
+    * embedding for phase III) — lets the single-query funnel express
+    * phase I as a bounded aggregation the optimizer can never rewrite
+    * into a global sort (see [[graft.functions.HammingTopKCandAgg]]).
+    */
+  def hammingTopKCand(score: Column, id: Column, code: Column,
+                      emb: Column, k: Int): Column =
+    call_function("graft_topk_cand", score, id, code, emb, lit(k))
 
   /** Bounded top-k over (double score, long id) — LARGEST k by
     * (score desc, id asc), best first, as array<struct<vec_id,score>>.

@@ -322,3 +322,144 @@ case class HammingTopKCodeAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(score = newChildren(0), id = newChildren(1), code = newChildren(2))
 }
+
+/** [[HammingTopKCodeAgg]] with BOTH per-candidate payloads the funnel's
+  * later phases need — the packed code (phase II sign-dot) and the float
+  * embedding (phase III int8 rescore):
+  * `array<struct<vec_id:long, score:int, code:array<long>,
+  * embedding:array<float>>>`.
+  *
+  * This exists so the SINGLE-QUERY Catalyst funnel can express phase I
+  * as a bounded aggregation instead of a mid-plan `orderBy().limit()`:
+  * the sort-limit formulation is only safe while the planner collapses
+  * it to `TakeOrderedAndProject`, and that pattern BREAKS when adjacent
+  * phases share a limit (binaryOversample=1 or int8Oversample=1) —
+  * Catalyst eliminates the redundant inner sort, pushes the next
+  * phase's scoring projection between the limit and the remaining sort,
+  * and the planner falls back to a FULL range-sort exchange of the
+  * whole relation (3.9 GB/query at 1M×1024-dim, measured; at 100 TB a
+  * non-starter). A heap aggregate cannot be rewritten into a global
+  * sort: the scan stage reduces to ≤k states per partition no matter
+  * what the optimizer does around it. Payloads are evaluated only on
+  * heap acceptance (~k·ln(n/k) rows/partition), so the embedding column
+  * is copied a vanishing fraction of the scanned rows.
+  */
+case class HammingTopKCandAgg(
+    score: Expression,
+    id: Expression,
+    code: Expression,
+    emb: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])]] {
+
+  require(k > 0, "k must be positive")
+
+  private implicit val ord: Ordering[(Int, Long, Array[Long], Array[Float])] =
+    Ordering.by(t => (t._1, t._2))
+
+  override def children: Seq[Expression] = Seq(score, id, code, emb)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("score", IntegerType, nullable = false),
+    StructField("code", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_topk_cand"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arrOf(e: Expression, t: DataType) = e.dataType match {
+      case ArrayType(et, _) => et == t
+      case _ => false
+    }
+    if (score.dataType == IntegerType && id.dataType == LongType &&
+        arrOf(code, LongType) && arrOf(emb, FloatType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (int, long, array<long>, array<float>), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])] =
+    scala.collection.mutable.PriorityQueue.empty[(Int, Long, Array[Long], Array[Float])]
+
+  private def offer(
+      buf: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])],
+      t: (Int, Long, Array[Long], Array[Float])): Unit = {
+    if (buf.size < k) buf.enqueue(t)
+    else if (t._1 < buf.head._1 || (t._1 == buf.head._1 && t._2 < buf.head._2)) {
+      buf.dequeue(); buf.enqueue(t)
+    }
+  }
+
+  override def update(
+      buf: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])],
+      input: InternalRow): scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val si = s.asInstanceOf[Int]
+      val ii = i.asInstanceOf[Long]
+      if (buf.size < k || si < buf.head._1 || (si == buf.head._1 && ii < buf.head._2)) {
+        val c = code.eval(input)
+        val e = emb.eval(input)
+        if (c != null && e != null)
+          offer(buf, (si, ii,
+            c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+            e.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()))
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      a: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])],
+      b: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])])
+      : scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])] = {
+    b.foreach(offer(a, _))
+    a
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])]): Any = {
+    val sorted = buf.toArray.sortBy(t => (t._1, t._2))
+    new GenericArrayData(sorted.map { case (s, i, c, e) =>
+      InternalRow(i, s, new GenericArrayData(c), new GenericArrayData(e)).asInstanceOf[Any]
+    })
+  }
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])]): Array[Byte] = {
+    val words = buf.iterator.map(_._3.length).sum
+    val floats = buf.iterator.map(_._4.length).sum
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 20 + words * 8 + floats * 4)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i, c, e) =>
+      bb.putInt(s); bb.putLong(i)
+      bb.putInt(c.length); c.foreach(bb.putLong)
+      bb.putInt(e.length); e.foreach(bb.putFloat)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[(Int, Long, Array[Long], Array[Float])] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val heap = createAggregationBuffer()
+    (0 until n).foreach { _ =>
+      val s = bb.getInt; val i = bb.getLong
+      val w = bb.getInt; val c = Array.fill(w)(bb.getLong)
+      val f = bb.getInt; val e = Array.fill(f)(bb.getFloat)
+      heap.enqueue((s, i, c, e))
+    }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HammingTopKCandAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HammingTopKCandAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1), code = newChildren(2),
+      emb = newChildren(3))
+}

@@ -167,12 +167,25 @@ object Search {
     val ma = lit(maxAbsVal)
 
     // Phase I — exhaustive hamming over the cached packed codes, top
-    // k*binaryOversample. Codegen'd kernel + TakeOrderedAndProject; the
-    // only full scan.
+    // k*binaryOversample, reduced by the bounded heap aggregate
+    // (map-side partial heaps; only ≤k·bo states per partition shuffle,
+    // carrying the later phases' payloads). NOT an orderBy().limit():
+    // the sort-limit formulation degenerates to a FULL range-sort
+    // exchange of the relation whenever adjacent phases share a limit
+    // (binaryOversample=1 or int8Oversample=1 — Catalyst eliminates the
+    // redundant inner sort and the TakeOrderedAndProject pattern no
+    // longer matches; measured 3.9 GB shuffled per query at 1M×1024).
+    // The aggregate is rewrite-proof: the scan stage reduces to heap
+    // states no matter what the optimizer does around it.
     val phase1 = base
-      .withColumn("score_hamming", Kernels.hamming(col("code"), qCode))
-      .orderBy(col("score_hamming").asc, col("vec_id").asc)
-      .limit(k * binaryOversample)
+      .select(Kernels.hammingTopKCand(
+        Kernels.hamming(col("code"), qCode), col("vec_id"), col("code"),
+        col("embedding"), k * binaryOversample).as("topk"))
+      .select(explode(col("topk")).as("c"))
+      .select(col("c.vec_id").as("vec_id"),
+        col("c.score").as("score_hamming"),
+        col("c.code").as("code"),
+        col("c.embedding").as("embedding"))
 
     // Phase II — ⟨float, ±1-binary⟩ rescore of ≤ k*binaryOversample rows.
     val phase2 = phase1

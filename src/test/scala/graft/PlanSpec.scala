@@ -52,6 +52,23 @@ class PlanSpec extends AnyFunSuite {
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
   }
 
+  test("funnel phase I is a bounded heap aggregate — no config degenerates to a global sort") {
+    // Equal adjacent limits (binaryOversample=1 / int8Oversample=1) used
+    // to let Catalyst eliminate the redundant inner sort, break the
+    // TakeOrderedAndProject pattern, and plan phase I as a FULL
+    // range-sort exchange of the relation (3.9 GB/query at 1M×1024-dim,
+    // measured). Phase I is now graft_topk_cand — pin that every config
+    // shape aggregates before any exchange and never range-partitions.
+    for ((bo, io) <- Seq((1, 1), (2, 1), (10, 1), (10, 3), (50, 5))) {
+      val p = plan(graft.operators.Search.funnel(spark, dir,
+        binaryOversample = bo, int8Oversample = io))
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"funnel (bo=$bo, io=$io) fell back to a global sort:\n$p")
+      assert(p.contains("graft_topk_cand"),
+        s"funnel (bo=$bo, io=$io) lost the phase-I heap aggregate:\n$p")
+    }
+  }
+
   test("filtered funnel: lang predicate pushed to the documents scan, ids semi-joined") {
     val p = plan(graft.operators.Search.filteredFunnel(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)"),
