@@ -177,9 +177,16 @@ object Search {
     // longer matches; measured 3.9 GB shuffled per query at 1M×1024).
     // The aggregate is rewrite-proof: the scan stage reduces to heap
     // states no matter what the optimizer does around it.
+    // Score in a codegen'd Project BELOW the aggregate (same split as
+    // multiQueryHamming): as a direct aggregate child the hamming kernel
+    // would be eval'd interpretively per row inside update(); as a
+    // projected column the whole-stage-codegen'd kernel runs in the scan
+    // stage and the aggregate reads a ready field.
     val phase1 = base
+      .select(col("vec_id"), col("code"), col("embedding"),
+        Kernels.hamming(col("code"), qCode).as("h"))
       .select(Kernels.hammingTopKCand(
-        Kernels.hamming(col("code"), qCode), col("vec_id"), col("code"),
+        col("h"), col("vec_id"), col("code"),
         col("embedding"), k * binaryOversample).as("topk"))
       .select(explode(col("topk")).as("c"))
       .select(col("c.vec_id").as("vec_id"),
