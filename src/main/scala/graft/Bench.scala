@@ -104,6 +104,36 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BASELINE_SLACK").flatMap(_.toDoubleOption)
       .getOrElse(1.5)
 
+  /** Deterministic single-thread CPU probe, stamped into the JSON line
+    * as `cpu_probe_ms`: a fixed xorshift+popcount loop whose wall time
+    * depends only on this box's single-core speed. Round-over-round
+    * artifact diffs divide by it to separate machine drift from plan
+    * regressions — BENCH_r11_local came in a UNIFORM ~1.4× over
+    * BENCH_r10_local including queries whose code no round had touched,
+    * and without a stamped probe that offset was indistinguishable from
+    * a repo-wide regression. Warm-run median of 3.
+    */
+  private def cpuProbe(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var acc = 0L
+      var i = 0
+      while (i < 20000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += java.lang.Long.bitCount(x)
+        i += 1
+      }
+      // acc escapes through the blackhole below so the loop can't be DCE'd
+      blackhole = acc
+      (System.nanoTime() - t0) / 1e6
+    }
+    once() // JIT warm
+    val xs = Seq(once(), once(), once()).sorted
+    xs(1)
+  }
+  @volatile private var blackhole: Long = 0L
+
   /** `loadStart`/`loadEnd` are point samples at run start/end;
     * `famMax` is the max load any family's timing observed (forked
     * path: max over child-reported samples; in-process: max of the two
@@ -130,7 +160,8 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(qMed)},""" +
       s""""queries_min":${obj(qMin)},"errors":$errors,"failed":$failedArr,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
-      s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,"sf":"$sfDir"}"""
+      s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,""" +
+      s""""cpu_probe_ms":${r2(cpuProbe())},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -42,6 +42,13 @@ object SoakBench {
       .appName("graft-soakbench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Long benches run hundreds of jobs in one JVM; shuffle files and
+      // superseded cache blocks free only when the ContextCleaner sees
+      // their references GC'd, and the default 30min periodic GC never
+      // fires inside a bench run. A 60s floor keeps the on-disk footprint
+      // bounded (the pre-fix 1M recall sweep accumulated 60+ GB of dead
+      // shuffle files and filled the disk).
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

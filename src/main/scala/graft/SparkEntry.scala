@@ -62,6 +62,7 @@ object SparkEntry {
     "d4_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardDedup(s, d)),
     // E2d: incremental batch-vs-corpus dedup (continuous-ingest shape).
     "d5_incremental_simhash" -> ((s, d) => Dedup.incrementalSimhashDedup(s, d)),
+    "d6_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
     // Retrieval: BM25 keyword search + hybrid keyword/vector RRF fusion.
     "t6_bm25" -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "v10_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),

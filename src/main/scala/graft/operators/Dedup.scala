@@ -435,6 +435,63 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** D6 — SemDeDup-style semantic dedup DECISION (the public method of
+    * Abbas et al. 2023, arXiv:2303.09540): embeddings are grouped into
+    * semantic buckets, only WITHIN-bucket pairs are compared by exact
+    * cosine, and of any pair at or above `minCosine` the LOWER vec_id
+    * survives. Unlike `v5_neardup_embedding` (candidate-pair
+    * enumeration), this emits the removal list a pipeline actually
+    * applies: one row per evicted vector with the lowest-id neighbor
+    * that evicts it (`LEFT ANTI` against it = the deduplicated corpus).
+    *
+    * Bucketing here is (label, sign pattern of the first 16 dims): the
+    * fixture's generating cluster plays the paper's learned k-means
+    * cluster (deterministic, so the DuckDB oracle reproduces it — the
+    * learned assignment at scale is [[MLSimilarity]]'s k-means or the
+    * serving IVF cells, same relation shape), and the sign prefix
+    * sub-buckets oversized clusters the way the paper caps cluster
+    * granularity. Sign-preserving near-dups never split across sign
+    * buckets, so the fixture result stays exact; like SemDeDup itself,
+    * bucket-BOUNDARY dups are out of scope by design.
+    *
+    * Scale (100 TB): the only join is an equi-join on the bucket key —
+    * never an unblocked cross join (PlanSpec-pinned); per-bucket work is
+    * |bucket|², bounded by bucket granularity, and the keep-decision is
+    * one per-row aggregation (min over evicting neighbors).
+    *
+    * The fixture corpus has no semantic dups (near-random 64-dim
+    * vectors: in-bucket cosine ≪ 0.97), so the relation is augmented
+    * with v5's deterministic sign-preserving clones (vec_id + 1e6,
+    * per-dim rescale, cosine ≈ 0.9996 to the source) — reproduced
+    * verbatim by the oracle, giving a known-true removal set.
+    */
+  def semDedup(spark: SparkSession, dir: String,
+               minCosine: Double = 0.97): DataFrame = {
+    Kernels.install(spark)
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val clones = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("label"),
+      transform(col("v"),
+        (x, i) => x * (lit(1.0) + ((i % 5) + 1).cast("double") * lit(0.01))).as("v"))
+    // codegen'd 16-term sum, not a HOF: bit i set iff dim i+1 > 0
+    val s16 = (0 until 16).map(i =>
+      when(col("v").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val bucketed = base.unionByName(clones).withColumn("s16", s16)
+    val a = bucketed.select(col("vec_id").as("id_a"), col("label"),
+      col("s16"), col("v").as("va"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("label"),
+      col("s16"), col("v").as("vb"))
+    a.join(b, Seq("label", "s16"))
+      .filter(col("id_a") > col("id_b"))
+      .withColumn("cos", round(Kernels.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= lit(minCosine))
+      .groupBy(col("id_a").as("vec_id"), col("label").as("cluster"))
+      .agg(min(col("id_b")).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   /** Shared oracle CTE prefix: tokens, distinct 3-gram shingles, 60-bit
@@ -473,6 +530,25 @@ object Dedup {
       |  FROM sima JOIN simb USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d6_semdedup" ->
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        |allv AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label,
+        |    list_transform(range(1, 65), i -> v[i] * (1 + ((i-1)%5 + 1) * 0.01))
+        |  FROM base),
+        |bk AS (SELECT vec_id, label, v,
+        |  (SELECT bit_or(CASE WHEN v[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)
+        |   FROM range(1,17) t(i)) s16
+        |  FROM allv)
+        |SELECT a.vec_id, a.label AS cluster, min(b.vec_id) AS dup_of
+        |FROM bk a JOIN bk b ON a.label = b.label AND a.s16 = b.s16 AND a.vec_id > b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.97
+        |GROUP BY a.vec_id, a.label
+        |ORDER BY a.vec_id""".stripMargin,
+
     "d1_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_unique,

@@ -204,4 +204,50 @@ object KernelProperties extends Properties("graft.kernels") {
       val exactBelowK = distinctA >= k || sketchOf(a).size == distinctA
       unionLaw && exactBelowK
     }
+
+  // Payload-carrying funnel heap (phase I of the single-query funnel):
+  // split-serialize-merge equals global sort-take(k) AND each winner's
+  // payloads (code, embedding) are exactly the ones ingested with its
+  // id — payloads derive deterministically from the id here, so a
+  // heap that mixed up payload/row pairing would fail even when the
+  // (score, id) ranking is right. Scores draw from a small set so ties
+  // are common and the id tie-break is exercised.
+  private val candTopkGen = for {
+    n <- Gen.chooseNum(0, 60)
+    k <- Gen.chooseNum(1, 20)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0L, 50L)))
+    split <- Gen.chooseNum(0, n)
+  } yield (k, rows, split)
+
+  private def candCode(id: Long): Array[Long] = Array(id * 7919L, ~id)
+  private def candEmb(id: Long): Array[Float] = Array(id.toFloat, id * 0.5f, -id.toFloat)
+
+  property("HammingTopKCandAgg(k): split-serialize-merge equals sort-take(k) with payloads intact") =
+    forAll(candTopkGen) { case (k, rows, split) =>
+      val agg = HammingTopKCandAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0, IntegerType, nullable = false),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(1, LongType, nullable = false),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(2, ArrayType(LongType, containsNull = false), nullable = false),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(3, ArrayType(FloatType, containsNull = false), nullable = false),
+        k)
+      def heapOf(part: Seq[(Int, Long)]) = {
+        val h = agg.createAggregationBuffer()
+        part.foreach { case (s, i) =>
+          agg.update(h, org.apache.spark.sql.catalyst.InternalRow(
+            s, i, new GenericArrayData(candCode(i)), new GenericArrayData(candEmb(i))))
+        }
+        h
+      }
+      val (l, r) = rows.splitAt(split)
+      val merged = agg.merge(agg.deserialize(agg.serialize(heapOf(l))), heapOf(r))
+      val got = agg.eval(merged).asInstanceOf[ArrayData]
+      val gotRows = (0 until got.numElements()).map { i =>
+        val row = got.getStruct(i, 4)
+        (row.getInt(1), row.getLong(0),
+          row.getArray(2).toLongArray().toSeq, row.getArray(3).toFloatArray().toSeq)
+      }
+      val expected = rows.sorted.take(k).map { case (s, i) =>
+        (s, i, candCode(i).toSeq, candEmb(i).toSeq) }
+      gotRows == expected
+    }
 }

@@ -123,6 +123,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_graft_topk_hamming"), p)
   }
 
+  test("d6 semantic dedup joins only on the bucket key — never an unblocked cross join") {
+    val p = plan(graft.operators.Dedup.semDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semDedup pair stage lost its bucket blocking:\n$p")
+    // the equi-join carries both bucket components (cluster, sign prefix)
+    assert(p.contains("label") && p.contains("s16"), s"bucket key missing from join:\n$p")
+  }
+
   test("near-dup pair enumeration joins on SimHash band keys, never on label") {
     val p = plan(graft.operators.Search.nearDupEmbeddings(spark, dir))
     assert(p.contains("bkey"), s"band-key join missing:\n$p")
