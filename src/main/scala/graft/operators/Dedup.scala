@@ -469,25 +469,68 @@ object Dedup {
                minCosine: Double = 0.97): DataFrame = {
     Kernels.install(spark)
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"), col("label").as("cluster"),
         col("embedding").cast("array<double>").as("v"))
-    val clones = base.select((col("vec_id") + 1000000L).as("vec_id"),
-      col("label"),
-      transform(col("v"),
-        (x, i) => x * (lit(1.0) + ((i % 5) + 1).cast("double") * lit(0.01))).as("v"))
+    semDedupOver(withClones(base), minCosine)
+  }
+
+  /** [[semDedup]] with the paper's actual cluster source — a LEARNED
+    * k-means assignment (MLlib, fixed seed, fit on the base corpus;
+    * clones are assigned through the fitted model like any unseen row).
+    * Result depends on MLlib's iterative fit, so like the other MLlib
+    * twins this is spec-checked (SemDedupSpec: removals stay a subset
+    * of the true clone set with ≥95% coverage), not DuckDB-oracled —
+    * `d6_semdedup` on the deterministic generating cluster is the
+    * oracle-matched twin.
+    */
+  def semDedupLearned(spark: SparkSession, dir: String,
+                      numClusters: Int = 10,
+                      minCosine: Double = 0.97): DataFrame = {
+    Kernels.install(spark)
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val featurized = withClones(base).withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("v")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numClusters).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features")
+      .fit(featurized.filter(col("vec_id") < 1000000L))
+    val clustered = model.transform(featurized)
+      .select(col("vec_id"), col("prediction").as("cluster"), col("v"))
+    semDedupOver(clustered, minCosine)
+  }
+
+  /** v5's deterministic sign-preserving clone augmentation (vec_id +
+    * 1e6, per-dim rescale, cosine ≈ 0.9996 to the source), over any
+    * (vec_id, …, v) relation — extra columns (e.g. the cluster) ride
+    * along unchanged.
+    */
+  private def withClones(base: DataFrame): DataFrame = {
+    val clones = base.withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("v", transform(col("v"),
+        (x, i) => x * (lit(1.0) + ((i % 5) + 1).cast("double") * lit(0.01))))
+    base.unionByName(clones)
+  }
+
+  /** The shared SemDeDup decision chain over a clustered relation
+    * (vec_id, cluster, v): sub-bucket by the 16-dim sign prefix,
+    * within-bucket pairs by exact cosine, lowest-id survivor; one row
+    * per evicted vector.
+    */
+  private def semDedupOver(clustered: DataFrame, minCosine: Double): DataFrame = {
     // codegen'd 16-term sum, not a HOF: bit i set iff dim i+1 > 0
     val s16 = (0 until 16).map(i =>
       when(col("v").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    val bucketed = base.unionByName(clones).withColumn("s16", s16)
-    val a = bucketed.select(col("vec_id").as("id_a"), col("label"),
+    val bucketed = clustered.withColumn("s16", s16)
+    val a = bucketed.select(col("vec_id").as("id_a"), col("cluster"),
       col("s16"), col("v").as("va"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("label"),
+    val b = bucketed.select(col("vec_id").as("id_b"), col("cluster"),
       col("s16"), col("v").as("vb"))
-    a.join(b, Seq("label", "s16"))
+    a.join(b, Seq("cluster", "s16"))
       .filter(col("id_a") > col("id_b"))
       .withColumn("cos", round(Kernels.cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= lit(minCosine))
-      .groupBy(col("id_a").as("vec_id"), col("label").as("cluster"))
+      .groupBy(col("id_a").as("vec_id"), col("cluster"))
       .agg(min(col("id_b")).as("dup_of"))
       .orderBy("vec_id")
   }

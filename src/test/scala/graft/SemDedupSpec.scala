@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup decision semantics (d6): the fixtures carry no natural
+  * semantic dups (near-random 64-dim vectors), so the clone augmentation
+  * gives a KNOWN-TRUE answer — every clone (vec_id + 1e6) must be
+  * evicted by exactly its source, and nothing else may be evicted. The
+  * learned-cluster variant is approximate at cluster boundaries (the
+  * paper's own trade), so it gets a subset + coverage bound instead of
+  * exactness.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val nBase: Long =
+    spark.read.parquet(s"$dir/embeddings.parquet").count()
+
+  test("label-cluster d6: removals are exactly the clones, each evicted by its source") {
+    val rows = graft.operators.Dedup.semDedup(spark, dir).collect()
+    assert(rows.length == nBase, s"expected $nBase removals, got ${rows.length}")
+    rows.foreach { r =>
+      val id = r.getLong(0); val dupOf = r.getLong(2)
+      assert(id >= 1000000L, s"non-clone $id evicted")
+      assert(dupOf == id - 1000000L, s"clone $id evicted by $dupOf, not its source")
+    }
+  }
+
+  test("learned-cluster variant: removals stay a subset of the clones with >=95% coverage") {
+    val rows = graft.operators.Dedup.semDedupLearned(spark, dir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0); val dupOf = r.getLong(2)
+      assert(id >= 1000000L, s"non-clone $id evicted")
+      assert(dupOf == id - 1000000L, s"clone $id evicted by $dupOf, not its source")
+    }
+    // boundary straddles (source and clone assigned different learned
+    // cells) are the paper's own miss class — bound, don't forbid
+    assert(rows.length >= (nBase * 0.95).toLong,
+      s"learned clusters evicted only ${rows.length} of $nBase clones")
+  }
+
+  test("applying the decision: anti-join returns the corpus to its pre-clone size") {
+    import spark.implicits._
+    val removed = graft.operators.Dedup.semDedup(spark, dir).select("vec_id")
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label")
+    val clones = base.withColumn("vec_id", $"vec_id" + 1000000L)
+    val kept = base.unionByName(clones).join(removed, Seq("vec_id"), "left_anti")
+    assert(kept.count() == nBase)
+  }
+}
