@@ -76,6 +76,24 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     * in-JVM, so no pin can survive into a process that finds them).
     */
   private def recover(): Unit = {
+    healLegacy()
+    // The staging-dir crumb is healed ONLY here, on the WRITER path
+    // (recover() is reached from compact(), where the single-writer
+    // contract holds): `tmpPath` is also the LIVE staging dir of an
+    // in-flight fold, and read paths used to delete it unconditionally —
+    // a reader's readAt() racing a writer's compact() destroyed the
+    // fold mid-write (caught by ConcurrentReadWriteSpec under suite
+    // load: chmod on a vanished `.compacting/_SUCCESS`). A stale crumb
+    // left by a crash is invisible to reads (no `base_v`/`delta_v`
+    // name match) and is reclaimed by the next fold's overwrite.
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+  }
+
+  /** The read-safe subset of crash healing: crumbs of the RETIRED
+    * pre-versioned machinery, which no live writer can be producing —
+    * deleting them can never race anything current code writes.
+    */
+  private def healLegacy(): Unit = {
     if (fs.exists(legacyOldPath)) {
       if (fs.exists(legacyBasePath) || baseGenList().nonEmpty)
         fs.delete(legacyOldPath, true)
@@ -83,7 +101,6 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     }
     val retiredRoot = new Path(s"$dir/_retired")
     if (fs.exists(retiredRoot)) fs.delete(retiredRoot, true)
-    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
   }
 
   private def deltaPathsIn(d: Path): Seq[(Int, Path)] = {
@@ -129,7 +146,7 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
   }
 
   def exists: Boolean = {
-    recover()
+    healLegacy()
     baseGenList().nonEmpty || deltaPaths().nonEmpty
   }
 
@@ -137,7 +154,7 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     * construction).
     */
   def hasBase: Boolean = {
-    recover()
+    healLegacy()
     baseGenList().nonEmpty
   }
 
@@ -162,7 +179,7 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     * the pin closes).
     */
   def readAt(maxV: Int): DataFrame = {
-    recover()
+    healLegacy()
     val gens = baseGenList()
     val baseOpt = gens.filter(_._1 <= maxV).lastOption
     val floor = baseOpt.map(_._1).getOrElse(0)
@@ -280,7 +297,9 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     * (above the live ceiling) are never touched.
     */
   def gc(pinnedCeilings: Set[Int]): Unit = {
-    recover()
+    // healLegacy only: gc also runs from pin close on READER instances,
+    // which must never delete a writer's live `.compacting` staging
+    healLegacy()
     val gens = baseGenList()
     if (gens.isEmpty) return
     val genCeils = gens.map(_._1)

@@ -132,17 +132,23 @@ class MorVectorDBSpec extends AnyFunSuite {
     t.compact() // generation base_v1
     t.upsert(Seq((3L, "c")).toDF("id", "v"))            // v2
 
-    // crash BEFORE the fold's rename: only the temp dir exists — a
-    // fresh handle drops it and reads the intact generation + delta
+    // crash BEFORE the fold's rename: only the temp dir exists — reads
+    // IGNORE it (no base_v/delta_v name match) and must NOT delete it:
+    // the same path is a live fold's staging dir, and a reader deleting
+    // it destroyed a concurrent writer's fold mid-write (the round-11
+    // ConcurrentReadWriteSpec catch). Healing belongs to the writer.
     t.read().write.mode("overwrite").parquet(s"$dir/base.parquet.compacting")
     val t2 = new graft.db.MorTable(spark, dir, "id")
     assert(t2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
-    assert(!fs.exists(new Path(s"$dir/base.parquet.compacting")))
+    assert(fs.exists(new Path(s"$dir/base.parquet.compacting")),
+      "a READ path must never delete the (possibly live) fold staging dir")
 
     // crash AFTER the rename but before GC: both generations + the
     // folded delta remain — reads are correct from the NEW generation,
     // and the next compact's GC collapses retention to the window
     t2.compact() // base_v2 lands; base_v1 + delta_v2 retained (window)
+    assert(!fs.exists(new Path(s"$dir/base.parquet.compacting")),
+      "the next WRITER fold heals the stale staging crumb")
     assert(fs.exists(new Path(s"$dir/base_v2.parquet")))
     assert(fs.exists(new Path(s"$dir/base_v1.parquet")),
       "the previous generation must survive one fold (in-flight readers)")
@@ -168,16 +174,19 @@ class MorVectorDBSpec extends AnyFunSuite {
     t.read().write.mode("overwrite").parquet(s"$dir/base.parquet.old")
     t.read().write.mode("overwrite").parquet(s"$dir/base.parquet.compacting")
     fs.delete(new Path(s"$dir/delta_v1.parquet"), true)
-    // a fresh (new-code) handle restores the aside and reads every row
+    // a fresh (new-code) handle restores the aside and reads every row;
+    // the staging crumb is untouched by reads (writer-side healing only)
     val t2 = new graft.db.MorTable(spark, dir, "id")
     assert(t2.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     assert(fs.exists(new Path(s"$dir/base.parquet")))
     assert(!fs.exists(new Path(s"$dir/base.parquet.old")))
-    assert(!fs.exists(new Path(s"$dir/base.parquet.compacting")))
+    assert(fs.exists(new Path(s"$dir/base.parquet.compacting")))
     // the legacy base participates as a generation: a new fold
-    // supersedes it and the window GC eventually reclaims it
+    // supersedes it, reclaims the staging crumb, and the window GC
+    // eventually reclaims the legacy base
     t2.upsert(Seq((3L, "c")).toDF("id", "v"))
     t2.compact()
+    assert(!fs.exists(new Path(s"$dir/base.parquet.compacting")))
     assert(t2.read().count() == 3)
   }
 

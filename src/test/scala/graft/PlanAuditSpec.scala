@@ -36,6 +36,11 @@ class PlanAuditSpec extends AnyFunSuite {
   )
 
   test("no registered query plans a cartesian product, an unlisted nested-loop join, or a non-terminal range sort") {
+    // Audit the CANONICAL plans: sibling suites memoize relations
+    // (packed codes, simhash pair relations) whose displayed cached
+    // build plans would otherwise leak their one-time sorts into this
+    // scan and make the audit order-dependent.
+    Graft.clearAllCaches(spark)
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val lines = p.linesIterator.toVector
