@@ -1,0 +1,363 @@
+package graft.db
+
+/** Per-serving-block candidate generator seam: an [[IndexStrategy]] may
+  * supply a [[NavBuilder]] and the prepared scan then answers Phase-I
+  * top-B through the built structure instead of the linear block scan —
+  * the engine-side analogue of handing the reference a non-flat faiss
+  * binary index object (`BinaryVectorDB/BinaryVectorDB.py:17`,
+  * `index_type=faiss.IndexBinaryFlat` by default but e.g.
+  * `faiss.IndexBinaryHNSW(d, M)` slots into the same constructor).
+  *
+  * The structure is built once per block at serving-block build time
+  * (commit-amortized, like the block arrays themselves) and lives with
+  * the block in executor memory; per query each partition runs the
+  * navigator over its local block and ships back ≤ B hits exactly as the
+  * linear path does — the driver merge and everything downstream
+  * (phases II/III, payload handling, selectors) is shared.
+  *
+  * Contract: [[BlockNav.topPacked]] returns at most `b` rows, each
+  * passing `admit`, sorted by (hamming asc, doc_id asc) — the same rank
+  * order as the linear scan, so results merge transparently. Navigators
+  * may be APPROXIMATE (a row belonging in the true top-B may be missed);
+  * a navigator whose search width covers the whole block must degenerate
+  * to the exact answer (spec-pinned for the built-in NSW).
+  */
+trait BlockNav extends Serializable {
+
+  /** Ranked candidates for one query: packed `(hamming << 32) | row`
+    * values in result-rank order (hamming asc, doc_id asc — conveyed by
+    * ARRAY ORDER; the packing is just a container). Only rows with
+    * `admit(row)` are returned, but navigation may traverse every row —
+    * filtered searches keep the graph connected.
+    */
+  def topPacked(qWords: Array[Long], b: Int, admit: Int => Boolean): Array[Long]
+}
+
+/** Builds a [[BlockNav]] from one block's parallel arrays. Runs on the
+  * executor inside the serving-block build; must be serializable (it
+  * rides the build closure).
+  */
+trait NavBuilder extends Serializable {
+  def build(ids: Array[Long], words: Array[Long], nWords: Int): BlockNav
+}
+
+/** Navigable-small-world graph over a block's packed codes in hamming
+  * space — the partition-local sub-linear Phase-I path for the
+  * 10M+-rows-per-executor regime where even the popcount linear scan is
+  * memory-bandwidth-bound. Single-layer NSW (Malkov et al., the
+  * construction HNSW reduces to with one level): rows are inserted in
+  * block order; each insertion beam-searches the graph-so-far
+  * (`efConstruction` width) and links bidirectionally to its `m`
+  * nearest, pruning any adjacency past `2·m` by keeping the closest.
+  * Pruning can sever a row's last INBOUND edge (the price of bounded
+  * degree, same as faiss's HNSW shrink), so reachability is heuristic;
+  * at `ef ≥ n` the search exhausts the reachable set and then linearly
+  * sweeps whatever pruning left unreachable — exact by construction,
+  * paying the linear cost only in the degenerate width.
+  *
+  * Search is best-first expansion with two bounds: a width-`ef` heap of
+  * the best EVALUATED rows governs expansion/termination (unfiltered, so
+  * selective admit predicates cannot strand the frontier), and a
+  * bounded (hamming, doc_id) result heap collects ADMITTED rows — the
+  * exact shape of the linear scan's heap, so ties break identically.
+  *
+  * Memory: `2m` ints/row adjacency (+1 int degree) ≈ 132 B/row at the
+  * default m=16, on top of the block's code words.
+  */
+final class NswNav(
+    ids: Array[Long], words: Array[Long], nWords: Int,
+    neighbors: Array[Int], degree: Array[Int], maxDeg: Int,
+    efSearch: Int) extends BlockNav {
+
+  private def hamming(row: Int, qWords: Array[Long]): Int = {
+    val base = row * nWords
+    var acc = 0
+    var w = 0
+    while (w < nWords) {
+      acc += java.lang.Long.bitCount(words(base + w) ^ qWords(w))
+      w += 1
+    }
+    acc
+  }
+
+  override def topPacked(qWords: Array[Long], b: Int,
+                         admit: Int => Boolean): Array[Long] = {
+    val n = degree.length
+    if (n == 0 || b <= 0) return Array.emptyLongArray
+    val ef = math.max(b, efSearch)
+
+    val visited = new java.util.BitSet(n)
+    // frontier: min-heap of packed (hamming << 32 | row) — natural long
+    // order is (hamming, insertion row), fine for expansion priority.
+    val frontier = new NswNav.LongHeap(min = true)
+    // evaluated: max-heap bound of width ef over ALL evaluated rows.
+    val evaluated = new NswNav.LongHeap(min = false)
+    // result: bounded max-heap on (hamming, doc_id) over admitted rows.
+    val resH = new Array[Int](b)
+    val resId = new Array[Long](b)
+    val resRow = new Array[Int](b)
+    var resSize = 0
+
+    def resWorse(h: Int, id: Long): Boolean =
+      h > resH(0) || (h == resH(0) && id > resId(0))
+    def resSiftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1; var m = i
+        if (l < resSize && (resH(l) > resH(m) ||
+          (resH(l) == resH(m) && resId(l) > resId(m)))) m = l
+        if (r < resSize && (resH(r) > resH(m) ||
+          (resH(r) == resH(m) && resId(r) > resId(m)))) m = r
+        if (m == i) done = true
+        else {
+          val th = resH(i); resH(i) = resH(m); resH(m) = th
+          val ti = resId(i); resId(i) = resId(m); resId(m) = ti
+          val tr = resRow(i); resRow(i) = resRow(m); resRow(m) = tr
+          i = m
+        }
+      }
+    }
+    def resSiftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) / 2
+        if (resH(i) > resH(p) || (resH(i) == resH(p) && resId(i) > resId(p))) {
+          val th = resH(i); resH(i) = resH(p); resH(p) = th
+          val ti = resId(i); resId(i) = resId(p); resId(p) = ti
+          val tr = resRow(i); resRow(i) = resRow(p); resRow(p) = tr
+          i = p
+        } else i = 0
+      }
+    }
+    def offer(row: Int, h: Int): Unit = if (admit(row)) {
+      val id = ids(row)
+      if (resSize < b) {
+        resH(resSize) = h; resId(resSize) = id; resRow(resSize) = row
+        resSize += 1; resSiftUp(resSize - 1)
+      } else if (!resWorse(h, id)) {
+        resH(0) = h; resId(0) = id; resRow(0) = row; resSiftDown()
+      }
+    }
+
+    val entry = 0
+    val d0 = hamming(entry, qWords)
+    visited.set(entry)
+    val packed0 = (d0.toLong << 32) | entry.toLong
+    frontier.push(packed0)
+    evaluated.push(packed0)
+    offer(entry, d0)
+
+    while (frontier.nonEmpty) {
+      val c = frontier.pop()
+      val cH = (c >>> 32).toInt
+      if (evaluated.size >= ef && cH > (evaluated.peek() >>> 32).toInt) {
+        frontier.clear() // every remaining candidate is at least as far
+      } else {
+        val row = (c & 0xffffffffL).toInt
+        val nbBase = row * maxDeg
+        val deg = degree(row)
+        var j = 0
+        while (j < deg) {
+          val nb = neighbors(nbBase + j)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val d = hamming(nb, qWords)
+            if (evaluated.size < ef || d < (evaluated.peek() >>> 32).toInt) {
+              val packed = (d.toLong << 32) | nb.toLong
+              frontier.push(packed)
+              evaluated.push(packed)
+              if (evaluated.size > ef) evaluated.pop()
+              offer(nb, d)
+            }
+          }
+          j += 1
+        }
+      }
+    }
+
+    // Degenerate exhaustive width: adjacency pruning may have left rows
+    // with no inbound edges; sweep them so ef >= n is EXACT.
+    if (ef >= n) {
+      var r = visited.nextClearBit(0)
+      while (r < n) {
+        offer(r, hamming(r, qWords))
+        r = visited.nextClearBit(r + 1)
+      }
+    }
+
+    // drain the result heap into rank order (hamming asc, id asc)
+    val out = new Array[Long](resSize)
+    val idx = Array.range(0, resSize).sortBy(i => (resH(i), resId(i)))
+    var i = 0
+    while (i < resSize) {
+      val k = idx(i)
+      out(i) = (resH(k).toLong << 32) | resRow(k).toLong
+      i += 1
+    }
+    out
+  }
+}
+
+object NswNav {
+
+  /** Tiny primitive binary heap over packed longs (no boxing). `min`
+    * chooses the order; `peek` is the root.
+    */
+  private[db] final class LongHeap(min: Boolean) {
+    private var arr = new Array[Long](64)
+    private var n = 0
+    def size: Int = n
+    def nonEmpty: Boolean = n > 0
+    def peek(): Long = arr(0)
+    def clear(): Unit = n = 0
+    private def lt(a: Long, b: Long): Boolean = if (min) a < b else a > b
+    def push(v: Long): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = v; n += 1
+      var i = n - 1
+      while (i > 0) {
+        val p = (i - 1) / 2
+        if (lt(arr(i), arr(p))) { val t = arr(i); arr(i) = arr(p); arr(p) = t; i = p }
+        else i = 0
+      }
+    }
+    def pop(): Long = {
+      val top = arr(0)
+      n -= 1
+      arr(0) = arr(n)
+      var i = 0
+      var done = n == 0
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1; var m = i
+        if (l < n && lt(arr(l), arr(m))) m = l
+        if (r < n && lt(arr(r), arr(m))) m = r
+        if (m == i) done = true
+        else { val t = arr(i); arr(i) = arr(m); arr(m) = t; i = m }
+      }
+      top
+    }
+  }
+}
+
+/** Builds [[NswNav]] graphs. `m` is the per-insertion link count (faiss
+  * HNSW's M); adjacency is pruned to the closest `2m`. `efConstruction`
+  * is the insertion beam width, `efSearch` the query-time floor (the
+  * effective width is `max(b, efSearch)`). Tune by registering a
+  * differently-parameterized [[IndexStrategies.Nsw]] before open — the
+  * same place faiss callers parameterize their index object.
+  */
+final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
+    extends NavBuilder {
+  require(m >= 1, s"m must be >= 1, got $m")
+  require(efConstruction >= m,
+    s"efConstruction must be >= m ($m), got $efConstruction")
+  require(efSearch >= 1, s"efSearch must be >= 1, got $efSearch")
+
+  override def build(ids: Array[Long], words: Array[Long],
+                     nWords: Int): BlockNav = {
+    val n = ids.length
+    val maxDeg = 2 * m
+    val neighbors = new Array[Int](math.max(n, 1) * maxDeg)
+    val degree = new Array[Int](n)
+
+    def ham(a: Int, b: Int): Int = {
+      val ba = a * nWords; val bb = b * nWords
+      var acc = 0
+      var w = 0
+      while (w < nWords) {
+        acc += java.lang.Long.bitCount(words(ba + w) ^ words(bb + w))
+        w += 1
+      }
+      acc
+    }
+
+    // Replace the farthest neighbor when the adjacency is full and the
+    // candidate is closer; otherwise append.
+    def link(a: Int, b: Int): Unit = {
+      val base = a * maxDeg
+      val deg = degree(a)
+      var j = 0
+      while (j < deg) { if (neighbors(base + j) == b) return; j += 1 }
+      if (deg < maxDeg) {
+        neighbors(base + deg) = b
+        degree(a) = deg + 1
+      } else {
+        var worst = -1
+        var worstD = -1
+        var k = 0
+        while (k < deg) {
+          val d = ham(a, neighbors(base + k))
+          if (d > worstD) { worstD = d; worst = k }
+          k += 1
+        }
+        if (ham(a, b) < worstD) neighbors(base + worst) = b
+      }
+    }
+
+    // Beam search over the graph-so-far (nodes [0, limit)) for node
+    // `target`'s code; returns the up-to-m nearest by (hamming, row).
+    val visited = new java.util.BitSet(n)
+    def nearest(target: Int, limit: Int): Array[Int] = {
+      visited.clear()
+      val frontier = new NswNav.LongHeap(min = true)
+      val evaluated = new NswNav.LongHeap(min = false)
+      val tb = target * nWords
+      def dist(row: Int): Int = {
+        val rb = row * nWords
+        var acc = 0
+        var w = 0
+        while (w < nWords) {
+          acc += java.lang.Long.bitCount(words(rb + w) ^ words(tb + w))
+          w += 1
+        }
+        acc
+      }
+      visited.set(0)
+      val p0 = (dist(0).toLong << 32) | 0L
+      frontier.push(p0); evaluated.push(p0)
+      val ef = efConstruction
+      while (frontier.nonEmpty) {
+        val c = frontier.pop()
+        if (evaluated.size >= ef && (c >>> 32) > (evaluated.peek() >>> 32)) {
+          frontier.clear()
+        } else {
+          val row = (c & 0xffffffffL).toInt
+          val base = row * maxDeg
+          val deg = degree(row)
+          var j = 0
+          while (j < deg) {
+            val nb = neighbors(base + j)
+            if (nb < limit && !visited.get(nb)) {
+              visited.set(nb)
+              val d = dist(nb)
+              if (evaluated.size < ef || d < (evaluated.peek() >>> 32).toInt) {
+                val packed = (d.toLong << 32) | nb.toLong
+                frontier.push(packed)
+                evaluated.push(packed)
+                if (evaluated.size > ef) evaluated.pop()
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      val all = new Array[Long](evaluated.size)
+      var i = all.length - 1
+      while (i >= 0) { all(i) = evaluated.pop(); i -= 1 }
+      all.take(m).map(p => (p & 0xffffffffL).toInt)
+    }
+
+    var i = 1
+    while (i < n) {
+      val links = nearest(i, i)
+      var j = 0
+      while (j < links.length) {
+        link(i, links(j)); link(links(j), i)
+        j += 1
+      }
+      i += 1
+    }
+    new NswNav(ids, words, nWords, neighbors, degree, maxDeg, efSearch)
+  }
+}

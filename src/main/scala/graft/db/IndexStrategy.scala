@@ -51,6 +51,16 @@ trait IndexStrategy {
     */
   def probeOrder(ctx: IndexStrategy.Context, qWords: Seq[Long]): IndexedSeq[Int] =
     throw new UnsupportedOperationException(s"$name does not partition")
+
+  /** Optional per-serving-block candidate generator ([[NavBuilder]]):
+    * when defined, the prepared scan builds one [[BlockNav]] per block
+    * and Phase-I top-B runs through it instead of the linear scan —
+    * possibly APPROXIMATE (the strategy's contract to document).
+    * Orthogonal to [[partitioned]]: a cell-partitioned strategy may also
+    * navigate within blocks. The non-serving Catalyst path ignores this
+    * (it stays exhaustive/exact). Default: none — linear scan.
+    */
+  def navBuilder(ctx: IndexStrategy.Context): Option[NavBuilder] = None
 }
 
 object IndexStrategy {
@@ -114,10 +124,30 @@ object IndexStrategies {
       }
   }
 
+  /** Navigable-small-world strategy: each serving block carries an NSW
+    * graph over its codes ([[NswNavBuilder]]) and Phase-I is best-first
+    * graph search — sub-linear per partition, APPROXIMATE at the default
+    * width (recall tunable via `efSearch`; `efSearch` ≥ block rows
+    * degenerates to exact, spec-pinned). The analogue of constructing
+    * the reference with `faiss.IndexBinaryHNSW(d, M)`
+    * (`BinaryVectorDB.py:17` takes the index object; its parameters ride
+    * the object) — here, register a reparameterized instance under the
+    * same name before open: `IndexStrategies.register(new Nsw(m = 32))`.
+    * Without serving the strategy behaves exactly like `flat`.
+    */
+  final class Nsw(val m: Int = 16, val efConstruction: Int = 128,
+                  val efSearch: Int = 96) extends IndexStrategy {
+    val name = VectorDB.IndexNsw
+    val partitioned = false
+    override def navBuilder(ctx: IndexStrategy.Context): Option[NavBuilder] =
+      Some(new NswNavBuilder(m, efConstruction, efSearch))
+  }
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, IndexStrategy]()
   register(Flat)
   register(Ivf)
+  register(new Nsw())
 
   /** Register a strategy (idempotent by name; last registration wins).
     * Must happen before any `openOrCreate` naming it.

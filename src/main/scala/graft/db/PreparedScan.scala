@@ -70,7 +70,7 @@ final class PreparedScan private (
             val skip = probeSorted.exists(p =>
               !blk.distinctCells.exists(c => java.util.Arrays.binarySearch(p, c) >= 0))
             if (skip) Array.empty[PreparedScan.Hit]
-            else PreparedScan.scanBlock(blk, qWords, nw, b, probeSorted.orNull,
+            else PreparedScan.dispatchScan(blk, qWords, nw, b, probeSorted.orNull,
               if (selSet == null) null else selSet.probe())
           }
         })
@@ -113,7 +113,7 @@ final class PreparedScan private (
               val skip = p != null && !blk.distinctCells.exists(c =>
                 java.util.Arrays.binarySearch(p, c) >= 0)
               if (skip) Array.empty[PreparedScan.Hit]
-              else PreparedScan.scanBlock(blk, qs(qi), nw, b, p, selProbe)
+              else PreparedScan.dispatchScan(blk, qs(qi), nw, b, p, selProbe)
             }
           }
         })
@@ -129,7 +129,10 @@ final class PreparedScan private (
     * per-row early-exit bound is FIXED at `radius` from the first row
     * (no heap warm-up), so word-loop pruning is strictly stronger; the
     * result size is whatever matches (possibly zero, possibly the
-    * block). `probed`/`sel` behave as in [[topB]]. Rank-sorted.
+    * block). `probed`/`sel` behave as in [[topB]]. Rank-sorted. Always
+    * the exhaustive linear scan, even when blocks carry a [[BlockNav]]:
+    * the radius contract is EVERY match, which an approximate navigator
+    * cannot promise.
     */
   def withinRadius(qWords: Array[Long], radius: Int,
                    probed: Option[Array[Int]] = None,
@@ -183,7 +186,8 @@ object PreparedScan {
   private[db] case class Block(ids: Array[Long], words: Array[Long],
                                cells: Array[Int], distinctCells: Array[Int],
                                bytes: Array[Byte], byteLen: Int,
-                               docs: Array[String])
+                               docs: Array[String],
+                               nav: BlockNav = null)
 
   private[db] object Block {
     def bare(ids: Array[Long], words: Array[Long], cells: Array[Int],
@@ -195,6 +199,42 @@ object PreparedScan {
     (x: Hit, y: Hit) => {
       val c = java.lang.Integer.compare(x.hamming, y.hamming)
       if (c != 0) c else java.lang.Long.compare(x.id, y.id)
+    }
+
+  /** One query against one block: through the block's [[BlockNav]] when
+    * the index strategy built one (sub-linear, possibly approximate),
+    * else the exhaustive [[scanBlock]]. Both return rank-sorted ≤ B hits
+    * with the same payload handling, so everything downstream is shared.
+    */
+  private[db] def dispatchScan(blk: Block, qWords: Array[Long], nWords: Int,
+                               b: Int, probeSorted: Array[Int],
+                               sel: IdProbe): Array[Hit] =
+    if (blk.nav == null) scanBlock(blk, qWords, nWords, b, probeSorted, sel)
+    else {
+      val filterCells = probeSorted != null && blk.cells.length > 0
+      val admit: Int => Boolean =
+        if (!filterCells && sel == null) _ => true
+        else row =>
+          (!filterCells ||
+            java.util.Arrays.binarySearch(probeSorted, blk.cells(row)) >= 0) &&
+            (sel == null || sel.contains(blk.ids(row)))
+      val packed = blk.nav.topPacked(qWords, b, admit)
+      val withPayload = blk.byteLen > 0
+      val out = new Array[Hit](packed.length)
+      var i = 0
+      while (i < packed.length) {
+        val h = (packed(i) >>> 32).toInt
+        val r = (packed(i) & 0xffffffffL).toInt
+        out(i) = Hit(blk.ids(r), h,
+          java.util.Arrays.copyOfRange(blk.words, r * nWords, (r + 1) * nWords),
+          if (withPayload)
+            java.util.Arrays.copyOfRange(blk.bytes, r * blk.byteLen,
+              (r + 1) * blk.byteLen)
+          else null,
+          if (blk.docs != null) blk.docs(r) else null)
+        i += 1
+      }
+      out
     }
 
   /** Bounded-heap scan of one block. The heap keeps the B smallest
@@ -349,11 +389,14 @@ object PreparedScan {
     * (flat layout), plus `cell:int` under IVF; with `withBytes` also
     * `emb_int8:binary` (constant length — the index dim) and with
     * `withDoc` also `doc:string`. Each source partition becomes one
-    * block; no shuffle beyond whatever produced `codes`.
+    * block; no shuffle beyond whatever produced `codes`. `navBuilder`,
+    * when given, builds each block's [[BlockNav]] candidate generator
+    * right after the arrays (executor-side, commit-amortized).
     */
   def build(codes: DataFrame, nWords: Int, isFlat: Boolean,
             isIvf: Boolean, withBytes: Boolean = false,
-            withDoc: Boolean = false): PreparedScan = {
+            withDoc: Boolean = false,
+            navBuilder: Option[NavBuilder] = None): PreparedScan = {
     val wordsCol =
       if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*).as("w")
       else col("code").as("w")
@@ -388,9 +431,12 @@ object PreparedScan {
         if (withDoc) docs += r.getString(docAt)
       }
       val cellArr = cells.result()
-      Iterator.single(Block(ids.result(), words.result(), cellArr,
+      val idArr = ids.result()
+      val wordArr = words.result()
+      Iterator.single(Block(idArr, wordArr, cellArr,
         cellArr.distinct.sorted, bytes.result(), byteLen,
-        if (withDoc) docs.result() else null))
+        if (withDoc) docs.result() else null,
+        navBuilder.map(_.build(idArr, wordArr, nWords)).orNull))
     }.persist(StorageLevel.MEMORY_AND_DISK)
     blocks.count() // materialize eagerly: serving opts into RAM residency
     new PreparedScan(blocks, nWords)

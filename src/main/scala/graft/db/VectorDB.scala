@@ -849,7 +849,8 @@ class VectorDB private (
                   docs.select(col("doc_id"), col("doc"), col("emb_int8")),
                   Seq("doc_id"))
                 PreparedScan.build(fused, nWords, isFlat, isIvf,
-                  withBytes = true, withDoc = true)
+                  withBytes = true, withDoc = true,
+                  navBuilder = indexStrategy.navBuilder(strategyCtx))
               }
               prepared = Some((cur, ps))
               Some(ps)
@@ -1974,6 +1975,11 @@ object VectorDB {
     */
   val IndexFlat = "flat"
   val IndexIvf = "ivf"
+  /** Per-block navigable-small-world graphs on the serving tier
+    * ([[IndexStrategies.Nsw]]): sub-linear Phase-I, approximate at the
+    * default search width, exact without serving.
+    */
+  val IndexNsw = "nsw"
   /** Default IVF cell count = 2^IvfPrefixBits (overridable per index via
     * `openOrCreate(ivfCells = …)` — the reference's `index_args` mirror).
     */

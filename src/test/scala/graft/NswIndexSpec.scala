@@ -1,0 +1,154 @@
+package graft
+
+import graft.db.{DocSelector, HashingEmbedder, IndexStrategies, NswNavBuilder, VectorDB}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `nsw` index strategy (per-serving-block navigable-small-world
+  * graphs — the engine-side analogue of constructing the reference with
+  * `faiss.IndexBinaryHNSW`, `BinaryVectorDB.py:17`):
+  *   - without serving it is exactly `flat` (the Catalyst path never
+  *     consults the navigator);
+  *   - under serving with `efSearch` ≥ block rows the graph search is
+  *     exhaustive (connected graph, no early stop) and therefore EXACT —
+  *     including under a compiled selector;
+  *   - at the default width it is approximate with high overlap vs the
+  *     exact top-k;
+  *   - commits rebuild the per-block graphs with the serving blocks.
+  */
+class NswIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftnsw").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private val corpus = (1L to 300L).map(i =>
+    (i, s"tok${i % 13} tok${i % 7} tok${i % 31} tok${i % 3}")).toSeq
+
+  private def hits(db: VectorDB, q: String, k: Int = 10): Seq[(Long, Int, Double)] =
+    db.search(q, k).collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("score_hamming"), r.getAs[Double]("score_cossim"))).toSeq
+
+  test("without serving, nsw equals flat exactly and the config round-trips") {
+    val flat = VectorDB.openOrCreate(spark, freshDir())
+    val nsw = VectorDB.openOrCreate(spark, freshDir(), index = VectorDB.IndexNsw)
+    flat.addDocuments(corpus.toDF("doc_id", "text"))
+    nsw.addDocuments(corpus.toDF("doc_id", "text"))
+
+    Seq("tok1 tok5", "tok12 tok2 tok30", "tok4").foreach { q =>
+      assert(hits(nsw, q) == hits(flat, q), s"query '$q'")
+    }
+    assert(VectorDB.openOrCreate(spark, nsw.folder).index == VectorDB.IndexNsw)
+    // nprobe is a cell-partitioned-index parameter.
+    intercept[IllegalArgumentException] { nsw.search("tok1", nprobe = 2) }
+  }
+
+  test("served nsw with efSearch >= block rows is exact, selectors included") {
+    // Exhaustive width: the graph is connected, so ef >= n visits every
+    // row and the result heap is the linear scan's heap bit for bit.
+    IndexStrategies.register(new IndexStrategies.Nsw(
+      m = 6, efConstruction = 24, efSearch = 1 << 20))
+    try {
+      val flat = VectorDB.openOrCreate(spark, freshDir())
+      val nsw = VectorDB.openOrCreate(spark, freshDir(), index = VectorDB.IndexNsw)
+      flat.addDocuments(corpus.toDF("doc_id", "text"))
+      nsw.addDocuments(corpus.toDF("doc_id", "text"))
+      nsw.enableServing()
+      try {
+        Seq("tok1 tok5", "tok12 tok2 tok30").foreach { q =>
+          assert(hits(nsw, q) == hits(flat, q), s"query '$q'")
+        }
+        // Filtered: admitted-only results still exact at full width.
+        val sel: DocSelector = nsw.selector(col("doc_id") % 3 === 0)
+        val selFlat = flat.searchVectorWhere(
+          qVec("tok1 tok5"), col("doc_id") % 3 === 0, 10, 10, 3, Int.MaxValue)
+          .collect().map(_.getAs[Long]("doc_id")).toSeq
+        val selNsw = nsw.searchVectorWhere(qVec("tok1 tok5"), sel, 10, 10, 3,
+          Int.MaxValue).collect().map(_.getAs[Long]("doc_id")).toSeq
+        assert(selNsw == selFlat)
+        sel.release()
+      } finally nsw.disableServing()
+    } finally IndexStrategies.register(new IndexStrategies.Nsw())
+  }
+
+  test("served nsw at the default width keeps high overlap with the exact top-k") {
+    // One block much larger than the search width, rich 1024-bit codes:
+    // the approximate regime. Default ef=96 over a 1500-row block.
+    val emb = new HashingEmbedder(1024)
+    val big = (1L to 1500L).map(i =>
+      (i, s"w${i % 97} w${i % 41} w${i % 13} w${i % 7} w${i % 3} w${i % 59}"))
+    val flat = VectorDB.openOrCreate(spark, freshDir(), dim = 1024)
+    val nsw = VectorDB.openOrCreate(spark, freshDir(), dim = 1024,
+      index = VectorDB.IndexNsw)
+    flat.addDocuments(big.toDF("doc_id", "text").repartition(1), emb)
+    nsw.addDocuments(big.toDF("doc_id", "text").repartition(1), emb)
+    nsw.enableServing()
+    try {
+      val queries = Seq("w1 w40 w12", "w96 w2 w58", "w7 w13 w41")
+      val overlaps = queries.map { q =>
+        val exact = flat.search(q, k = 10, embedder = emb)
+          .collect().map(_.getAs[Long]("doc_id")).toSet
+        val approx = nsw.search(q, k = 10, embedder = emb)
+          .collect().map(_.getAs[Long]("doc_id")).toSet
+        assert(approx.size == 10)
+        (approx & exact).size
+      }
+      // Graph search is approximate; require strong but not perfect
+      // retention (the recorded bench tracks the real recall curve).
+      assert(overlaps.sum >= queries.size * 10 * 7 / 10,
+        s"overlap@10 too low: $overlaps")
+    } finally nsw.disableServing()
+  }
+
+  test("a commit rebuilds the per-block graphs with the serving blocks") {
+    val nsw = VectorDB.openOrCreate(spark, freshDir(), index = VectorDB.IndexNsw)
+    nsw.addDocuments(corpus.toDF("doc_id", "text"))
+    nsw.enableServing()
+    try {
+      val before = hits(nsw, "tok1 tok5")
+      nsw.addDocuments(Seq((9001L, "tok1 tok5 tok1 tok5")).toDF("doc_id", "text"))
+      val after = hits(nsw, "tok1 tok5")
+      assert(after != before)
+      assert(after.exists(_._1 == 9001L),
+        "the just-committed near-exact match must surface through the rebuilt graph")
+    } finally nsw.disableServing()
+  }
+
+  test("NswNav unit: exhaustive width reproduces brute force on random codes") {
+    val rnd = new scala.util.Random(42)
+    val n = 500
+    val nWords = 2
+    val ids = Array.tabulate(n)(i => (n - i).toLong) // ids NOT in row order
+    val words = Array.fill(n * nWords)(rnd.nextLong())
+    val nav = new NswNavBuilder(m = 5, efConstruction = 20, efSearch = n)
+      .build(ids, words, nWords)
+    val q = Array.fill(nWords)(rnd.nextLong())
+    def ham(row: Int): Int = (0 until nWords).map(w =>
+      java.lang.Long.bitCount(words(row * nWords + w) ^ q(w))).sum
+    val brute = (0 until n).map(r => (ham(r), ids(r), r))
+      .sortBy(t => (t._1, t._2)).take(7)
+    val got = nav.topPacked(q, 7, _ => true).map { p =>
+      val r = (p & 0xffffffffL).toInt
+      ((p >>> 32).toInt, ids(r), r)
+    }.toSeq
+    assert(got == brute)
+    // Admit filter: only even ids may enter the results.
+    val bruteEven = (0 until n).filter(r => ids(r) % 2 == 0)
+      .map(r => (ham(r), ids(r))).sortBy(identity).take(7)
+    val gotEven = nav.topPacked(q, 7, r => ids(r) % 2 == 0).map { p =>
+      ((p >>> 32).toInt, ids((p & 0xffffffffL).toInt))
+    }.toSeq
+    assert(gotEven == bruteEven)
+  }
+
+  private def qVec(text: String): Seq[Double] = {
+    val emb = new HashingEmbedder()
+    spark.range(1).select(
+      emb.embed(org.apache.spark.sql.functions.lit(text)).cast("array<double>"))
+      .head().getSeq[Double](0)
+  }
+}
