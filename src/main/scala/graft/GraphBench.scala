@@ -1,0 +1,136 @@
+package graft
+
+import graft.db.{IndexStrategies, VectorDB}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** NSW serving-graph sweep: latency + recall of the per-block
+  * navigable-small-world Phase-I path (`index = nsw`) against the
+  * linear prepared scan (`flat`), on the clustered 1024-dim manifold of
+  * [[RecallBench.pointGen]] through the real build + serve path.
+  *
+  * What the numbers mean at scale: the linear scan is
+  * O(rows/partition) popcounts per query per partition; the graph is
+  * ~O(ef·2m) — the win grows with rows-per-executor, which is why the
+  * sweep's default geometry packs the corpus into FEW blocks
+  * (`repartitionTo` below) rather than 32 shards of toy size. Build
+  * cost is the serve-enable wall (block arrays + per-block graph
+  * construction), amortized per commit exactly like the block arrays
+  * themselves.
+  *
+  * Per `efSearch` the strategy is re-registered and serving rebuilt
+  * (the ef is baked into the block navigators at build time — the same
+  * place faiss bakes `efConstruction`/M into its index object).
+  * Recall@10 is against the flat DB's exact funnel on identical data.
+  *
+  * Usage: `graft.GraphBench [nDocs] [dim] [nQueries] [nBlocks]`
+  * (default 1M × 1024 × 20 × 4).
+  */
+object GraphBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val dim = if (args.length > 1) args(1).toInt else 1024
+    val nQueries = if (args.length > 2) args(2).toInt else 20
+    val nBlocks = if (args.length > 3) args(3).toInt else 4
+    val clusters = 100
+    val intrinsicDim = 8
+    val sigma = 0.5
+    val m = 16
+    val efC = 128
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-graphbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", Graft.fairDefaultPoolFile)
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    class SynthEmbedder(val dim: Int) extends graft.db.Embedder {
+      override def embed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val gen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma)
+        val genUdf = udf { id: Long => gen(id)._1 }
+        genUdf(text.cast("long")).cast("array<float>")
+      }
+    }
+
+    // Few large partitions: the rows-per-executor regime the graph path
+    // exists for (32 toy shards would make every block trivially small).
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      col("id").cast("string").as("text")).repartition(nBlocks)
+    val qGen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma)
+    val qids = (0 until nQueries).map(i => i.toLong * (n / nQueries) + i)
+    val queries = qids.map(id => id -> qGen(id)._1.map(_.toDouble).toSeq).toMap
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }
+
+    def freshDir(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-graph-$tag").toString + "/db"
+
+    // ---- flat baseline: exact results + linear serving latency ----
+    val flat = VectorDB.openOrCreate(spark, freshDir("flat"),
+      model = s"graft-synth-$dim", dim = dim)
+    val ingestT0 = System.nanoTime()
+    flat.addDocuments(docs, new SynthEmbedder(dim))
+    val ingestS = (System.nanoTime() - ingestT0) / 1e9
+    val flatServeMs = time(flat.enableServing())
+    flat.searchHits(queries(qids.head), k = 10) // warm
+    val exact = qids.map(q =>
+      q -> flat.searchHits(queries(q), k = 10).map(_.docId).toSet).toMap
+    val (flatTimes, flatP1s) = qids.map { q =>
+      val ms = time(flat.searchHits(queries(q), k = 10))
+      (ms, flat.lastSearchTimings.map(_.phase1Ms).getOrElse(-1.0))
+    }.unzip
+    val flatMs = median(flatTimes)
+    val flatP1 = median(flatP1s)
+    flat.disableServing()
+    val flatRow = f"""{"config":"flat","hits_ms":$flatMs%.1f,""" +
+      f""""phase1_ms":$flatP1%.1f,"serve_build_ms":$flatServeMs%.0f}"""
+    println(flatRow)
+
+    // ---- nsw: one folder, serving rebuilt per efSearch ----
+    val nswDir = freshDir("nsw")
+    IndexStrategies.register(new IndexStrategies.Nsw(m, efC, 96))
+    val nswSeed = VectorDB.openOrCreate(spark, nswDir,
+      model = s"graft-synth-$dim", dim = dim, index = VectorDB.IndexNsw)
+    nswSeed.addDocuments(docs, new SynthEmbedder(dim))
+
+    val rows = Seq(48, 96, 192, 384).map { ef =>
+      IndexStrategies.register(new IndexStrategies.Nsw(m, efC, ef))
+      val db = VectorDB.openOrCreate(spark, nswDir, dim = dim)
+      val buildMs = time(db.enableServing())
+      db.searchHits(queries(qids.head), k = 10) // warm
+      val (recalls, timed) = qids.map { q =>
+        val t0 = System.nanoTime()
+        val got = db.searchHits(queries(q), k = 10).map(_.docId).toSet
+        val ms = (System.nanoTime() - t0) / 1e6
+        (got.intersect(exact(q)).size / 10.0,
+          (ms, db.lastSearchTimings.map(_.phase1Ms).getOrElse(-1.0)))
+      }.unzip
+      db.disableServing()
+      val rec = recalls.sum / recalls.size
+      val (times, p1s) = timed.unzip
+      val ms = median(times)
+      val p1 = median(p1s)
+      val row = f"""{"config":"nsw","m":$m,"ef_construction":$efC,""" +
+        f""""ef_search":$ef,"recall_at10":$rec%.3f,"hits_ms":$ms%.1f,""" +
+        f""""phase1_ms":$p1%.1f,"serve_build_ms":$buildMs%.0f}"""
+      println(row)
+      row
+    }
+    IndexStrategies.register(new IndexStrategies.Nsw()) // restore defaults
+
+    println(s"""{"metric":"graph_serving","n":$n,"dim":$dim,"n_blocks":$nBlocks,""" +
+      s""""n_queries":$nQueries,"ingest_s":${f"$ingestS%.1f"},""" +
+      s""""rows":${(flatRow +: rows).mkString("[", ",", "]")},""" +
+      """"note":"per-block NSW graphs vs the linear prepared scan, same corpus/queries; recall_at10 vs the flat DB's exact funnel results. phase1_ms is the Phase-I scan job wall (VectorDB.lastSearchTimings) — hits_ms minus it is the job floor + phases II/III, identical for both configs. serve_build_ms is the enableServing wall (block arrays + graph construction, commit-amortized). Few large blocks on purpose: the graph's O(ef·2m) per-partition cost vs linear O(rows/partition) only separates when partitions are big."}""")
+    spark.stop()
+  }
+}

@@ -94,6 +94,12 @@ object Kernels {
         if (!registry.functionExists(FunctionIdentifier(name)))
           registry.createOrReplaceTempFunction(name, builder, "built-in")
       }
+      // The ungrouped graft_topk_cand fast path (primitive-heap physical
+      // operator — see graft.plans.TopKCandStrategy). Idempotent per
+      // session; sessions built with GraftExtensions get it there.
+      val exp = spark.experimental
+      if (!exp.extraStrategies.contains(graft.plans.TopKCandStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKCandStrategy
     }
 
   // ---- vector kernels -----------------------------------------------------
@@ -242,11 +248,13 @@ object Kernels {
   * graft kernel as a permanent SQL function.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     Kernels.registrations.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.VectorExpressions", name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.TopKCandStrategy)
+  }
 }
