@@ -143,11 +143,36 @@ object IndexStrategies {
       Some(new NswNavBuilder(m, efConstruction, efSearch))
   }
 
+  /** IVF cells + per-block NSW graphs composed: the hot tier is
+    * cell-partitioned (learned k-majority / prefix quantizer, probe
+    * pruning — everything [[Ivf]] does) AND each serving block carries
+    * a navigable-small-world graph, so a probe-limited search skips
+    * non-probed blocks and navigates sub-linearly inside the probed
+    * ones — per-cell graphs, built with the serving blocks at
+    * commit-refresh. Same approximation contract as [[Nsw]]; exact at
+    * `efSearch` ≥ block rows AND full probe.
+    */
+  final class IvfNsw(val m: Int = 16, val efConstruction: Int = 128,
+                     val efSearch: Int = 96) extends IndexStrategy {
+    val name = VectorDB.IndexIvfNsw
+    val partitioned = true
+    override def cellColumn(ctx: IndexStrategy.Context, codeArray: Column,
+                            packedCodes: org.apache.spark.sql.DataFrame,
+                            nRows: Long): Column =
+      Ivf.cellColumn(ctx, codeArray, packedCodes, nRows)
+    override def probeOrder(ctx: IndexStrategy.Context,
+                            qWords: Seq[Long]): IndexedSeq[Int] =
+      Ivf.probeOrder(ctx, qWords)
+    override def navBuilder(ctx: IndexStrategy.Context): Option[NavBuilder] =
+      Some(new NswNavBuilder(m, efConstruction, efSearch))
+  }
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, IndexStrategy]()
   register(Flat)
   register(Ivf)
   register(new Nsw())
+  register(new IvfNsw())
 
   /** Register a strategy (idempotent by name; last registration wins).
     * Must happen before any `openOrCreate` naming it.

@@ -1980,6 +1980,11 @@ object VectorDB {
     * default search width, exact without serving.
     */
   val IndexNsw = "nsw"
+  /** IVF cell partitioning + per-block NSW graphs composed
+    * ([[IndexStrategies.IvfNsw]]): probe pruning across blocks,
+    * sub-linear navigation inside them.
+    */
+  val IndexIvfNsw = "ivf_nsw"
   /** Default IVF cell count = 2^IvfPrefixBits (overridable per index via
     * `openOrCreate(ivfCells = …)` — the reference's `index_args` mirror).
     */

@@ -145,6 +145,32 @@ class NswIndexSpec extends AnyFunSuite {
     assert(gotEven == bruteEven)
   }
 
+  test("ivf_nsw composes cell probing with per-block graphs") {
+    IndexStrategies.register(new IndexStrategies.IvfNsw(
+      m = 6, efConstruction = 24, efSearch = 1 << 20))
+    try {
+      val flat = VectorDB.openOrCreate(spark, freshDir())
+      val comp = VectorDB.openOrCreate(spark, freshDir(),
+        index = VectorDB.IndexIvfNsw)
+      flat.addDocuments(corpus.toDF("doc_id", "text"))
+      comp.addDocuments(corpus.toDF("doc_id", "text"))
+      // cell-partitioned on disk, like plain ivf
+      val cellDirs = new java.io.File(comp.currentCodesPathForTest)
+        .listFiles().filter(_.getName.startsWith("cell="))
+      assert(cellDirs.nonEmpty)
+      comp.enableServing()
+      try {
+        // exhaustive width + full probe = exact, flat-identical
+        assert(hits(comp, "tok1 tok5") == hits(flat, "tok1 tok5"))
+        // probe-limited search returns k rows from the probed cells
+        val pruned = comp.search("tok4 tok9", k = 5, nprobe = 4).collect()
+        assert(pruned.length == 5)
+      } finally comp.disableServing()
+      assert(VectorDB.openOrCreate(spark, comp.folder).index ==
+        VectorDB.IndexIvfNsw)
+    } finally IndexStrategies.register(new IndexStrategies.IvfNsw())
+  }
+
   private def qVec(text: String): Seq[Double] = {
     val emb = new HashingEmbedder()
     spark.range(1).select(
