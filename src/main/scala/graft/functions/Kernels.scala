@@ -97,9 +97,13 @@ object Kernels {
       // The ungrouped graft_topk_cand fast path (primitive-heap physical
       // operator — see graft.plans.TopKCandStrategy). Idempotent per
       // session; sessions built with GraftExtensions get it there.
-      val exp = spark.experimental
-      if (!exp.extraStrategies.contains(graft.plans.TopKCandStrategy))
-        exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKCandStrategy
+      // SPARK_GRAFT_NO_TOPK_EXEC=1 keeps the ObjectHashAggregate path
+      // (A/B benching + safety valve for a custom physical operator).
+      if (!sys.env.contains("SPARK_GRAFT_NO_TOPK_EXEC")) {
+        val exp = spark.experimental
+        if (!exp.extraStrategies.contains(graft.plans.TopKCandStrategy))
+          exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKCandStrategy
+      }
     }
 
   // ---- vector kernels -----------------------------------------------------
