@@ -5,6 +5,8 @@
 # served latency, and serve-build wall across the efSearch grid
 # (ARCHITECTURE.md "Per-block graph search").
 # Usage: scripts/graphbench.sh <round> [nDocs] [dim] [nQueries] [nBlocks]
+# SPARK_GRAFT_GRAPH_IVF=1 adds the composed ivf_nsw probed sweep
+# (learned cells + per-block graphs, nprobe 4/all).
 set -e
 cd "$(dirname "$0")/.."
 ROUND="${1:?usage: scripts/graphbench.sh <round> [nDocs] [dim] [nQueries] [nBlocks]}"

@@ -102,7 +102,13 @@ object GraphBench {
       model = s"graft-synth-$dim", dim = dim, index = VectorDB.IndexNsw)
     nswSeed.addDocuments(docs, new SynthEmbedder(dim))
 
-    val rows = Seq(48, 96, 192, 384).map { ef =>
+    // The funnel's Phase-I budget b = k·binaryOversample = 100 floors
+    // the effective width at max(b, efSearch) — grid values below 100
+    // would silently measure ef = 100 (caught in the first recording:
+    // the 48 and 96 rows came out identical).
+    val efGrid = sys.env.get("SPARK_GRAFT_GRAPH_EFS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(100, 192, 384, 768))
+    val rows = efGrid.map { ef =>
       IndexStrategies.register(new IndexStrategies.Nsw(m, efC, ef))
       val db = VectorDB.openOrCreate(spark, nswDir, dim = dim)
       val buildMs = time(db.enableServing())
@@ -127,9 +133,41 @@ object GraphBench {
     }
     IndexStrategies.register(new IndexStrategies.Nsw()) // restore defaults
 
+    // Optional composed sweep (SPARK_GRAFT_GRAPH_IVF=1): ivf_nsw —
+    // learned cells + per-block graphs — probed at nprobe ∈ {4, all}.
+    // Shows the two prunings stack: probing skips blocks, the graph
+    // navigates inside probed ones.
+    val ivfRows = if (!sys.env.contains("SPARK_GRAFT_GRAPH_IVF")) Seq.empty else {
+      val cells = 64
+      IndexStrategies.register(new IndexStrategies.IvfNsw(m, efC, 96))
+      val db = VectorDB.openOrCreate(spark, freshDir("ivfnsw"),
+        model = s"graft-synth-$dim", dim = dim, index = VectorDB.IndexIvfNsw,
+        ivfCells = cells)
+      db.addDocuments(docs, new SynthEmbedder(dim))
+      val buildMs = time(db.enableServing())
+      db.searchHits(queries(qids.head), k = 10) // warm both paths
+      db.searchHits(queries(qids.head), k = 10, nprobe = 4)
+      val rows = Seq(4, cells).map { np =>
+        val (recalls, times) = qids.map { q =>
+          val t0 = System.nanoTime()
+          val got = db.searchHits(queries(q), k = 10, nprobe = np).map(_.docId).toSet
+          val ms = (System.nanoTime() - t0) / 1e6
+          (got.intersect(exact(q)).size / 10.0, ms)
+        }.unzip
+        val row = f"""{"config":"ivf_nsw","cells":$cells,"nprobe":$np,"m":$m,""" +
+          f""""ef_search":96,"recall_at10":${recalls.sum / recalls.size}%.3f,""" +
+          f""""hits_ms":${median(times)}%.1f,"serve_build_ms":$buildMs%.0f}"""
+        println(row)
+        row
+      }
+      db.disableServing()
+      IndexStrategies.register(new IndexStrategies.IvfNsw())
+      rows
+    }
+
     println(s"""{"metric":"graph_serving","n":$n,"dim":$dim,"n_blocks":$nBlocks,""" +
       s""""n_queries":$nQueries,"ingest_s":${f"$ingestS%.1f"},""" +
-      s""""rows":${(flatRow +: rows).mkString("[", ",", "]")},""" +
+      s""""rows":${((flatRow +: rows) ++ ivfRows).mkString("[", ",", "]")},""" +
       """"note":"per-block NSW graphs vs the linear prepared scan, same corpus/queries; recall_at10 vs the flat DB's exact funnel results. phase1_ms is the Phase-I scan job wall (VectorDB.lastSearchTimings) — hits_ms minus it is the job floor + phases II/III, identical for both configs. serve_build_ms is the enableServing wall (block arrays + graph construction, commit-amortized). Few large blocks on purpose: the graph's O(ef·2m) per-partition cost vs linear O(rows/partition) only separates when partitions are big."}""")
     spark.stop()
   }

@@ -47,8 +47,13 @@ trait NavBuilder extends Serializable {
   * memory-bandwidth-bound. Single-layer NSW (Malkov et al., the
   * construction HNSW reduces to with one level): rows are inserted in
   * block order; each insertion beam-searches the graph-so-far
-  * (`efConstruction` width) and links bidirectionally to its `m`
-  * nearest, pruning any adjacency past `2·m` by keeping the closest.
+  * (`efConstruction` width) and links bidirectionally to `m` neighbors
+  * chosen by the DIVERSITY heuristic (HNSW's select-neighbors: accept a
+  * candidate only if it is closer to the new row than to every
+  * already-accepted neighbor, then fill with nearest rejected — links
+  * spread across directions instead of crowding one cluster), with
+  * adjacency past `2·m` shrunk by the same heuristic. Searches seed
+  * from FOUR spread entry rows (block-order strides), not one.
   * Pruning can sever a row's last INBOUND edge (the price of bounded
   * degree, same as faiss's HNSW shrink), so reachability is heuristic;
   * at `ef ≥ n` the search exhausts the reachable set and then linearly
@@ -140,13 +145,22 @@ final class NswNav(
       }
     }
 
-    val entry = 0
-    val d0 = hamming(entry, qWords)
-    visited.set(entry)
-    val packed0 = (d0.toLong << 32) | entry.toLong
-    frontier.push(packed0)
-    evaluated.push(packed0)
-    offer(entry, d0)
+    // Spread entries: block-order strides cover the insertion timeline
+    // (early rows are hubs, late rows reach recent regions).
+    var e = 0
+    while (e < 4) {
+      val entry = (n.toLong * e / 4).toInt
+      if (entry < n && !visited.get(entry)) {
+        visited.set(entry)
+        val d = hamming(entry, qWords)
+        val packed = (d.toLong << 32) | entry.toLong
+        frontier.push(packed)
+        evaluated.push(packed)
+        if (evaluated.size > ef) evaluated.pop()
+        offer(entry, d)
+      }
+      e += 1
+    }
 
     while (frontier.nonEmpty) {
       val c = frontier.pop()
@@ -241,11 +255,12 @@ object NswNav {
 }
 
 /** Builds [[NswNav]] graphs. `m` is the per-insertion link count (faiss
-  * HNSW's M); adjacency is pruned to the closest `2m`. `efConstruction`
-  * is the insertion beam width, `efSearch` the query-time floor (the
-  * effective width is `max(b, efSearch)`). Tune by registering a
-  * differently-parameterized [[IndexStrategies.Nsw]] before open — the
-  * same place faiss callers parameterize their index object.
+  * HNSW's M); adjacency is bounded at `2m` and shrunk by the diversity
+  * heuristic. `efConstruction` is the insertion beam width, `efSearch`
+  * the query-time floor (the effective width is `max(b, efSearch)`).
+  * Tune by registering a differently-parameterized
+  * [[IndexStrategies.Nsw]] before open — the same place faiss callers
+  * parameterize their index object.
   */
 final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
     extends NavBuilder {
@@ -272,8 +287,42 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
       acc
     }
 
-    // Replace the farthest neighbor when the adjacency is full and the
-    // candidate is closer; otherwise append.
+    /** HNSW select-neighbors heuristic: from `cand` (ascending by
+      * distance to `target`), accept a candidate only if it is closer
+      * to `target` than to every already-accepted one; fill the
+      * remainder with the nearest rejected (keep-pruned). Bounded at
+      * `bound` results.
+      */
+    def selectDiverse(target: Int, cand: Array[Int], bound: Int): Array[Int] = {
+      if (cand.length <= bound) return cand
+      val accepted = new Array[Int](bound)
+      var nAcc = 0
+      val rejected = new Array[Int](cand.length)
+      var nRej = 0
+      var i = 0
+      while (i < cand.length && nAcc < bound) {
+        val c = cand(i)
+        val dTarget = ham(target, c)
+        var diverse = true
+        var j = 0
+        while (diverse && j < nAcc) {
+          if (ham(c, accepted(j)) < dTarget) diverse = false
+          j += 1
+        }
+        if (diverse) { accepted(nAcc) = c; nAcc += 1 }
+        else { rejected(nRej) = c; nRej += 1 }
+        i += 1
+      }
+      var r = 0
+      while (nAcc < bound && r < nRej) {
+        accepted(nAcc) = rejected(r); nAcc += 1; r += 1
+      }
+      java.util.Arrays.copyOf(accepted, nAcc)
+    }
+
+    /** Add edge a→b; past `maxDeg` the adjacency is re-selected with
+      * the diversity heuristic over neighbors ∪ {b}.
+      */
     def link(a: Int, b: Int): Unit = {
       val base = a * maxDeg
       val deg = degree(a)
@@ -283,20 +332,21 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
         neighbors(base + deg) = b
         degree(a) = deg + 1
       } else {
-        var worst = -1
-        var worstD = -1
-        var k = 0
-        while (k < deg) {
-          val d = ham(a, neighbors(base + k))
-          if (d > worstD) { worstD = d; worst = k }
-          k += 1
-        }
-        if (ham(a, b) < worstD) neighbors(base + worst) = b
+        val cand = new Array[Int](deg + 1)
+        System.arraycopy(neighbors, base, cand, 0, deg)
+        cand(deg) = b
+        // ascending by (distance to a, row) — deterministic
+        val sorted = cand.map(c => (ham(a, c).toLong << 32) | c.toLong).sorted
+          .map(p => (p & 0xffffffffL).toInt)
+        val sel = selectDiverse(a, sorted, maxDeg)
+        System.arraycopy(sel, 0, neighbors, base, sel.length)
+        degree(a) = sel.length
       }
     }
 
     // Beam search over the graph-so-far (nodes [0, limit)) for node
-    // `target`'s code; returns the up-to-m nearest by (hamming, row).
+    // `target`'s code; returns the evaluated rows ascending by
+    // (hamming, row), capped at efConstruction.
     val visited = new java.util.BitSet(n)
     def nearest(target: Int, limit: Int): Array[Int] = {
       visited.clear()
@@ -313,10 +363,20 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
         }
         acc
       }
-      visited.set(0)
-      val p0 = (dist(0).toLong << 32) | 0L
-      frontier.push(p0); evaluated.push(p0)
       val ef = efConstruction
+      // Same spread seeding as the query path, restricted to [0, limit).
+      var e = 0
+      while (e < 4) {
+        val entry = (limit.toLong * e / 4).toInt
+        if (entry < limit && !visited.get(entry)) {
+          visited.set(entry)
+          val packed = (dist(entry).toLong << 32) | entry.toLong
+          frontier.push(packed)
+          evaluated.push(packed)
+          if (evaluated.size > ef) evaluated.pop()
+        }
+        e += 1
+      }
       while (frontier.nonEmpty) {
         val c = frontier.pop()
         if (evaluated.size >= ef && (c >>> 32) > (evaluated.peek() >>> 32)) {
@@ -345,12 +405,12 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
       val all = new Array[Long](evaluated.size)
       var i = all.length - 1
       while (i >= 0) { all(i) = evaluated.pop(); i -= 1 }
-      all.take(m).map(p => (p & 0xffffffffL).toInt)
+      all.map(p => (p & 0xffffffffL).toInt)
     }
 
     var i = 1
     while (i < n) {
-      val links = nearest(i, i)
+      val links = selectDiverse(i, nearest(i, i), m)
       var j = 0
       while (j < links.length) {
         link(i, links(j)); link(links(j), i)
