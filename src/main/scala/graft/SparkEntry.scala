@@ -20,6 +20,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference surface: the similarity-search funnel and its phases.
     "v1_hamming_topk" -> ((s, d) => Search.hammingTopK(s, d)),
+    // Per-partition NSW graph search at the exhaustive (exact) width —
+    // the serving graph path's code under the oracle gate.
+    "v13_nsw_topk" -> ((s, d) => Search.nswGraphTopK(s, d)),
     "v2_funnel" -> ((s, d) => Search.funnel(s, d)),
     // Metadata-filtered funnel: same three phases over the 'en' subset
     // (semi-join with the pushed-down documents filter).

@@ -225,6 +225,46 @@ object Search {
       .select("vec_id", "score_hamming")
   }
 
+  /** v13: the per-block NSW serving graph under the DRIVER GATE — each
+    * partition builds a [[graft.db.NswNavBuilder]] graph over its packed
+    * codes and answers through best-first navigation plus the orphan
+    * sweep at the EXHAUSTIVE width (`efSearch` ≥ rows), which is exact
+    * by construction (NswNavProperties pins it across 400 random
+    * geometries) — so the merged result must equal brute-force hamming
+    * top-k and the oracle is v1's with the graph code in the loop.
+    * The scan shape IS the serving path's: partition-local graph
+    * build + search, ≤k rows shipped per partition, O(P·k) driver
+    * merge. At production widths the same navigator is approximate;
+    * its recall curve is GRAPHBENCH_r{N}'s job, not the gate's.
+    */
+  def nswGraphTopK(spark: SparkSession, dir: String, queryVecId: Long = 0,
+                   topK: Int = K): DataFrame = {
+    Kernels.install(spark)
+    val qWords = packQuery(queryVector(spark, dir, queryVecId)).toArray
+    val k = topK
+    import spark.implicits._
+    val hits = packedEmb(spark, dir).select(col("vec_id"), col("code"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val idB = scala.collection.mutable.ArrayBuilder.make[Long]
+        val wB = scala.collection.mutable.ArrayBuilder.make[Long]
+        var n = 0
+        it.foreach { case (id, code) => idB += id; wB ++= code; n += 1 }
+        if (n == 0) Iterator.empty
+        else {
+          val ids = idB.result()
+          val nav = new graft.db.NswNavBuilder(8, 32, Int.MaxValue)
+            .build(ids, wB.result(), qWords.length)
+          nav.topPacked(qWords, k, _ => true).iterator.map { p =>
+            (ids((p & 0xffffffffL).toInt), (p >>> 32).toInt)
+          }
+        }
+      }
+    hits.toDF("vec_id", "score_hamming")
+      .orderBy(col("score_hamming").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Hamming RANGE search — the faiss `range_search` analogue the
     * binary-index family supports alongside top-k: every vector whose
     * code is within `radius` bits of the query's, however many there
@@ -582,6 +622,16 @@ object Search {
          |     WHERE (v.embedding[i] > 0) <> (qv.e[i] > 0))::INT AS score_hamming
          |FROM embeddings v, qv
          |ORDER BY score_hamming ASC, vec_id ASC LIMIT 100""".stripMargin,
+
+    // v13 runs the NSW graph at the exhaustive width — exact by
+    // construction, so the oracle is plain brute-force hamming top-k.
+    "v13_nsw_topk" ->
+      s"""WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0)
+         |SELECT v.vec_id,
+         |  (SELECT count(*) FROM range(1,65) t(i)
+         |     WHERE (v.embedding[i] > 0) <> (qv.e[i] > 0))::INT AS score_hamming
+         |FROM embeddings v, qv
+         |ORDER BY score_hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     // Range search: same per-row hamming as v1, WHERE instead of top-k.
     "v12_range_search" ->
