@@ -37,7 +37,7 @@ object BuildBench {
       concat_ws(" ", (0 until 12).map(i =>
         concat(lit("tok"), pmod(xxhash64(col("id"), lit(i)), lit(500)))): _*).as("text"))
 
-    val dbDir = java.nio.file.Files.createTempDirectory("graft-build").toString + "/db"
+    val dbDir = Graft.scratchDir("build") + "/db"
     val db = VectorDB.openOrCreate(spark, dbDir)
 
     val t0 = System.nanoTime()

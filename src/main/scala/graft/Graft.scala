@@ -29,6 +29,24 @@ object Graft {
     * lookup job still waits out every earlier scan's remaining tasks.
     * Serving benches pass it as `spark.scheduler.allocation.file`.
     */
+  /** A scratch directory deleted recursively at JVM exit. Bench mains
+    * build multi-GB throwaway DBs (a 4M×1024 corpus is ~5 GB across the
+    * two tiers); plain `createTempDirectory` leaked them across runs
+    * until /tmp filled — every bench scratch DB goes through here now.
+    */
+  def scratchDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   lazy val fairDefaultPoolFile: String = {
     val f = java.nio.file.Files.createTempFile("graft-fairscheduler", ".xml")
     java.nio.file.Files.writeString(f,

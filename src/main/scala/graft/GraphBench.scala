@@ -71,8 +71,7 @@ object GraphBench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
     }
 
-    def freshDir(tag: String): String = java.nio.file.Files
-      .createTempDirectory(s"graft-graph-$tag").toString + "/db"
+    def freshDir(tag: String): String = Graft.scratchDir(s"graph-$tag") + "/db"
 
     // ---- flat baseline: exact results + linear serving latency ----
     val flat = VectorDB.openOrCreate(spark, freshDir("flat"),

@@ -99,8 +99,7 @@ object IvfBench {
       val qGen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma,
         bias = bias, biasDims = biasDims)
       val queries = qids.map(id => id -> qGen(id)._1.map(_.toDouble).toSeq).toMap
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-ivf$cells-$assign-$manifold").toString + "/db"
+      val dir = Graft.scratchDir(s"ivf$cells-$assign-$manifold") + "/db"
       val db = VectorDB.openOrCreate(spark, dir, model = s"graft-synth-$dim",
         dim = dim, index = VectorDB.IndexIvf, ivfCells = cells,
         ivfAssign = assign)

@@ -191,7 +191,7 @@ object RecallBench {
       val intrinsicDim = if (args.length > 4) args(4).toInt else 8
       val sigma = if (args.length > 5) args(5).toDouble else 0.5
       val nQueries = if (args.length > 6) args(6).toInt else 20
-      val dir = java.nio.file.Files.createTempDirectory("graft-recall-synth").toString
+      val dir = Graft.scratchDir("recall-synth")
       synthesize(spark, dir, n, dim, clusters, intrinsicDim, sigma)
       val qids = (0 until nQueries).map(i => i.toLong * (n / nQueries) + i)
       sweep(spark, dir, qids, geometry = "synthetic-clustered-sphere",

@@ -39,7 +39,7 @@ object ServeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-servebench").toString
+    val dir = Graft.scratchDir("servebench")
     val db = VectorDB.openOrCreate(spark, dir, model = s"graft-hash-$dim", dim = dim)
     val docs = spark.range(n).select(col("id").as("doc_id"),
       concat(lit("synthetic document "), col("id"),
