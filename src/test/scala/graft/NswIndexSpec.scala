@@ -145,6 +145,29 @@ class NswIndexSpec extends AnyFunSuite {
     assert(gotEven == bruteEven)
   }
 
+  test("nsw over merge-on-read storage: graphs rebuild across delta commits") {
+    val nsw = VectorDB.openOrCreate(spark, freshDir(),
+      storage = VectorDB.StorageMor, index = VectorDB.IndexNsw)
+    val flat = VectorDB.openOrCreate(spark, freshDir(),
+      storage = VectorDB.StorageMor)
+    nsw.addDocuments(corpus.toDF("doc_id", "text"))
+    flat.addDocuments(corpus.toDF("doc_id", "text"))
+    nsw.enableServing()
+    try {
+      // delta commit (append) + tombstone, then search through the
+      // rebuilt graphs over the merged view
+      val extra = Seq((8001L, "tok1 tok5 tok1"), (8002L, "tok9 tok4")).toDF("doc_id", "text")
+      nsw.addDocuments(extra); flat.addDocuments(extra)
+      nsw.removeDocs(Seq(7L)); flat.removeDocs(Seq(7L))
+      val a = hits(nsw, "tok1 tok5")
+      assert(a.exists(_._1 == 8001L))
+      assert(!a.exists(_._1 == 7L))
+      // without serving both are exact — serving must agree on content
+      // here because blocks are small relative to b (exhaustive regime)
+      assert(a == hits(flat, "tok1 tok5"))
+    } finally nsw.disableServing()
+  }
+
   test("ivf_nsw composes cell probing with per-block graphs") {
     IndexStrategies.register(new IndexStrategies.IvfNsw(
       m = 6, efConstruction = 24, efSearch = 1 << 20))
