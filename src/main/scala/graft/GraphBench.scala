@@ -107,8 +107,12 @@ object GraphBench {
     // the 48 and 96 rows came out identical).
     val efGrid = sys.env.get("SPARK_GRAFT_GRAPH_EFS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(100, 192, 384, 768))
+    // SPARK_GRAFT_GRAPH_BUILD_THREADS > 1 opts into the concurrent
+    // per-block graph build (run-dependent graph; exactness unaffected).
+    val buildThreads = sys.env.get("SPARK_GRAFT_GRAPH_BUILD_THREADS")
+      .map(_.toInt).getOrElse(1)
     val rows = efGrid.map { ef =>
-      IndexStrategies.register(new IndexStrategies.Nsw(m, efC, ef))
+      IndexStrategies.register(new IndexStrategies.Nsw(m, efC, ef, buildThreads))
       val db = VectorDB.openOrCreate(spark, nswDir, dim = dim)
       val buildMs = time(db.enableServing())
       db.searchHits(queries(qids.head), k = 10) // warm

@@ -261,13 +261,25 @@ object NswNav {
   * Tune by registering a differently-parameterized
   * [[IndexStrategies.Nsw]] before open — the same place faiss callers
   * parameterize their index object.
+  *
+  * `buildThreads > 1` parallelizes insertion inside the block (per-node
+  * lock striping on adjacency mutation, lock-free racy reads during the
+  * insert-time beam search — the standard concurrent-HNSW construction;
+  * fills the cores that sit idle while few big blocks build). OPT-IN
+  * because interleaving makes the resulting graph run-dependent: the
+  * approximate default-width results may vary slightly between builds.
+  * The EXACTNESS contract is interleaving-independent — `ef ≥ n`
+  * exhausts + sweeps whatever graph came out (property-pinned with a
+  * threaded build) — and recall stays in the same band.
   */
-final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
+final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
+                          buildThreads: Int = 1)
     extends NavBuilder {
   require(m >= 1, s"m must be >= 1, got $m")
   require(efConstruction >= m,
     s"efConstruction must be >= m ($m), got $efConstruction")
   require(efSearch >= 1, s"efSearch must be >= 1, got $efSearch")
+  require(buildThreads >= 1, s"buildThreads must be >= 1, got $buildThreads")
 
   override def build(ids: Array[Long], words: Array[Long],
                      nWords: Int): BlockNav = {
@@ -321,9 +333,13 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
     }
 
     /** Add edge a→b; past `maxDeg` the adjacency is re-selected with
-      * the diversity heuristic over neighbors ∪ {b}.
+      * the diversity heuristic over neighbors ∪ {b}. Mutation of node
+      * a's adjacency happens under a's lock stripe (uncontended cost is
+      * negligible single-threaded; correctness under `buildThreads`).
+      * One lock at a time — never nested — so no deadlock.
       */
-    def link(a: Int, b: Int): Unit = {
+    val locks = Array.fill(64)(new Object)
+    def link(a: Int, b: Int): Unit = locks(a & 63).synchronized {
       val base = a * maxDeg
       val deg = degree(a)
       var j = 0
@@ -346,10 +362,19 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
 
     // Beam search over the graph-so-far (nodes [0, limit)) for node
     // `target`'s code; returns the evaluated rows ascending by
-    // (hamming, row), capped at efConstruction.
-    val visited = new java.util.BitSet(n)
+    // (hamming, row), capped at efConstruction. Visited tracking is a
+    // per-thread STAMP array (one allocation per thread, not per
+    // insert — a fresh BitSet per call would churn n/8 bytes × n
+    // inserts of garbage under threaded builds).
+    val visitedTL = new ThreadLocal[(Array[Int], Array[Int])] {
+      override def initialValue() = (new Array[Int](math.max(n, 1)), new Array[Int](1))
+    }
     def nearest(target: Int, limit: Int): Array[Int] = {
-      visited.clear()
+      val (vs, stampBox) = visitedTL.get()
+      stampBox(0) += 1
+      val stamp = stampBox(0)
+      def seen(r: Int): Boolean = vs(r) == stamp
+      def mark(r: Int): Unit = vs(r) = stamp
       val frontier = new NswNav.LongHeap(min = true)
       val evaluated = new NswNav.LongHeap(min = false)
       val tb = target * nWords
@@ -368,8 +393,8 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
       var e = 0
       while (e < 4) {
         val entry = (limit.toLong * e / 4).toInt
-        if (entry < limit && !visited.get(entry)) {
-          visited.set(entry)
+        if (entry < limit && !seen(entry)) {
+          mark(entry)
           val packed = (dist(entry).toLong << 32) | entry.toLong
           frontier.push(packed)
           evaluated.push(packed)
@@ -388,8 +413,8 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
           var j = 0
           while (j < deg) {
             val nb = neighbors(base + j)
-            if (nb < limit && !visited.get(nb)) {
-              visited.set(nb)
+            if (nb < limit && !seen(nb)) {
+              mark(nb)
               val d = dist(nb)
               if (evaluated.size < ef || d < (evaluated.peek() >>> 32).toInt) {
                 val packed = (d.toLong << 32) | nb.toLong
@@ -408,15 +433,44 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int)
       all.map(p => (p & 0xffffffffL).toInt)
     }
 
-    var i = 1
-    while (i < n) {
+    def insertOne(i: Int): Unit = {
       val links = selectDiverse(i, nearest(i, i), m)
       var j = 0
       while (j < links.length) {
         link(i, links(j)); link(links(j), i)
         j += 1
       }
-      i += 1
+    }
+
+    if (buildThreads <= 1 || n < 2048) {
+      var i = 1
+      while (i < n) { insertOne(i); i += 1 }
+    } else {
+      // Dense deterministic core first, then workers pull ascending
+      // indices — a row's beam may race rows still linking below it
+      // (the `nb < limit` gate uses the index as an inserted-ness
+      // proxy), which is the standard concurrent-HNSW approximation.
+      val seed = math.min(1024, n)
+      var i = 1
+      while (i < seed) { insertOne(i); i += 1 }
+      val cursor = new java.util.concurrent.atomic.AtomicInteger(seed)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val workers = (0 until buildThreads).map { _ =>
+        val t = new Thread(() => {
+          try {
+            var j = cursor.getAndIncrement()
+            while (j < n && failure.get() == null) {
+              insertOne(j)
+              j = cursor.getAndIncrement()
+            }
+          } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+      workers.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
     }
     new NswNav(ids, words, nWords, neighbors, degree, maxDeg, efSearch)
   }

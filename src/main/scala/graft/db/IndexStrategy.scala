@@ -136,11 +136,12 @@ object IndexStrategies {
     * Without serving the strategy behaves exactly like `flat`.
     */
   final class Nsw(val m: Int = 16, val efConstruction: Int = 128,
-                  val efSearch: Int = 96) extends IndexStrategy {
+                  val efSearch: Int = 96,
+                  val buildThreads: Int = 1) extends IndexStrategy {
     val name = VectorDB.IndexNsw
     val partitioned = false
     override def navBuilder(ctx: IndexStrategy.Context): Option[NavBuilder] =
-      Some(new NswNavBuilder(m, efConstruction, efSearch))
+      Some(new NswNavBuilder(m, efConstruction, efSearch, buildThreads))
   }
 
   /** IVF cells + per-block NSW graphs composed: the hot tier is
@@ -153,7 +154,8 @@ object IndexStrategies {
     * `efSearch` ≥ block rows AND full probe.
     */
   final class IvfNsw(val m: Int = 16, val efConstruction: Int = 128,
-                     val efSearch: Int = 96) extends IndexStrategy {
+                     val efSearch: Int = 96,
+                     val buildThreads: Int = 1) extends IndexStrategy {
     val name = VectorDB.IndexIvfNsw
     val partitioned = true
     override def cellColumn(ctx: IndexStrategy.Context, codeArray: Column,
@@ -164,7 +166,7 @@ object IndexStrategies {
                             qWords: Seq[Long]): IndexedSeq[Int] =
       Ivf.probeOrder(ctx, qWords)
     override def navBuilder(ctx: IndexStrategy.Context): Option[NavBuilder] =
-      Some(new NswNavBuilder(m, efConstruction, efSearch))
+      Some(new NswNavBuilder(m, efConstruction, efSearch, buildThreads))
   }
 
   private val registry =

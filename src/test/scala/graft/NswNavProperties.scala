@@ -101,6 +101,21 @@ object NswNavProperties extends Properties("graft.nswnav") {
       got == brute(ids, words, g.nWords, q, g.n, _ => true)
     }
 
+  property("threaded build stays exact at efSearch >= n (any interleaving)") =
+    forAll(geomGen) { g0 =>
+      // force the parallel path: n above the sequential-fallback floor
+      val g = g0.copy(n = g0.n + 2048)
+      val (ids, words) = block(g)
+      val nav = new NswNavBuilder(g.m, g.efC, g.n, buildThreads = 4)
+        .build(ids, words, g.nWords)
+      val rnd = new scala.util.Random(g.seed + 5)
+      val q = Array.fill(g.nWords)(rnd.nextLong())
+      val got = nav.topPacked(q, 7, _ => true).map { p =>
+        ((p >>> 32).toInt, ids((p & 0xffffffffL).toInt))
+      }.toSeq
+      got == brute(ids, words, g.nWords, q, 7, _ => true)
+    }
+
   property("approximate results are always a ranked subset of the block") =
     forAll(geomGen) { g =>
       val (ids, words) = block(g)
