@@ -1,0 +1,20 @@
+#!/bin/bash
+# Run graft.IncBench and record its JSON summary line as a per-round
+# artifact (INCBENCH_r{N}.json at the repo root): commit-to-serve
+# latency under a commit stream — full serving rebuild per commit vs
+# the incremental chain refresh (VectorDB.incrementalServing), MOR
+# storage + NSW graphs (ARCHITECTURE.md "Incremental serving refresh").
+# Usage: scripts/incbench.sh <round> [nDocs] [dim] [nBlocks] [commits] [batch]
+set -e
+cd "$(dirname "$0")/.."
+ROUND="${1:?usage: scripts/incbench.sh <round> [nDocs] [dim] [nBlocks] [commits] [batch]}"
+N="${2:-500000}"
+DIM="${3:-1024}"
+NB="${4:-2}"
+COMMITS="${5:-6}"
+BATCH="${6:-2000}"
+OUT="INCBENCH_r${ROUND}.json"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
+  scripts/run.sh graft.IncBench "$N" "$DIM" "$NB" "$COMMITS" "$BATCH" \
+  | tee /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
+echo "wrote $OUT" >&2

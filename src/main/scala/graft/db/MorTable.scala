@@ -183,14 +183,7 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     val gens = baseGenList()
     val baseOpt = gens.filter(_._1 <= maxV).lastOption
     val floor = baseOpt.map(_._1).getOrElse(0)
-    val deltaDfs = deltaPaths()
-      .filter { case (v, _) => v > floor && v <= maxV }
-      .map { case (v, p) =>
-        val df = spark.read.parquet(p.toString)
-        (if (df.columns.contains("_deleted")) df
-         else df.withColumn("_deleted", lit(false)))
-          .withColumn("_v", lit(v))
-      }
+    val deltaDfs = windowDeltaDfs(floor, maxV)
     require(baseOpt.nonEmpty || deltaDfs.nonEmpty,
       s"MOR table $dir has no file set covering version $maxV " +
         "(was a pinned ceiling's generation GC'd after its pin closed?)")
@@ -221,6 +214,49 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
           .unionByName(resolved.select(b.columns.map(col).toSeq: _*))
     }
   }
+
+  /** The merged view of ONLY the commits in `(floorExclusive, ceiling]`:
+    * each key's latest write inside the window, tombstones dropped,
+    * internals (`_v`/`_deleted`) removed. This is what an INCREMENTAL
+    * consumer of the table must ADD when it advances from one committed
+    * ceiling to a later one — [[touchedKeys]] lists what it must
+    * supersede in whatever it built from the pre-window state. Reads
+    * only the window's delta files (cost ∝ the window's commits, never
+    * the table); throws if the window holds no deltas — the caller
+    * decides eligibility from the ceilings before asking.
+    */
+  def readWindow(floorExclusive: Int, ceiling: Int): DataFrame = {
+    val deltaDfs = windowDeltaDfs(floorExclusive, ceiling)
+    require(deltaDfs.nonEmpty,
+      s"MOR table $dir has no deltas in ($floorExclusive, $ceiling]")
+    val allDeltas = deltaDfs.reduce(_ unionByName (_, allowMissingColumns = true))
+    val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
+    allDeltas
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .drop("_rn", "_v", "_deleted")
+  }
+
+  /** Every key written inside `(floorExclusive, ceiling]` — upserts AND
+    * tombstones (any key the window touched is stale wherever it
+    * appeared before the window). Distinct.
+    */
+  def touchedKeys(floorExclusive: Int, ceiling: Int): DataFrame = {
+    val deltaDfs = windowDeltaDfs(floorExclusive, ceiling)
+    require(deltaDfs.nonEmpty,
+      s"MOR table $dir has no deltas in ($floorExclusive, $ceiling]")
+    deltaDfs.map(_.select(keyCol)).reduce(_ unionByName _).distinct()
+  }
+
+  private def windowDeltaDfs(floorExclusive: Int, ceiling: Int): Seq[DataFrame] =
+    deltaPaths()
+      .filter { case (v, _) => v > floorExclusive && v <= ceiling }
+      .map { case (v, p) =>
+        val df = spark.read.parquet(p.toString)
+        (if (df.columns.contains("_deleted")) df
+         else df.withColumn("_deleted", lit(false)))
+          .withColumn("_v", lit(v))
+      }
 
   /** Highest committed version (0 = empty/legacy base only) — the
     * ceiling a repeatable read pins. Monotonic across folds.

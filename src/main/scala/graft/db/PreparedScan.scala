@@ -40,7 +40,10 @@ import org.apache.spark.storage.StorageLevel
   */
 final class PreparedScan private (
     private val blocks: RDD[PreparedScan.Block],
-    private val nWords: Int) {
+    private val nWords: Int,
+    private val supBc: org.apache.spark.broadcast.Broadcast[PreparedScan.Superseded],
+    private[graft] val chain: PreparedScan.ChainInfo,
+    onFree: () => Unit) {
 
   /** Top-B hits by (hamming asc, doc_id asc) against the packed query
     * words; `probed` (if set) restricts to rows in those IVF cells;
@@ -61,6 +64,7 @@ final class PreparedScan private (
     val nw = nWords
     val probeSorted = probed.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }
     val selSet = sel.orNull
+    val supB = supBc
     val perPart: Array[Array[PreparedScan.Hit]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
@@ -71,7 +75,8 @@ final class PreparedScan private (
               !blk.distinctCells.exists(c => java.util.Arrays.binarySearch(p, c) >= 0))
             if (skip) Array.empty[PreparedScan.Hit]
             else PreparedScan.dispatchScan(blk, qWords, nw, b, probeSorted.orNull,
-              if (selSet == null) null else selSet.probe())
+              if (selSet == null) null else selSet.probe(),
+              if (supB == null) null else supB.value)
           }
         })
     // each partition's result is rank-sorted; merge and cut to B
@@ -101,6 +106,7 @@ final class PreparedScan private (
     val probeSorted: Array[Array[Int]] =
       probed.map(_.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }).orNull
     val selSet = sel.orNull
+    val supB = supBc
     val perPart: Array[Array[Array[PreparedScan.Hit]]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
@@ -108,12 +114,13 @@ final class PreparedScan private (
           else {
             val blk = it.next()
             val selProbe = if (selSet == null) null else selSet.probe()
+            val sup = if (supB == null) null else supB.value
             Array.tabulate(nq) { qi =>
               val p = if (probeSorted == null) null else probeSorted(qi)
               val skip = p != null && !blk.distinctCells.exists(c =>
                 java.util.Arrays.binarySearch(p, c) >= 0)
               if (skip) Array.empty[PreparedScan.Hit]
-              else PreparedScan.dispatchScan(blk, qs(qi), nw, b, p, selProbe)
+              else PreparedScan.dispatchScan(blk, qs(qi), nw, b, p, selProbe, sup)
             }
           }
         })
@@ -141,6 +148,7 @@ final class PreparedScan private (
     val nw = nWords
     val probeSorted = probed.map { p => val c = p.clone(); java.util.Arrays.sort(c); c }
     val selSet = sel.orNull
+    val supB = supBc
     val perPart: Array[Array[PreparedScan.Hit]] =
       blocks.sparkContext.runJob(blocks,
         (it: Iterator[PreparedScan.Block]) => {
@@ -151,7 +159,8 @@ final class PreparedScan private (
               !blk.distinctCells.exists(c => java.util.Arrays.binarySearch(p, c) >= 0))
             if (skip) Array.empty[PreparedScan.Hit]
             else PreparedScan.rangeScanBlock(blk, qWords, nw, radius,
-              probeSorted.orNull, if (selSet == null) null else selSet.probe())
+              probeSorted.orNull, if (selSet == null) null else selSet.probe(),
+              if (supB == null) null else supB.value)
           }
         })
     val merged = perPart.flatten
@@ -159,7 +168,12 @@ final class PreparedScan private (
     merged
   }
 
-  def unpersist(): Unit = blocks.unpersist()
+  /** Free what this scan OWNS: a full build unpersists its block RDD; a
+    * chain extension unpersists its own delta layer and drops its
+    * reference on the base scan (cascading down the chain as refcounts
+    * reach zero).
+    */
+  def unpersist(): Unit = onFree()
 
   /** False once the owning SparkContext has stopped (the blocks died
     * with it); [[BlockCache]] rebuilds instead of returning such an
@@ -181,18 +195,82 @@ object PreparedScan {
     * row-major flattened (row i occupies [i·nWords, (i+1)·nWords)).
     * `cells` is empty for non-IVF layouts; `bytes` (row-major, constant
     * `byteLen` per row) and `docs` are empty unless built with
-    * payloads.
+    * payloads. `layer` is the block's position in an incremental chain
+    * (0 = the full build; k = the k-th delta extension) — a row is live
+    * iff no LATER layer touched its id ([[Superseded]]).
     */
   private[db] case class Block(ids: Array[Long], words: Array[Long],
                                cells: Array[Int], distinctCells: Array[Int],
                                bytes: Array[Byte], byteLen: Int,
                                docs: Array[String],
-                               nav: BlockNav = null)
+                               nav: BlockNav = null,
+                               layer: Int = 0)
 
   private[db] object Block {
     def bare(ids: Array[Long], words: Array[Long], cells: Array[Int],
              distinctCells: Array[Int]): Block =
       Block(ids, words, cells, distinctCells, Array.emptyByteArray, 0, null)
+  }
+
+  /** Chain-wide shadowing map for incrementally extended scans: for
+    * each id any delta layer touched (upsert OR tombstone), the HIGHEST
+    * layer that touched it. A block row is live iff
+    * `latestLayer(id) <= block.layer` — the newest write wins, deletes
+    * have no row anywhere, and each id has exactly one live row across
+    * the chain. Sorted parallel arrays, probed by binary search at the
+    * same point as the selector allowlist (only for rows that already
+    * survived the hamming bound), so unextended scans and non-superseded
+    * rows pay nothing.
+    */
+  final class Superseded(val ids: Array[Long], val layers: Array[Int])
+      extends Serializable {
+    /** Highest layer that rewrote `id`, or -1 if never touched. */
+    def latestLayer(id: Long): Int = {
+      val i = java.util.Arrays.binarySearch(ids, id)
+      if (i >= 0) layers(i) else -1
+    }
+    def size: Int = ids.length
+  }
+
+  object Superseded {
+    /** Merge an existing map with a new window's touched ids (sorted,
+      * distinct), which all land at `layer` — later layers win on
+      * collision.
+      */
+    def merge(prev: Superseded, touched: Array[Long], layer: Int): Superseded = {
+      if (prev == null || prev.size == 0)
+        return new Superseded(touched, Array.fill(touched.length)(layer))
+      val outIds = new Array[Long](prev.size + touched.length)
+      val outLayers = new Array[Int](outIds.length)
+      var i = 0; var j = 0; var n = 0
+      while (i < prev.size || j < touched.length) {
+        if (j >= touched.length ||
+            (i < prev.size && prev.ids(i) < touched(j))) {
+          outIds(n) = prev.ids(i); outLayers(n) = prev.layers(i); i += 1
+        } else if (i >= prev.size || touched(j) < prev.ids(i)) {
+          outIds(n) = touched(j); outLayers(n) = layer; j += 1
+        } else { // same id: the new (higher) layer wins
+          outIds(n) = touched(j); outLayers(n) = layer; i += 1; j += 1
+        }
+        n += 1
+      }
+      new Superseded(java.util.Arrays.copyOf(outIds, n),
+        java.util.Arrays.copyOf(outLayers, n))
+    }
+  }
+
+  /** Bookkeeping an incremental chain carries for the owner's
+    * retire-to-full-rebuild policy: depth (full build = 0), the row
+    * count of the full build, cumulative churn (rows touched by all
+    * extensions), and — in MOR mode — the committed ceilings and fold
+    * ceilings of the snapshot the scan currently represents (the next
+    * extension's window floor, and the fold-detection guard).
+    */
+  final case class ChainInfo(depth: Int, baseRows: Long, churnRows: Long,
+                             morCeilings: (Int, Int), morFolds: (Int, Int))
+
+  object ChainInfo {
+    val none: ChainInfo = ChainInfo(0, 0L, 0L, (0, 0), (0, 0))
   }
 
   private[db] val rankOrder: java.util.Comparator[Hit] =
@@ -208,16 +286,18 @@ object PreparedScan {
     */
   private[db] def dispatchScan(blk: Block, qWords: Array[Long], nWords: Int,
                                b: Int, probeSorted: Array[Int],
-                               sel: IdProbe): Array[Hit] =
-    if (blk.nav == null) scanBlock(blk, qWords, nWords, b, probeSorted, sel)
+                               sel: IdProbe, sup: Superseded = null): Array[Hit] =
+    if (blk.nav == null) scanBlock(blk, qWords, nWords, b, probeSorted, sel, sup)
     else {
       val filterCells = probeSorted != null && blk.cells.length > 0
+      val checkSup = sup != null && sup.size > 0
       val admit: Int => Boolean =
-        if (!filterCells && sel == null) _ => true
+        if (!filterCells && sel == null && !checkSup) _ => true
         else row =>
           (!filterCells ||
             java.util.Arrays.binarySearch(probeSorted, blk.cells(row)) >= 0) &&
-            (sel == null || sel.contains(blk.ids(row)))
+            (sel == null || sel.contains(blk.ids(row))) &&
+            (!checkSup || sup.latestLayer(blk.ids(row)) <= blk.layer)
       val packed = blk.nav.topPacked(qWords, b, admit)
       val withPayload = blk.byteLen > 0
       val out = new Array[Hit](packed.length)
@@ -250,7 +330,9 @@ object PreparedScan {
     */
   private[db] def scanBlock(blk: Block, qWords: Array[Long], nWords: Int,
                             b: Int, probeSorted: Array[Int],
-                            sel: IdProbe = null): Array[Hit] = {
+                            sel: IdProbe = null,
+                            sup: Superseded = null): Array[Hit] = {
+    val checkSup = sup != null && sup.size > 0
     val n = blk.ids.length
     val cap = math.min(b, math.max(n, 1))
     // parallel-array binary max-heap on (hamming, id)
@@ -311,7 +393,8 @@ object PreparedScan {
         }
         if (w == nWords) {
           val id = blk.ids(row)
-          if (sel == null || sel.contains(id)) {
+          if ((sel == null || sel.contains(id)) &&
+              (!checkSup || sup.latestLayer(id) <= blk.layer)) {
             if (size < cap) {
               heapH(size) = acc; heapId(size) = id; heapRow(size) = row
               size += 1
@@ -350,7 +433,9 @@ object PreparedScan {
     */
   private[db] def rangeScanBlock(blk: Block, qWords: Array[Long], nWords: Int,
                                  radius: Int, probeSorted: Array[Int],
-                                 sel: IdProbe = null): Array[Hit] = {
+                                 sel: IdProbe = null,
+                                 sup: Superseded = null): Array[Hit] = {
+    val checkSup = sup != null && sup.size > 0
     val n = blk.ids.length
     val out = scala.collection.mutable.ArrayBuilder.make[Hit]
     val withPayload = blk.byteLen > 0
@@ -368,7 +453,8 @@ object PreparedScan {
         }
         if (w == nWords && acc <= radius) {
           val id = blk.ids(row)
-          if (sel == null || sel.contains(id)) {
+          if ((sel == null || sel.contains(id)) &&
+              (!checkSup || sup.latestLayer(id) <= blk.layer)) {
             out += Hit(id, acc,
               java.util.Arrays.copyOfRange(blk.words, base, base + nWords),
               if (withPayload)
@@ -396,7 +482,65 @@ object PreparedScan {
   def build(codes: DataFrame, nWords: Int, isFlat: Boolean,
             isIvf: Boolean, withBytes: Boolean = false,
             withDoc: Boolean = false,
-            navBuilder: Option[NavBuilder] = None): PreparedScan = {
+            navBuilder: Option[NavBuilder] = None,
+            chain: ChainInfo = ChainInfo.none): PreparedScan = {
+    val blocks = blockify(codes, nWords, isFlat, isIvf, withBytes, withDoc,
+      navBuilder, layer = 0)
+    blocks.count() // materialize eagerly: serving opts into RAM residency
+    new PreparedScan(blocks, nWords, null, chain, () => blocks.unpersist())
+  }
+
+  /** Extend `base` with one incremental delta layer instead of
+    * rebuilding: `windowRows` are the resolved live rows of the commit
+    * window being adopted (same schema contract as [[build]]'s `codes`)
+    * and `touched` every id the window wrote (upserts AND tombstones,
+    * sorted distinct). The extension blockifies ONLY the window — its
+    * per-block navigators cost O(window), not O(table) — and reuses the
+    * base's resident blocks untouched; rows the window superseded are
+    * masked at scan time through the merged [[Superseded]] map, which is
+    * broadcast once per extension. The result is EXACTLY the scan a
+    * full rebuild at the new snapshot would produce (each id resolves
+    * to its newest layer; tombstoned ids resolve to nothing).
+    *
+    * Ownership: the new scan holds the ONE reference on `base` its
+    * owner transferred (released through `onBaseFree` when the new scan
+    * is freed) and owns its delta layer RDD. Scale note: delta blocks
+    * compute from the window's delta files (bounded), and base blocks
+    * stay cached where they are — an extension never re-materializes,
+    * re-caches, or shuffles the base tier.
+    */
+  def extend(base: PreparedScan, windowRows: DataFrame,
+             touched: Array[Long], nWords: Int, isFlat: Boolean,
+             isIvf: Boolean, withBytes: Boolean, withDoc: Boolean,
+             navBuilder: Option[NavBuilder],
+             newCeilings: (Int, Int),
+             onBaseFree: () => Unit): PreparedScan = {
+    val layer = base.chain.depth + 1
+    val delta = blockify(windowRows, nWords, isFlat, isIvf, withBytes,
+      withDoc, navBuilder, layer)
+    delta.count() // materialize the layer before it can serve
+    val prevSup = if (base.supBc == null) null else base.supBc.value
+    val merged = Superseded.merge(prevSup, touched, layer)
+    val supB = delta.sparkContext.broadcast(merged)
+    val blocks = base.blocks.union(delta)
+    val chain = ChainInfo(layer, base.chain.baseRows,
+      base.chain.churnRows + touched.length, newCeilings,
+      base.chain.morFolds)
+    new PreparedScan(blocks, nWords, supB, chain, () => {
+      delta.unpersist()
+      supB.unpersist()
+      onBaseFree()
+    })
+  }
+
+  /** Shared block construction: each source partition becomes one block
+    * with `layer` baked in; persisted (NOT yet materialized — callers
+    * count()).
+    */
+  private def blockify(codes: DataFrame, nWords: Int, isFlat: Boolean,
+                       isIvf: Boolean, withBytes: Boolean, withDoc: Boolean,
+                       navBuilder: Option[NavBuilder],
+                       layer: Int): RDD[Block] = {
     val wordsCol =
       if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*).as("w")
       else col("code").as("w")
@@ -408,7 +552,7 @@ object PreparedScan {
     val cellAt = if (isIvf) 2 else -1
     val bytesAt = if (withBytes) (if (isIvf) 3 else 2) else -1
     val docAt = if (withDoc) bytesAt.max(cellAt).max(1) + 1 else -1
-    val blocks = cols.rdd.mapPartitions { it =>
+    cols.rdd.mapPartitions { it =>
       val ids = scala.collection.mutable.ArrayBuilder.make[Long]
       val words = scala.collection.mutable.ArrayBuilder.make[Long]
       val cells = scala.collection.mutable.ArrayBuilder.make[Int]
@@ -436,9 +580,8 @@ object PreparedScan {
       Iterator.single(Block(idArr, wordArr, cellArr,
         cellArr.distinct.sorted, bytes.result(), byteLen,
         if (withDoc) docs.result() else null,
-        navBuilder.map(_.build(idArr, wordArr, nWords)).orNull))
+        navBuilder.map(_.build(idArr, wordArr, nWords)).orNull,
+        layer))
     }.persist(StorageLevel.MEMORY_AND_DISK)
-    blocks.count() // materialize eagerly: serving opts into RAM residency
-    new PreparedScan(blocks, nWords)
   }
 }

@@ -127,6 +127,16 @@ class VectorDB private (
     * on, tagged with the snapshot version they were built from.
     */
   @volatile private var prepared: Option[(String, PreparedScan)] = None
+  /** Incremental serving refresh knobs (0 = off, the default): see
+    * [[incrementalServing]].
+    */
+  @volatile private var incServingChurnFrac: Double = 0.0
+  @volatile private var incServingMaxLayers: Int = VectorDB.IncServingMaxLayers
+  /** The superseded serving blocks held back for a possible incremental
+    * extension (one BlockCache reference, transferred to the chain when
+    * the extension is adopted, released otherwise). Guarded by `this`.
+    */
+  private var pendingPrevServing: Option[(String, PreparedScan)] = None
 
   /** This folder's identity in the JVM-wide [[BlockCache]]: qualified
     * path (so spelling variants collide) + applicationId (block RDDs
@@ -325,8 +335,7 @@ class VectorDB private (
       val cur2 = BlockCache.currentVersion(cacheKey, () => readMarker())
       if (lastSeenVersion != cur2) {
         dropLocalCaches()
-        prepared.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
-        prepared = None
+        releaseOrStashPrepared()
         lastSeenVersion = cur2
       }
     }
@@ -793,7 +802,23 @@ class VectorDB private (
     // rebuild lazily (under the new snapshot version) on the next
     // search if serving stays enabled. Other instances still holding
     // the old version keep it alive until they refresh.
-    prepared.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
+    releaseOrStashPrepared()
+  }
+
+  /** Drop this instance's serving-block reference — or, when the
+    * incremental refresh is on (MOR + serving), hold it back as the
+    * base of a possible chain extension at the next rebuild. At most
+    * one stash: a second commit before any search replaces it (the
+    * extension window then spans both commits — the ceilings say what
+    * to read, not the stash count).
+    */
+  private def releaseOrStashPrepared(): Unit = synchronized {
+    prepared.foreach { case (v, ps) =>
+      if (incServingChurnFrac > 0 && isMor && servingEnabled && ps.isAlive) {
+        pendingPrevServing.foreach { case (ov, _) => BlockCache.release(cacheKey, ov) }
+        pendingPrevServing = Some((v, ps))
+      } else BlockCache.release(cacheKey, v)
+    }
     prepared = None
   }
 
@@ -815,10 +840,58 @@ class VectorDB private (
     servingEnabled = true; preparedScan(); this
   }
 
-  def disableServing(): Unit = {
+  /** Opt into INCREMENTAL serving refresh (MOR storage only): after a
+    * commit, instead of rebuilding the whole serving tier — block
+    * arrays, payloads, AND per-block index-strategy navigators, O(table)
+    * work that a graph strategy turns into minutes per refresh — the
+    * resident blocks are EXTENDED with one delta layer holding just the
+    * commit window's rows (cost O(batch): its blocks and its navigators
+    * are built over the window only), and rows the window superseded
+    * (upserts and deletes alike) are masked through a broadcast
+    * shadowing map probed at the same point as the selector allowlist.
+    * Results are exactly the full rebuild's (spec-pinned): each id
+    * resolves to its newest layer, tombstoned ids to nothing, and the
+    * radius/batched/filtered paths all see the chain.
+    *
+    * Retirement: a chain re-scans masked rows and accumulates
+    * micro-layers, so it is the high-frequency-commit regime's tool
+    * (the crawl loop), not a replacement for rebuilds. A full rebuild
+    * happens automatically when cumulative churn exceeds
+    * `maxChurnFraction` of the base build's rows, at `maxLayers`
+    * layers, whenever a compaction folds the tiers, or if a single
+    * window touches more than [[VectorDB.IncServingMaxTouched]] ids
+    * (the shadowing map is driver/broadcast-resident and must stay
+    * bounded).
+    */
+  def incrementalServing(maxChurnFraction: Double = 0.25,
+                         maxLayers: Int = VectorDB.IncServingMaxLayers): this.type = {
+    require(isMor, "incrementalServing requires merge-on-read storage " +
+      "(copy-on-write commits rewrite the tier files — there is no delta " +
+      "window to extend with)")
+    require(maxChurnFraction > 0 && maxChurnFraction <= 1.0,
+      s"maxChurnFraction must be in (0, 1], got $maxChurnFraction")
+    require(maxLayers >= 1, s"maxLayers must be >= 1, got $maxLayers")
+    incServingChurnFrac = maxChurnFraction
+    incServingMaxLayers = maxLayers
+    this
+  }
+
+  /** Back to full rebuilds on every commit (releases any held-back
+    * extension base).
+    */
+  def incrementalServingOff(): this.type = synchronized {
+    incServingChurnFrac = 0.0
+    pendingPrevServing.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
+    pendingPrevServing = None
+    this
+  }
+
+  def disableServing(): Unit = synchronized {
     servingEnabled = false
     prepared.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
     prepared = None
+    pendingPrevServing.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
+    pendingPrevServing = None
   }
 
   /** The fused serving index: [[PreparedScan]] blocks over
@@ -844,21 +917,89 @@ class VectorDB private (
             case Some((_, ps)) => Some(ps)
             case None if hasData =>
               val cur = lastSeenVersion
-              val ps = BlockCache.acquire(cacheKey, cur) {
-                val fused = codes.join(
-                  docs.select(col("doc_id"), col("doc"), col("emb_int8")),
-                  Seq("doc_id"))
-                PreparedScan.build(fused, nWords, isFlat, isIvf,
-                  withBytes = true, withDoc = true,
-                  navBuilder = indexStrategy.navBuilder(strategyCtx))
+              val stash = pendingPrevServing
+              pendingPrevServing = None
+              var stashAdopted = false
+              try {
+                val ps = BlockCache.acquire(cacheKey, cur) {
+                  val extended = stash.flatMap { case (pv, prev) =>
+                    tryExtendServing(pv, prev)
+                  }
+                  extended match {
+                    case Some(e) => stashAdopted = true; e
+                    case None => buildFullServing()
+                  }
+                }
+                prepared = Some((cur, ps))
+                Some(ps)
+              } finally {
+                // Not adopted (full rebuild, ineligible window, or the
+                // entry already existed so the builder never ran):
+                // release the held-back reference.
+                if (!stashAdopted)
+                  stash.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
               }
-              prepared = Some((cur, ps))
-              Some(ps)
             case None => None
           }
         }
       }
     }
+  }
+
+  private def buildFullServing(): PreparedScan = {
+    val fused = codes.join(
+      docs.select(col("doc_id"), col("doc"), col("emb_int8")),
+      Seq("doc_id"))
+    val chain =
+      if (incServingChurnFrac > 0 && isMor) {
+        val (cc, dc) = committedCeilings()
+        PreparedScan.ChainInfo(0, count(), 0L, (cc, dc),
+          (codesMor.foldCeiling(), docsMor.foldCeiling()))
+      } else PreparedScan.ChainInfo.none
+    PreparedScan.build(fused, nWords, isFlat, isIvf,
+      withBytes = true, withDoc = true,
+      navBuilder = indexStrategy.navBuilder(strategyCtx), chain = chain)
+  }
+
+  /** Extend the held-back serving blocks with the commit window between
+    * their ceilings and the current ones, or None when a full rebuild
+    * is the right call: knob off, a fold/compaction reorganized the
+    * tiers (the windows a chain reads fold away), the chain is at its
+    * layer bound, or cumulative churn crossed the retirement threshold
+    * (a chain dominated by masked rows + micro-layers scans worse than
+    * a fresh build — and its superseded map is driver/broadcast-resident,
+    * so it must stay bounded).
+    */
+  private def tryExtendServing(prevVersion: String,
+                               prev: PreparedScan): Option[PreparedScan] = {
+    if (incServingChurnFrac <= 0 || !isMor || !prev.isAlive) return None
+    val pc = prev.chain
+    if (pc.baseRows <= 0) return None // built before the knob was on
+    if (pc.depth + 1 > incServingMaxLayers) return None
+    if ((codesMor.foldCeiling(), docsMor.foldCeiling()) != pc.morFolds)
+      return None // a fold reorganized the tiers since the chain's base
+    val (cc1, dc1) = committedCeilings()
+    val (cc0, dc0) = pc.morCeilings
+    if (cc1 <= cc0 || dc1 <= dc0) return None // nothing to adopt / rewound
+    val touched = codesMor.touchedKeys(cc0, cc1).collect().map(_.getLong(0))
+    java.util.Arrays.sort(touched)
+    if (touched.length > VectorDB.IncServingMaxTouched) return None
+    if (pc.churnRows + touched.length > incServingChurnFrac * pc.baseRows)
+      return None
+    val codesWin = codesMor.readWindow(cc0, cc1)
+    val docsWin = docsMor.readWindow(dc0, dc1)
+      .select(col("doc_id"), col("doc"), col("emb_int8"))
+    val nParts = math.max(1L, math.min(64L,
+      (touched.length.toLong + VectorDB.IncServingRowsPerBlock - 1) /
+        VectorDB.IncServingRowsPerBlock)).toInt
+    val fusedWin = codesWin
+      .join(docsWin, Seq("doc_id"))
+      .repartition(nParts)
+    Some(PreparedScan.extend(prev, fusedWin, touched, nWords, isFlat, isIvf,
+      withBytes = true, withDoc = true,
+      navBuilder = indexStrategy.navBuilder(strategyCtx),
+      newCeilings = (cc1, dc1),
+      onBaseFree = () => BlockCache.release(cacheKey, prevVersion)))
   }
 
   /** Exact driver-side mirror of the phase-III column expression
@@ -1219,6 +1360,11 @@ class VectorDB private (
   private[graft] def blockCacheKey: BlockCache.Key = cacheKey
   private[graft] def preparedForTest: Option[PreparedScan] = prepared.map(_._2)
   private[graft] def preparedVersionForTest: Option[String] = prepared.map(_._1)
+  private[graft] def servingChainForTest: Option[PreparedScan.ChainInfo] =
+    prepared.map(_._2.chain)
+  private[graft] def pendingPrevForTest: Option[String] = synchronized {
+    pendingPrevServing.map(_._1)
+  }
   private[graft] def currentCodesPathForTest: String = codesPath
 
   /** Most recent [[VectorDB.SearchTimings]] recorded by a funnel search
@@ -2006,6 +2152,18 @@ object VectorDB {
     * 1024 bits).
     */
   val CentroidSample = 65536
+
+  /** Incremental serving refresh bounds ([[VectorDB.incrementalServing]]):
+    * default layer cap, the hard per-window touched-id ceiling (the
+    * shadowing map is driver/broadcast-resident — 2M ids ≈ 24 MB; a
+    * bigger window does a full rebuild instead), and the target rows
+    * per delta-layer block (windows repartition to ~this, so a chain
+    * adds one small block per commit, not one near-empty block per
+    * shuffle partition).
+    */
+  val IncServingMaxLayers = 32
+  val IncServingMaxTouched = 2000000
+  val IncServingRowsPerBlock = 262144L
 
   def openOrCreate(spark: SparkSession, folder: String,
                    model: String = "graft-hash-64", dim: Int = 64,

@@ -1,0 +1,250 @@
+package graft
+
+import graft.db.{BlockCache, HashingEmbedder, IndexStrategies, VectorDB}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental serving refresh (`VectorDB.incrementalServing`, MOR
+  * storage): a commit EXTENDS the resident serving blocks with one
+  * delta layer (cost O(batch)) instead of rebuilding the tier
+  * (O(table)); rows the window superseded — upserts and tombstones —
+  * are masked through the chain's shadowing map.
+  *
+  * The contract under test: every search shape over a chain (single /
+  * batched / radius / selector-filtered / NSW-navigated) is EXACTLY
+  * what a full rebuild at the same snapshot would serve, i.e. what the
+  * Catalyst path computes; the chain actually extends (depth grows —
+  * not a silent rebuild); retirement (churn / layer cap / compaction)
+  * falls back to a full rebuild; and BlockCache accounting frees the
+  * whole chain at the end.
+  */
+class IncrementalServingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftincs").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private val corpus = (1L to 400L).map(i =>
+    (i, s"tok${i % 13} tok${i % 7} tok${i % 31} tok${i % 3}")).toSeq
+
+  private def qVec(text: String): Seq[Double] = {
+    val emb = new HashingEmbedder()
+    spark.range(1).select(
+      emb.embed(org.apache.spark.sql.functions.lit(text)).cast("array<double>"))
+      .head().getSeq[Double](0)
+  }
+
+  private def hits(db: VectorDB, q: String, k: Int = 10): Seq[(Long, Int, Double)] =
+    db.search(q, k).collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("score_hamming"), r.getAs[Double]("score_cossim"))).toSeq
+
+  /** A served+incremental db and its Catalyst twin (same folder, no
+    * serving — the exact path), plus a mirrored-commit helper.
+    */
+  private def mirrored(index: String = VectorDB.IndexFlat):
+      (VectorDB, VectorDB) = {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir,
+      storage = VectorDB.StorageMor, index = index)
+      .incrementalServing()
+    db.addDocuments(corpus.toDF("doc_id", "text"))
+    db.enableServing()
+    val twin = VectorDB.openOrCreate(spark, dir,
+      storage = VectorDB.StorageMor, index = index)
+    (db, twin)
+  }
+
+  test("chain extension: append, upsert, delete each match the Catalyst twin") {
+    val (db, twin) = mirrored()
+    try {
+      assert(hits(db, "tok1 tok5").nonEmpty)
+      assert(db.servingChainForTest.exists(_.depth == 0))
+
+      // append new ids
+      db.addDocuments(Seq((9001L, "tok1 tok5 tok1"), (9002L, "tok9 tok4"))
+        .toDF("doc_id", "text"))
+      var a = hits(db, "tok1 tok5", 50)
+      assert(db.servingChainForTest.exists(_.depth == 1), "append must EXTEND")
+      assert(a.exists(_._1 == 9001L))
+      assert(a == hits(twin, "tok1 tok5", 50))
+
+      // upsert: rewrite existing ids — the old layer-0 rows must be masked
+      db.addDocuments(Seq((5L, "tok9 tok4 tok9"), (9001L, "tok2 tok6"))
+        .toDF("doc_id", "text"))
+      a = hits(db, "tok9 tok4", 50)
+      assert(db.servingChainForTest.exists(_.depth == 2), "upsert must EXTEND")
+      assert(a.exists(_._1 == 5L))
+      assert(a == hits(twin, "tok9 tok4", 50))
+      // the REWRITTEN 9001 must not surface under its old text's query
+      assert(hits(db, "tok1 tok5", 50) == hits(twin, "tok1 tok5", 50))
+
+      // delete: tombstones mask rows out of every layer
+      db.removeDocs(Seq(5L, 9002L))
+      a = hits(db, "tok9 tok4", 450)
+      assert(db.servingChainForTest.exists(_.depth == 3), "delete must EXTEND")
+      assert(!a.exists(h => h._1 == 5L || h._1 == 9002L))
+      assert(a == hits(twin, "tok9 tok4", 450))
+
+      // a query whose exact top-k straddles base and delta layers
+      Seq("tok12 tok2 tok30", "tok4", "tok2 tok6").foreach { q =>
+        assert(hits(db, q, 25) == hits(twin, q, 25), s"query '$q'")
+      }
+    } finally db.disableServing()
+  }
+
+  test("radius, batched, and filtered searches see the chain exactly") {
+    val (db, twin) = mirrored()
+    try {
+      db.addDocuments(Seq((9001L, "tok1 tok5 tok1"), (9002L, "tok9 tok4"))
+        .toDF("doc_id", "text"))
+      db.removeDocs(Seq(3L))
+      db.addDocuments(Seq((9001L, "tok2 tok6")).toDF("doc_id", "text"))
+      // three commits, no search in between: ONE window spanning all of
+      // them extends the chain by a single layer
+      hits(db, "tok1")
+      assert(db.servingChainForTest.exists(_.depth == 1))
+
+      val q = qVec("tok1 tok5")
+      // radius: the exhaustive contract over (base ∖ masked) ∪ layers
+      val rServed = db.searchRadius(q, 12)
+      val rTwin = twin.searchRadius(q, 12)
+      assert(rServed == rTwin)
+      assert(!rServed.exists(_._1 == 3L))
+
+      // batched
+      val qs = Seq(10L -> qVec("tok1 tok5"), 20L -> qVec("tok9 tok4"))
+      val mServed = db.searchMany(qs, 8).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))).toSeq.sorted
+      val mTwin = twin.searchMany(qs, 8).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))).toSeq.sorted
+      assert(mServed == mTwin)
+
+      // selector-filtered (allowlist AND shadowing map compose)
+      val sel = db.selector(col("doc_id") % 2 === 1)
+      try {
+        val fServed = db.searchVectorWhere(q, sel, 10, 10, 3, Int.MaxValue)
+          .collect().map(_.getAs[Long]("doc_id")).toSeq
+        val fTwin = twin.searchVectorWhere(q, col("doc_id") % 2 === 1,
+          10, 10, 3, Int.MaxValue)
+          .collect().map(_.getAs[Long]("doc_id")).toSeq
+        assert(fServed == fTwin)
+      } finally sel.release()
+    } finally db.disableServing()
+  }
+
+  test("nsw chain: delta layers carry their own graphs and stay exact at full width") {
+    IndexStrategies.register(new IndexStrategies.Nsw(
+      m = 6, efConstruction = 24, efSearch = 1 << 20))
+    try {
+      val (db, twin) = mirrored(index = VectorDB.IndexNsw)
+      try {
+        db.addDocuments(Seq((9001L, "tok1 tok5 tok1"), (9002L, "tok9 tok4"))
+          .toDF("doc_id", "text"))
+        hits(db, "tok1")
+        db.removeDocs(Seq(7L))
+        Seq("tok1 tok5", "tok12 tok2 tok30").foreach { q =>
+          assert(hits(db, q, 50) == hits(twin, q, 50), s"query '$q'")
+        }
+        assert(db.servingChainForTest.exists(_.depth == 2))
+      } finally db.disableServing()
+    } finally IndexStrategies.register(new IndexStrategies.Nsw())
+  }
+
+  test("retirement: churn bound, layer cap, and compaction each force a full rebuild") {
+    val dir = freshDir()
+    // churn bound: 400-row base, 25% churn = 100 rows; a 120-row window
+    // must retire the chain
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+      .incrementalServing(maxChurnFraction = 0.25, maxLayers = 2)
+    db.addDocuments(corpus.toDF("doc_id", "text"))
+    db.enableServing()
+    try {
+      db.addDocuments((2001L to 2120L).map(i => (i, s"tok${i % 11}"))
+        .toDF("doc_id", "text"))
+      hits(db, "tok1")
+      assert(db.servingChainForTest.exists(_.depth == 0),
+        "over-churn window must trigger a full rebuild")
+      // the rebuild's baseRows must now reflect the grown table
+      assert(db.servingChainForTest.exists(_.baseRows == 520L))
+
+      // layer cap: two small commits extend (maxLayers = 2)…
+      db.addDocuments(Seq((3001L, "tok5")).toDF("doc_id", "text"))
+      hits(db, "tok1")
+      db.addDocuments(Seq((3002L, "tok6")).toDF("doc_id", "text"))
+      hits(db, "tok1")
+      assert(db.servingChainForTest.exists(_.depth == 2))
+      // …the third hits the cap and rebuilds
+      db.addDocuments(Seq((3003L, "tok7")).toDF("doc_id", "text"))
+      hits(db, "tok1")
+      assert(db.servingChainForTest.exists(_.depth == 0),
+        "layer cap must trigger a full rebuild")
+
+      // compaction folds the tiers a chain's windows hang off — rebuild
+      db.addDocuments(Seq((3004L, "tok8")).toDF("doc_id", "text"))
+      hits(db, "tok1")
+      assert(db.servingChainForTest.exists(_.depth == 1))
+      db.compact()
+      hits(db, "tok1")
+      assert(db.servingChainForTest.exists(_.depth == 0),
+        "compaction must trigger a full rebuild")
+    } finally db.disableServing()
+  }
+
+  test("block-cache accounting: the chain pins its base versions, then frees whole") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+      .incrementalServing()
+    db.addDocuments(corpus.toDF("doc_id", "text"))
+    db.enableServing()
+    val folder = db.blockCacheKey.folder
+    try {
+      hits(db, "tok1")
+      assert(BlockCache.liveEntriesFor(folder) == 1)
+      db.addDocuments(Seq((9001L, "tok5")).toDF("doc_id", "text"))
+      hits(db, "tok1")
+      db.addDocuments(Seq((9002L, "tok6")).toDF("doc_id", "text"))
+      hits(db, "tok1")
+      assert(db.servingChainForTest.exists(_.depth == 2))
+      // depth-2 chain = 3 live entries (each extension refs its base)
+      assert(BlockCache.liveEntriesFor(folder) == 3)
+    } finally db.disableServing()
+    assert(BlockCache.liveEntriesFor(folder) == 0,
+      "disableServing must cascade the whole chain free")
+    assert(db.pendingPrevForTest.isEmpty)
+  }
+
+  test("a second instance over the folder shares the chain entry") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+      .incrementalServing()
+    db.addDocuments(corpus.toDF("doc_id", "text"))
+    db.enableServing()
+    try {
+      db.addDocuments(Seq((9001L, "tok1 tok5")).toDF("doc_id", "text"))
+      hits(db, "tok1 tok5")
+      assert(db.servingChainForTest.exists(_.depth == 1))
+      val other = VectorDB.openOrCreate(spark, dir,
+        storage = VectorDB.StorageMor)
+      other.enableServing()
+      try {
+        assert(hits(other, "tok1 tok5") == hits(db, "tok1 tok5"))
+        assert(other.preparedForTest.get eq db.preparedForTest.get,
+          "the second instance must reuse the chain, not rebuild")
+      } finally other.disableServing()
+    } finally db.disableServing()
+  }
+
+  test("guards: cow storage rejected; knob validation") {
+    val cow = VectorDB.openOrCreate(spark, freshDir())
+    intercept[IllegalArgumentException] { cow.incrementalServing() }
+    val mor = VectorDB.openOrCreate(spark, freshDir(),
+      storage = VectorDB.StorageMor)
+    intercept[IllegalArgumentException] { mor.incrementalServing(0.0) }
+    intercept[IllegalArgumentException] { mor.incrementalServing(1.5) }
+    intercept[IllegalArgumentException] { mor.incrementalServing(0.5, 0) }
+  }
+}
