@@ -92,6 +92,22 @@ object SoakBench {
     // and leave the pinned view frozen.
     var loopPinned: graft.db.Snapshot = null
     var loopPinnedCount = -1L
+    // Serve the commit-only DB throughout, with the INCREMENTAL refresh
+    // on: every batch's first post-commit search pays the lazy refresh —
+    // a chain extension (O(batch)) between folds, a full rebuild right
+    // after each harness compaction. The soak records that series plus
+    // the chain-depth ceiling (bounded by the compaction cadence).
+    val qVec = {
+      graft.functions.Kernels.install(spark)
+      val e = new graft.db.HashingEmbedder()
+      spark.range(1).select(
+        e.embed(org.apache.spark.sql.functions.lit(text(0))).cast("array<double>"))
+        .head().getSeq[Double](0)
+    }
+    val serveMs = new Array[Double](nBatches)
+    var chainDepthMax = 0
+    var serveRebuilds = 0
+    var prevDepth = 0
     (0 until nBatches).foreach { b =>
       val fresh = (0 until batchSize).map(i => (b.toLong * batchSize + i,
         text(b.toLong * batchSize + i)))
@@ -114,6 +130,16 @@ object SoakBench {
         pinnedCount = pinned.count()
         loopPinned = loopDb.snapshot()
         loopPinnedCount = loopPinned.count()
+        commitDb.incrementalServing().enableServing()
+      }
+      if (b >= warmup) {
+        val t2 = System.nanoTime()
+        commitDb.searchHits(qVec, k = 10)
+        serveMs(b) = (System.nanoTime() - t2) / 1e6
+        val depth = commitDb.servingChainForTest.map(_.depth).getOrElse(0)
+        chainDepthMax = math.max(chainDepthMax, depth)
+        if (depth < prevDepth) serveRebuilds += 1
+        prevDepth = depth
       }
       if (loopPinned != null)
         require(loopPinned.count() == loopPinnedCount,
@@ -151,13 +177,18 @@ object SoakBench {
     val commitRatio = commitQ4 / commitQ1
     val flat = commitRatio < 2.0
 
+    val serveQ1 = median(serveMs.slice(warmup + 1, warmup + 1 + q).toSeq)
+    val serveQ4 = median(serveMs.takeRight(q).toSeq)
+    val serveRatio = serveQ4 / serveQ1
+
     val pinStable = pinned != null && pinned.count() == pinnedCount
     if (pinned != null) pinned.close()
     val loopPinStable = loopPinned != null && loopPinned.count() == loopPinnedCount
     if (loopPinned != null) loopPinned.close()
+    commitDb.disableServing()
     val retiredAfterClose = commitDb.retainedMorGenerations()
 
-    println(f"""{"metric":"soak_commit_flatness","n_batches":$nBatches,"batch_size":$batchSize,"commit_ms_q1_median":$commitQ1%.1f,"commit_ms_q4_median":$commitQ4%.1f,"commit_ratio":$commitRatio%.2f,"commit_flat":$flat,"loop_ms_q1_median":$loopQ1%.1f,"loop_ms_q4_median":$loopQ4%.1f,"final_count":${loopDb.count()},"pending_deltas_max":$pendingMax,"pin_count":$pinnedCount,"pin_stable":$pinStable,"loop_pin_stable":$loopPinStable,"loop_compact_every":$compactEvery,"retained_gens_max":$retiredMax,"retained_gens_after_close":$retiredAfterClose,"unit":"ms","note":"MOR delta commits must stay O(batch) as the corpus grows (commit_ratio ~ 1); loop_ms includes the incremental dedup whose corpus side is a linear scan locally and parallelizes on a cluster; the pin_ fields hold a repeatable-read snapshot open across every compaction -- folds proceed, the pinned view stays frozen, retained generations stay bounded (steady state 1 = the {current, previous} reader window) and pin-held file sets free at close"}""")
+    println(f"""{"metric":"soak_commit_flatness","n_batches":$nBatches,"batch_size":$batchSize,"commit_ms_q1_median":$commitQ1%.1f,"commit_ms_q4_median":$commitQ4%.1f,"commit_ratio":$commitRatio%.2f,"commit_flat":$flat,"loop_ms_q1_median":$loopQ1%.1f,"loop_ms_q4_median":$loopQ4%.1f,"serve_refresh_ms_q1_median":$serveQ1%.1f,"serve_refresh_ms_q4_median":$serveQ4%.1f,"serve_refresh_ratio":$serveRatio%.2f,"serve_chain_depth_max":$chainDepthMax,"serve_full_rebuilds":$serveRebuilds,"final_count":${loopDb.count()},"pending_deltas_max":$pendingMax,"pin_count":$pinnedCount,"pin_stable":$pinStable,"loop_pin_stable":$loopPinStable,"loop_compact_every":$compactEvery,"retained_gens_max":$retiredMax,"retained_gens_after_close":$retiredAfterClose,"unit":"ms","note":"MOR delta commits must stay O(batch) as the corpus grows (commit_ratio ~ 1); loop_ms includes the incremental dedup whose corpus side is a linear scan locally and parallelizes on a cluster; serve_refresh_ms is the first post-commit search on the served commit-only DB with incrementalServing on -- a chain extension per batch, a full rebuild after each compaction fold (serve_full_rebuilds counts them; chain depth stays bounded by the compaction cadence); the pin_ fields hold a repeatable-read snapshot open across every compaction -- folds proceed, the pinned view stays frozen, retained generations stay bounded (steady state 1 = the {current, previous} reader window) and pin-held file sets free at close"}""")
     spark.stop()
   }
 }
