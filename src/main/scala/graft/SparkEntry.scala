@@ -108,6 +108,10 @@ object SparkEntry {
     // X: transactional storage exercised end-to-end (pin → commits →
     // delete → compaction-under-pin → close), oracle-checked.
     "x1_pinned_compaction" -> ((s, d) => Transactional.pinnedCompaction(s, d)),
+    // X2: the incremental serving-refresh chain (append + rewrite +
+    // tombstone windows over resident blocks) radius-searched at the
+    // exhaustive contract, oracle-checked against the merged state.
+    "x2_incremental_serving" -> ((s, d) => Transactional.incrementalServing(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -64,6 +64,77 @@ object Transactional {
     }
   }
 
+  /** Carries a pre-computed embedding THROUGH the text column (comma
+    * -joined floats — Spark's float→string cast is shortest
+    * round-trip, so the parse restores the exact values): the
+    * driver-gate face needs the stored codes to be recomputable by the
+    * DuckDB oracle from `embeddings.parquet` alone, which a hashing
+    * embedder would prevent.
+    */
+  private final class CsvEmbedder(val dim: Int) extends graft.db.Embedder {
+    override def embed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      split(text, ",").cast("array<float>")
+  }
+
+  /** `x2_incremental_serving`: the incremental serving-refresh chain
+    * ([[VectorDB.incrementalServing]]) under the oracle gate. Land the
+    * `vec_id % 3 != 1` slice of `embeddings` in a served MOR DB (chain
+    * base), then — without ever rebuilding — extend it with two commit
+    * windows: (1) append the `% 3 == 1` slice AND rewrite the
+    * `% 7 == 0` rows of the base with their REVERSED embeddings
+    * (upsert masking), (2) tombstone every `% 11 == 0` id (delete
+    * masking). The radius search then runs through the depth-2 chain —
+    * exhaustive-exact by the radius contract, layer masking included —
+    * and the oracle recomputes the same result from the parquet alone:
+    * per-id sign-disagreement hamming against query vec 0 over the
+    * MERGED state (reversed where rewritten, absent where deleted),
+    * `<= 24`. A require() pins that the chain actually extended (a
+    * silent full rebuild would otherwise pass trivially).
+    */
+  def incrementalServing(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def asText(e: org.apache.spark.sql.Column) =
+      array_join(e.cast("array<string>"), ",")
+
+    val scratch = scratchDir(spark)
+    val db = VectorDB.openOrCreate(spark, s"$scratch/db",
+      storage = VectorDB.StorageMor)
+    try {
+      val csv = new CsvEmbedder(64)
+      db.addDocuments(
+        emb.filter(col("vec_id") % 3 =!= 1)
+          .select(col("vec_id").as("doc_id"), asText(col("embedding")).as("text")),
+        csv)
+      db.incrementalServing(maxChurnFraction = 1.0).enableServing()
+      val q = graft.operators.Search.queryVector(spark, dir, 0)
+
+      // window 1: appends + reversed-embedding rewrites, one commit
+      val appends = emb.filter(col("vec_id") % 3 === 1)
+        .select(col("vec_id").as("doc_id"), asText(col("embedding")).as("text"))
+      val rewrites = emb.filter(col("vec_id") % 3 =!= 1 && col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("doc_id"),
+          asText(reverse(col("embedding"))).as("text"))
+      db.addDocuments(appends.unionByName(rewrites), csv)
+      db.searchRadius(q, 24) // adopt window 1 (chain depth 1)
+
+      // window 2: tombstones
+      val dels = emb.filter(col("vec_id") % 11 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      if (dels.nonEmpty) db.removeDocs(dels)
+
+      val hits = db.searchRadius(q, 24)
+      require(db.servingChainForTest.exists(_.depth == 2),
+        "the gate must serve through a depth-2 chain, not a rebuild " +
+          s"(depth = ${db.servingChainForTest.map(_.depth)})")
+      spark.createDataFrame(hits).toDF("vec_id", "score_hamming")
+        .orderBy(col("score_hamming").asc, col("vec_id").asc)
+    } finally {
+      db.disableServing()
+      deleteScratch(spark, scratch)
+    }
+  }
+
   /** Unique per-run scratch root for the temporary MOR DB, on a
     * filesystem EXECUTORS can reach (a driver-local `java.io.tmpdir`
     * only works in local mode): `graft.scratch.dir` if set (shared FS
@@ -85,6 +156,29 @@ object Transactional {
   }
 
   val oracles: Map[String, String] = Map(
+    // Merged-state radius search: reversed embedding where rewritten
+    // (window 1), absent where tombstoned (window 2), sign-disagreement
+    // hamming vs query vec 0 — brute force over the parquet, which the
+    // served chain (base blocks + two delta layers + shadowing map)
+    // must reproduce exactly.
+    "x2_incremental_serving" ->
+      s"""WITH qv AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+         |m AS (
+         |  SELECT vec_id,
+         |         (vec_id % 3 <> 1 AND vec_id % 7 = 0) AS rev,
+         |         embedding
+         |  FROM embeddings
+         |  WHERE vec_id % 11 <> 0),
+         |h AS (
+         |  SELECT m.vec_id,
+         |    (SELECT count(*) FROM range(1,65) t(i)
+         |       WHERE ((CASE WHEN m.rev THEN m.embedding[65-i]
+         |                    ELSE m.embedding[i] END) > 0) <> (qv.e[i] > 0))::INT
+         |      AS score_hamming
+         |  FROM m, qv)
+         |SELECT vec_id, score_hamming FROM h WHERE score_hamming <= 24
+         |ORDER BY score_hamming ASC, vec_id ASC""".stripMargin,
+
     "x1_pinned_compaction" ->
       """SELECT * FROM (
         |  SELECT 'live_count' AS metric,
