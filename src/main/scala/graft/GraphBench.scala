@@ -111,8 +111,12 @@ object GraphBench {
     // per-block graph build (run-dependent graph; exactness unaffected).
     val buildThreads = sys.env.get("SPARK_GRAFT_GRAPH_BUILD_THREADS")
       .map(_.toInt).getOrElse(1)
+    // SPARK_GRAFT_GRAPH_NO_HIER=1 disables the sampled upper layer
+    // (stride entries only) — the A/B for the hierarchy's recall win.
+    val hierarchy = !sys.env.contains("SPARK_GRAFT_GRAPH_NO_HIER")
     val rows = efGrid.map { ef =>
-      IndexStrategies.register(new IndexStrategies.Nsw(m, efC, ef, buildThreads))
+      IndexStrategies.register(
+        new IndexStrategies.Nsw(m, efC, ef, buildThreads, hierarchy))
       val db = VectorDB.openOrCreate(spark, nswDir, dim = dim)
       val buildMs = time(db.enableServing())
       db.searchHits(queries(qids.head), k = 10) // warm

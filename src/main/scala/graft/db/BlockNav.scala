@@ -72,7 +72,16 @@ trait NavBuilder extends Serializable {
 final class NswNav(
     ids: Array[Long], words: Array[Long], nWords: Int,
     neighbors: Array[Int], degree: Array[Int], maxDeg: Int,
-    efSearch: Int) extends BlockNav {
+    efSearch: Int,
+    /** Optional sampled upper layer ([[NswNavBuilder]] builds it for
+      * large blocks): a much smaller NSW over a stride sample of this
+      * block's rows, searched first to pick entry points NEAR the
+      * query — the two-layer essence of HNSW, recursing into further
+      * layers while the sample stays large. `upperMap` maps the upper
+      * nav's row indexes back to this block's rows. Null below the
+      * size threshold (stride entries suffice there).
+      */
+    upper: NswNav = null, upperMap: Array[Int] = null) extends BlockNav {
 
   private def hamming(row: Int, qWords: Array[Long]): Int = {
     val base = row * nWords
@@ -145,20 +154,36 @@ final class NswNav(
       }
     }
 
+    def seed(entry: Int, d: Int): Unit = {
+      visited.set(entry)
+      val packed = (d.toLong << 32) | entry.toLong
+      frontier.push(packed)
+      evaluated.push(packed)
+      if (evaluated.size > ef) evaluated.pop()
+      offer(entry, d)
+    }
+
+    // Upper-layer entries: search the sampled upper graph first (its
+    // rows are copies of ours, so its hamming values transfer) and seed
+    // from the 4 nearest samples — entries NEAR the query instead of
+    // fixed positions, which is what keeps recall up as blocks grow.
+    if (upper != null) {
+      val near = upper.topPacked(qWords, 4, _ => true)
+      var i = 0
+      while (i < near.length) {
+        val row = upperMap((near(i) & 0xffffffffL).toInt)
+        if (!visited.get(row)) seed(row, (near(i) >>> 32).toInt)
+        i += 1
+      }
+    }
     // Spread entries: block-order strides cover the insertion timeline
-    // (early rows are hubs, late rows reach recent regions).
+    // (early rows are hubs, late rows reach recent regions); kept even
+    // under an upper layer as a worst-case hedge (4 extra evaluations).
     var e = 0
     while (e < 4) {
       val entry = (n.toLong * e / 4).toInt
-      if (entry < n && !visited.get(entry)) {
-        visited.set(entry)
-        val d = hamming(entry, qWords)
-        val packed = (d.toLong << 32) | entry.toLong
-        frontier.push(packed)
-        evaluated.push(packed)
-        if (evaluated.size > ef) evaluated.pop()
-        offer(entry, d)
-      }
+      if (entry < n && !visited.get(entry))
+        seed(entry, hamming(entry, qWords))
       e += 1
     }
 
@@ -273,7 +298,8 @@ object NswNav {
   * threaded build) — and recall stays in the same band.
   */
 final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
-                          buildThreads: Int = 1)
+                          buildThreads: Int = 1,
+                          hierarchy: Boolean = true)
     extends NavBuilder {
   require(m >= 1, s"m must be >= 1, got $m")
   require(efConstruction >= m,
@@ -472,6 +498,45 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
       workers.foreach(_.join())
       if (failure.get() != null) throw failure.get()
     }
-    new NswNav(ids, words, nWords, neighbors, degree, maxDeg, efSearch)
+
+    // Sampled upper layer for large blocks: a 1/256 stride sample gets
+    // its own (recursive — further layers while the sample stays above
+    // the threshold) NSW over COPIED sample codes, searched at query
+    // time to pick entry points near the query. Cost: ~n/256 extra
+    // inserts + words/256 bytes; below the threshold the four stride
+    // entries already cover the block. Deterministic (single-threaded,
+    // stride sample) regardless of `buildThreads`.
+    var upperNav: NswNav = null
+    var upperMap: Array[Int] = null
+    if (hierarchy && n >= NswNavBuilder.UpperMinRows) {
+      val upperSize = n / NswNavBuilder.UpperFraction
+      val stride = n / upperSize
+      upperMap = Array.tabulate(upperSize)(i => i * stride)
+      val upWords = new Array[Long](upperSize * nWords)
+      var i = 0
+      while (i < upperSize) {
+        System.arraycopy(words, upperMap(i) * nWords, upWords, i * nWords, nWords)
+        i += 1
+      }
+      val upIds = Array.tabulate(upperSize)(i => ids(upperMap(i)))
+      upperNav = new NswNavBuilder(m, efConstruction,
+        NswNavBuilder.UpperEfSearch, buildThreads = 1, hierarchy = true)
+        .build(upIds, upWords, nWords).asInstanceOf[NswNav]
+    }
+    new NswNav(ids, words, nWords, neighbors, degree, maxDeg, efSearch,
+      upperNav, upperMap)
   }
+}
+
+object NswNavBuilder {
+  /** Blocks below this row count skip the upper layer (stride entries
+    * reach everywhere fast enough).
+    */
+  val UpperMinRows = 8192
+  /** Upper-layer sample fraction (1/256 of the rows per layer). */
+  val UpperFraction = 256
+  /** Beam width for upper-layer entry search — only 4 entries are
+    * taken, the width just makes them good ones.
+    */
+  val UpperEfSearch = 32
 }

@@ -137,11 +137,12 @@ object IndexStrategies {
     */
   final class Nsw(val m: Int = 16, val efConstruction: Int = 128,
                   val efSearch: Int = 96,
-                  val buildThreads: Int = 1) extends IndexStrategy {
+                  val buildThreads: Int = 1,
+                  val hierarchy: Boolean = true) extends IndexStrategy {
     val name = VectorDB.IndexNsw
     val partitioned = false
     override def navBuilder(ctx: IndexStrategy.Context): Option[NavBuilder] =
-      Some(new NswNavBuilder(m, efConstruction, efSearch, buildThreads))
+      Some(new NswNavBuilder(m, efConstruction, efSearch, buildThreads, hierarchy))
   }
 
   /** IVF cells + per-block NSW graphs composed: the hot tier is
@@ -155,7 +156,8 @@ object IndexStrategies {
     */
   final class IvfNsw(val m: Int = 16, val efConstruction: Int = 128,
                      val efSearch: Int = 96,
-                     val buildThreads: Int = 1) extends IndexStrategy {
+                     val buildThreads: Int = 1,
+                     val hierarchy: Boolean = true) extends IndexStrategy {
     val name = VectorDB.IndexIvfNsw
     val partitioned = true
     override def cellColumn(ctx: IndexStrategy.Context, codeArray: Column,
@@ -166,7 +168,7 @@ object IndexStrategies {
                             qWords: Seq[Long]): IndexedSeq[Int] =
       Ivf.probeOrder(ctx, qWords)
     override def navBuilder(ctx: IndexStrategy.Context): Option[NavBuilder] =
-      Some(new NswNavBuilder(m, efConstruction, efSearch, buildThreads))
+      Some(new NswNavBuilder(m, efConstruction, efSearch, buildThreads, hierarchy))
   }
 
   private val registry =

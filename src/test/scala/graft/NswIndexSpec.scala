@@ -118,6 +118,67 @@ class NswIndexSpec extends AnyFunSuite {
     } finally nsw.disableServing()
   }
 
+  test("hierarchical regime (block above UpperMinRows): upper layer engages, exact at full width, recall >= stride-only") {
+    val rnd = new scala.util.Random(7)
+    val n = NswNavBuilder.UpperMinRows + 4000 // 12192 rows: one upper layer
+    val nWords = 8
+    // Clustered codes (one of 40 centers, 8-24 flipped bits per row so
+    // distances are mostly DISTINCT — near-duplicate ties would turn
+    // recall@10 into an id-tiebreak lottery): the regime where entry
+    // quality matters — random-uniform codes have no navigable
+    // structure to exploit.
+    val centers = Array.fill(40 * nWords)(rnd.nextLong())
+    val words = new Array[Long](n * nWords)
+    (0 until n).foreach { r =>
+      val c = rnd.nextInt(40)
+      (0 until nWords).foreach(w => words(r * nWords + w) = centers(c * nWords + w))
+      val flips = 8 + rnd.nextInt(17)
+      (0 until flips).foreach { _ =>
+        val b = rnd.nextInt(64 * nWords)
+        words(r * nWords + (b >> 6)) ^= (1L << (b & 63))
+      }
+    }
+    val ids = Array.tabulate(n)(_.toLong)
+    def ham(row: Int, q: Array[Long]): Int = (0 until nWords).map(w =>
+      java.lang.Long.bitCount(words(row * nWords + w) ^ q(w))).sum
+
+    val hier = new NswNavBuilder(m = 8, efConstruction = 48, efSearch = 48,
+      hierarchy = true).build(ids, words, nWords).asInstanceOf[graft.db.NswNav]
+    val flatNav = new NswNavBuilder(m = 8, efConstruction = 48, efSearch = 48,
+      hierarchy = false).build(ids, words, nWords)
+
+    val queries = (0 until 20).map { _ =>
+      val base = rnd.nextInt(n) * nWords
+      val q = Array.tabulate(nWords)(w => words(base + w))
+      (0 until 3).foreach { _ =>
+        val b = rnd.nextInt(64 * nWords)
+        q(b >> 6) ^= (1L << (b & 63))
+      }
+      q
+    }
+    def recall(nav: graft.db.BlockNav): Double = queries.map { q =>
+      val brute = (0 until n).map(r => (ham(r, q), ids(r)))
+        .sortBy(identity).take(10).map(_._2).toSet
+      val got = nav.topPacked(q, 10, _ => true)
+        .map(p => ids((p & 0xffffffffL).toInt)).toSet
+      (got & brute).size / 10.0
+    }.sum / queries.size
+    val rHier = recall(hier)
+    val rFlat = recall(flatNav)
+    assert(rHier >= rFlat - 0.02,
+      s"upper-layer seeding must not lose recall: hier=$rHier stride=$rFlat")
+    assert(rHier >= 0.8, s"hierarchical recall too low: $rHier")
+
+    // Exhaustive width stays exact with the upper layer in play.
+    val exactNav = new NswNavBuilder(m = 8, efConstruction = 48, efSearch = n,
+      hierarchy = true).build(ids, words, nWords)
+    val q = queries.head
+    val brute7 = (0 until n).map(r => (ham(r, q), ids(r))).sortBy(identity).take(7)
+    val got7 = exactNav.topPacked(q, 7, _ => true)
+      .map(p => ((p >>> 32).toInt, ids((p & 0xffffffffL).toInt))).toSeq
+    assert(got7 == brute7)
+  }
+
   test("NswNav unit: exhaustive width reproduces brute force on random codes") {
     val rnd = new scala.util.Random(42)
     val n = 500
