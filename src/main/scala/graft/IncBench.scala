@@ -101,6 +101,9 @@ object IncBench {
       val refreshMs = (0 until commits).map { c =>
         val commitMs = time(commitCycle(db, c))
         val firstSearchMs = time(db.searchHits(queries(qids.head), k = 10))
+        db.lastExtendTimings.foreach { case (tk, wb) =>
+          println(f"[incbench] $tag cycle $c extend: touched=$tk%.0fms window=$wb%.0fms")
+        }
         (commitMs, firstSearchMs)
       }
       val steadyMs = median(qids.map(q =>

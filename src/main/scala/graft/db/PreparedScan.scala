@@ -43,6 +43,14 @@ final class PreparedScan private (
     private val nWords: Int,
     private val supBc: org.apache.spark.broadcast.Broadcast[PreparedScan.Superseded],
     private[graft] val chain: PreparedScan.ChainInfo,
+    /** At least this many live rows are served (exact for a full build;
+      * for a chain, base − |touched| + delta rows — an undercount when
+      * touched ids were absent from the base). Lets the facade's
+      * empty-index search guard skip rebuilding the CATALYST hot tier
+      * (a full merged read + persist) that the serving path never
+      * reads.
+      */
+    private[graft] val rowsLowerBound: Long,
     onFree: () => Unit) {
 
   /** Top-B hits by (hamming asc, doc_id asc) against the packed query
@@ -486,8 +494,11 @@ object PreparedScan {
             chain: ChainInfo = ChainInfo.none): PreparedScan = {
     val blocks = blockify(codes, nWords, isFlat, isIvf, withBytes, withDoc,
       navBuilder, layer = 0)
-    blocks.count() // materialize eagerly: serving opts into RAM residency
-    new PreparedScan(blocks, nWords, null, chain, () => blocks.unpersist())
+    // One job materializes eagerly (serving opts into RAM residency)
+    // AND counts the rows; a chain's churn policy reads the count too.
+    val rows = materializedRows(blocks)
+    new PreparedScan(blocks, nWords, null, chain.copy(baseRows = rows),
+      rows, () => blocks.unpersist())
   }
 
   /** Extend `base` with one incremental delta layer instead of
@@ -518,7 +529,7 @@ object PreparedScan {
     val layer = base.chain.depth + 1
     val delta = blockify(windowRows, nWords, isFlat, isIvf, withBytes,
       withDoc, navBuilder, layer)
-    delta.count() // materialize the layer before it can serve
+    val deltaRows = materializedRows(delta) // before the layer can serve
     val prevSup = if (base.supBc == null) null else base.supBc.value
     val merged = Superseded.merge(prevSup, touched, layer)
     val supB = delta.sparkContext.broadcast(merged)
@@ -526,12 +537,20 @@ object PreparedScan {
     val chain = ChainInfo(layer, base.chain.baseRows,
       base.chain.churnRows + touched.length, newCeilings,
       base.chain.morFolds)
-    new PreparedScan(blocks, nWords, supB, chain, () => {
+    val lb = deltaRows + math.max(0L, base.rowsLowerBound - touched.length)
+    new PreparedScan(blocks, nWords, supB, chain, lb, () => {
       delta.unpersist()
       supB.unpersist()
       onBaseFree()
     })
   }
+
+  /** Materialize a persisted block RDD (one job) and return its total
+    * row count.
+    */
+  private def materializedRows(blocks: RDD[Block]): Long =
+    blocks.sparkContext.runJob(blocks,
+      (it: Iterator[Block]) => it.map(_.ids.length.toLong).sum).sum
 
   /** Shared block construction: each source partition becomes one block
     * with `layer` baked in; persisted (NOT yet materialized — callers

@@ -569,6 +569,18 @@ class VectorDB private (
     else spark.read.parquet(docsPath)
   }
 
+  /** Per-search empty-index guard (`BinaryVectorDB.py:190-191`). On
+    * the serving path the resident blocks' row bound answers it — the
+    * first search after a commit must NOT rebuild the CATALYST hot
+    * tier (a full merged read + persist) that serving never reads;
+    * measured ~1.5 s of the chain-refresh floor before this. The
+    * Catalyst path keeps the memoized count.
+    */
+  private def requireNonEmpty(): Unit = {
+    val ok = preparedScan().exists(_.rowsLowerBound > 0) || count() > 0
+    require(ok, "search on empty index (BinaryVectorDB.py:190-191 guard)")
+  }
+
   /** O12: number of indexed documents (cached until the next commit —
     * the per-search empty-index guard must not cost a job).
     */
@@ -950,12 +962,15 @@ class VectorDB private (
     val fused = codes.join(
       docs.select(col("doc_id"), col("doc"), col("emb_int8")),
       Seq("doc_id"))
+    // Every MOR build records the snapshot ceilings it was built at
+    // (cheap FS listings) — turning on incrementalServing AFTER a build
+    // then extends from the right window; the row count the churn
+    // policy needs comes free from the materialization job.
     val chain =
-      if (incServingChurnFrac > 0 && isMor) {
-        val (cc, dc) = committedCeilings()
-        PreparedScan.ChainInfo(0, count(), 0L, (cc, dc),
+      if (isMor)
+        PreparedScan.ChainInfo(0, -1L, 0L, committedCeilings(),
           (codesMor.foldCeiling(), docsMor.foldCeiling()))
-      } else PreparedScan.ChainInfo.none
+      else PreparedScan.ChainInfo.none
     PreparedScan.build(fused, nWords, isFlat, isIvf,
       withBytes = true, withDoc = true,
       navBuilder = indexStrategy.navBuilder(strategyCtx), chain = chain)
@@ -981,26 +996,39 @@ class VectorDB private (
     val (cc1, dc1) = committedCeilings()
     val (cc0, dc0) = pc.morCeilings
     if (cc1 <= cc0 || dc1 <= dc0) return None // nothing to adopt / rewound
+    val t0 = System.nanoTime()
     val touched = codesMor.touchedKeys(cc0, cc1).collect().map(_.getLong(0))
     java.util.Arrays.sort(touched)
     if (touched.length > VectorDB.IncServingMaxTouched) return None
     if (pc.churnRows + touched.length > incServingChurnFrac * pc.baseRows)
       return None
+    val t1 = System.nanoTime()
     val codesWin = codesMor.readWindow(cc0, cc1)
     val docsWin = docsMor.readWindow(dc0, dc1)
       .select(col("doc_id"), col("doc"), col("emb_int8"))
     val nParts = math.max(1L, math.min(64L,
       (touched.length.toLong + VectorDB.IncServingRowsPerBlock - 1) /
         VectorDB.IncServingRowsPerBlock)).toInt
+    // coalesce, not repartition: the window is already small and
+    // partitioned by its delta files — an exchange would add a whole
+    // shuffle stage to the refresh floor just to rebalance a batch.
     val fusedWin = codesWin
       .join(docsWin, Seq("doc_id"))
-      .repartition(nParts)
-    Some(PreparedScan.extend(prev, fusedWin, touched, nWords, isFlat, isIvf,
+      .coalesce(nParts)
+    val out = PreparedScan.extend(prev, fusedWin, touched, nWords, isFlat, isIvf,
       withBytes = true, withDoc = true,
       navBuilder = indexStrategy.navBuilder(strategyCtx),
       newCeilings = (cc1, dc1),
-      onBaseFree = () => BlockCache.release(cacheKey, prevVersion)))
+      onBaseFree = () => BlockCache.release(cacheKey, prevVersion))
+    val t2 = System.nanoTime()
+    lastExtendTimings = Some(((t1 - t0) / 1e6, (t2 - t1) / 1e6))
+    Some(out)
   }
+
+  /** Diagnostic: (touched-keys ms, window-build ms) of the most recent
+    * chain extension through this instance.
+    */
+  @volatile private[graft] var lastExtendTimings: Option[(Double, Double)] = None
 
   /** Exact driver-side mirror of the phase-III column expression
     * `graft_dot_int8(q, emb_int8) / graft_norm_int8(emb_int8)`: both
@@ -1028,7 +1056,7 @@ class VectorDB private (
              nprobe: Int = Int.MaxValue): DataFrame = {
     Kernels.install(spark)
     require(embedder.dim == dim, s"embedder dim ${embedder.dim} != index dim $dim")
-    require(count() > 0, "search on empty index (BinaryVectorDB.py:190-191 guard)")
+    requireNonEmpty()
     val qRow = spark.range(1).select(
       embedder.embed(lit(text)).cast("array<double>").as("q"))
       .head().getSeq[Double](0)
@@ -1045,7 +1073,7 @@ class VectorDB private (
                   nprobe: Int = Int.MaxValue): DataFrame = {
     Kernels.install(spark)
     require(embedder.dim == dim, s"embedder dim ${embedder.dim} != index dim $dim")
-    require(count() > 0, "search on empty index (BinaryVectorDB.py:190-191 guard)")
+    requireNonEmpty()
     val qRow = spark.range(1).select(
       embedder.embed(lit(text)).cast("array<double>").as("q"))
       .head().getSeq[Double](0)
@@ -1153,7 +1181,7 @@ class VectorDB private (
                    sel: Option[DocSelector] = None): Seq[(Long, Int)] = {
     Kernels.install(spark)
     require(radius >= 0, s"radius must be >= 0, got $radius")
-    require(count() > 0, "search on empty index")
+    requireNonEmpty()
     val qWords = graft.operators.Search.packQuery(q)
     preparedScan() match {
       case Some(ps) =>
@@ -1349,7 +1377,7 @@ class VectorDB private (
   private def validateSearch(k: Int, binaryOversample: Int,
                              int8Oversample: Int, nprobe: Int): Unit = {
     Kernels.install(spark)
-    require(count() > 0, "search on empty index")
+    requireNonEmpty()
     require(isIvf || nprobe == Int.MaxValue,
       s"nprobe is an '${VectorDB.IndexIvf}' index parameter; this DB uses '$index'")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
@@ -1631,7 +1659,7 @@ class VectorDB private (
                  sel: Option[DocSelector] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Kernels.install(spark)
-    require(count() > 0, "search on empty index")
+    requireNonEmpty()
     require(isIvf || nprobe == Int.MaxValue,
       s"nprobe is an '${VectorDB.IndexIvf}' index parameter; this DB uses '$index'")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
