@@ -76,4 +76,71 @@ class ConcurrentReadWriteSpec extends AnyFunSuite {
     assert(db.count() == 700)
     db.disableServing()
   }
+
+  test("incremental chain refresh stays consistent under concurrent commits, deletes, compaction") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+      .incrementalServing(maxChurnFraction = 1.0)
+    db.addDocuments(fixture(0 until 400))
+    db.enableServing()
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val searchesDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val depthMax = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val readers = (1 to 4).map { t =>
+      new Thread(() => {
+        val qv = (0 until 64).map(i => math.sin(i * 0.9 + t) / 6.0)
+        try {
+          while (!stop.get()) {
+            val hits = db.searchHits(qv, k = 5)
+            if (hits.size != 5)
+              failures.add(s"reader $t: got ${hits.size} hits, wanted 5")
+            hits.foreach { h =>
+              if (h.doc == null || !h.doc.contains("payload"))
+                failures.add(s"reader $t: torn hit ${h.docId} payload='${h.doc}'")
+            }
+            db.servingChainForTest.foreach(c =>
+              depthMax.getAndAccumulate(c.depth, math.max))
+            searchesDone.incrementAndGet()
+          }
+        } catch {
+          case e: Throwable => failures.add(s"reader $t: ${e.getMessage}")
+        }
+      }, s"graft-inc-reader-$t")
+    }
+    readers.foreach(_.start())
+
+    try {
+      // commits with overwrites AND deletes, folds interleaved: the
+      // readers' lazy refreshes race the writer into chain extensions,
+      // retirements, and stash replacement — every search must still be
+      // whole (the masking map and its layers flip atomically with the
+      // prepared reference).
+      (0 until 10).foreach { i =>
+        db.addDocuments(fixture((400 + i * 20) until (400 + (i + 1) * 20)))
+        if (i % 3 == 1) db.removeDocs(Seq((i * 7).toLong, (i * 7 + 1).toLong))
+        if ((i + 1) % 5 == 0) db.compact()
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(30000))
+    }
+
+    assert(failures.isEmpty,
+      s"${failures.size} inconsistencies, first: ${failures.peek()}")
+    assert(searchesDone.get() > 20,
+      s"readers only completed ${searchesDone.get()} searches — not a real stress")
+    assert(depthMax.get() >= 1,
+      "no reader ever observed an extended chain — the stress never hit the incremental path")
+    // Settled state: the served view must equal the Catalyst twin's.
+    val twin = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    val qv = (0 until 64).map(i => math.sin(i * 0.9 + 1) / 6.0)
+    val served = db.searchHits(qv, k = 10).map(h => (h.docId, h.scoreHamming))
+    val exact = twin.searchVector(qv, 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("score_hamming"))).toSeq
+    assert(served == exact, "settled chain diverged from the Catalyst twin")
+    db.disableServing()
+  }
 }
