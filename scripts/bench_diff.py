@@ -46,6 +46,15 @@ def main():
     else:
         print("cpu probe absent in one side: ratios are RAW "
               "(machine drift not separated)")
+    # IO companion (since r11 session 4): the CPU probe is blind to
+    # disk/page-cache drift — a flagged query with a quiet CPU ratio but
+    # an inflated IO ratio is shuffle-IO machine drift, not a plan
+    # regression (the r11 d4 false positive). Advisory only: ratios
+    # below stay CPU-normalized.
+    oio, nio = old.get("io_probe_ms"), new.get("io_probe_ms")
+    if oio and nio:
+        print(f"io probe:  {oio:.0f} -> {nio:.0f} ms "
+              f"(io subsystem ratio {nio / oio:.2f}, advisory)")
 
     flagged = []
     for q in sorted(set(oq) & set(nq)):

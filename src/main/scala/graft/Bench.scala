@@ -134,6 +134,47 @@ object Bench {
   }
   @volatile private var blackhole: Long = 0L
 
+  /** Deterministic IO probe, stamped as `io_probe_ms`: write 64 MB to
+    * the shuffle-local tmpdir in 1 MB chunks with an fsync, read it
+    * back, delete. The CPU probe cannot see drift in the disk/page-
+    * cache subsystem — r11's `d4_dedup_ngram` 1.59× probe-normalized
+    * "regression" was exactly that (shuffle-IO machine drift, confirmed
+    * by rebuilding the pre-session commit); this stamp makes the next
+    * such diff attributable without a worktree rebuild. Median of 3.
+    */
+  private def ioProbe(): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ioprobe")
+    try {
+      val chunk = new Array[Byte](1 << 20)
+      new scala.util.Random(42).nextBytes(chunk)
+      def once(i: Int): Double = {
+        val f = dir.resolve(s"probe$i.bin")
+        val t0 = System.nanoTime()
+        val fos = new java.io.FileOutputStream(f.toFile)
+        try {
+          var j = 0
+          while (j < 64) { fos.write(chunk); j += 1 }
+          fos.getFD.sync()
+        } finally fos.close()
+        val in = java.nio.file.Files.newInputStream(f)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = 0L
+          var r = in.read(buf)
+          while (r >= 0) { n += r; r = in.read(buf) }
+          blackhole = n
+        } finally in.close()
+        java.nio.file.Files.delete(f)
+        (System.nanoTime() - t0) / 1e6
+      }
+      val xs = Seq(once(0), once(1), once(2)).sorted
+      xs(1)
+    } finally {
+      try java.nio.file.Files.deleteIfExists(dir)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** `loadStart`/`loadEnd` are point samples at run start/end;
     * `famMax` is the max load any family's timing observed (forked
     * path: max over child-reported samples; in-process: max of the two
@@ -161,7 +202,8 @@ object Bench {
       s""""queries_min":${obj(qMin)},"errors":$errors,"failed":$failedArr,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
       s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,""" +
-      s""""cpu_probe_ms":${r2(cpuProbe())},"sf":"$sfDir"}"""
+      s""""cpu_probe_ms":${r2(cpuProbe())},"io_probe_ms":${r2(ioProbe())},""" +
+      s""""sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -888,6 +888,15 @@ class VectorDB private (
     this
   }
 
+  /** Current serving-tier state (does NOT build blocks: an instance
+    * that has not served yet reports non-resident).
+    */
+  def servingInfo(): VectorDB.ServingInfo = prepared match {
+    case Some((_, ps)) => VectorDB.ServingInfo(resident = true,
+      ps.chain.depth, ps.chain.churnRows, ps.rowsLowerBound)
+    case None => VectorDB.ServingInfo(resident = false, 0, 0L, 0L)
+  }
+
   /** Back to full rebuilds on every commit (releases any held-back
     * extension base).
     */
@@ -2023,6 +2032,15 @@ object VectorDB {
   final case class SearchHit(docId: Long, scoreHamming: Int,
                              scoreBinary: Double, scoreCossim: Double,
                              doc: String)
+
+  /** Operator-facing snapshot of the serving tier's state
+    * ([[VectorDB.servingInfo]]): whether blocks are resident, the
+    * incremental-chain depth (0 = a plain full build), cumulative rows
+    * the chain's extensions touched, and the served row lower bound —
+    * what a serving fleet dashboards next to the per-phase timings.
+    */
+  final case class ServingInfo(resident: Boolean, chainDepth: Int,
+                               chainChurnRows: Long, rowsLowerBound: Long)
 
   /** Per-phase wall times of one funnel search — the observability the
     * reference surfaces as INFO logs around each phase

@@ -154,6 +154,43 @@ class IncrementalServingSpec extends AnyFunSuite {
     } finally IndexStrategies.register(new IndexStrategies.Nsw())
   }
 
+  test("ivf chain: cell-probed searches prune across mixed layers and match a rebuild") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor,
+      index = VectorDB.IndexIvf, ivfCells = 8)
+      .incrementalServing()
+    db.addDocuments(corpus.toDF("doc_id", "text"))
+    db.enableServing()
+    try {
+      db.addDocuments(Seq((9001L, "tok1 tok5 tok1"), (9002L, "tok9 tok4"))
+        .toDF("doc_id", "text"))
+      hits(db, "tok1")
+      db.removeDocs(Seq(9L))
+      val q = qVec("tok1 tok5")
+      val full = db.searchVector(q, 10, 10, 3, nprobe = 8).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq
+      val pruned = db.searchVector(q, 10, 10, 3, nprobe = 3).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq
+      assert(db.servingChainForTest.exists(_.depth == 2))
+      assert(pruned.length == 10)
+      // full probe over the chain == the Catalyst twin (exact)
+      val twin = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+      val exact = twin.searchVector(q, 10, 10, 3, nprobe = 8).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq
+      assert(full == exact)
+      // probed results are exact per probed cell (same persisted
+      // centroids → same cell set), so the chain must equal a forced
+      // full rebuild at the same nprobe, whatever the block layout
+      db.disableServing()
+      db.enableServing()
+      assert(db.servingChainForTest.exists(_.depth == 0))
+      val prunedRebuilt = db.searchVector(q, 10, 10, 3, nprobe = 3).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq
+      assert(pruned == prunedRebuilt,
+        "cell-probed chain diverged from the rebuilt serving tier")
+    } finally db.disableServing()
+  }
+
   test("retirement: churn bound, layer cap, and compaction each force a full rebuild") {
     val dir = freshDir()
     // churn bound: 400-row base, 25% churn = 100 rows; a 120-row window
@@ -211,6 +248,10 @@ class IncrementalServingSpec extends AnyFunSuite {
       assert(db.servingChainForTest.exists(_.depth == 2))
       // depth-2 chain = 3 live entries (each extension refs its base)
       assert(BlockCache.liveEntriesFor(folder) == 3)
+      // the operator-facing snapshot reports the same state
+      val info = db.servingInfo()
+      assert(info.resident && info.chainDepth == 2 && info.chainChurnRows == 2
+        && info.rowsLowerBound >= 400L)
     } finally db.disableServing()
     assert(BlockCache.liveEntriesFor(folder) == 0,
       "disableServing must cascade the whole chain free")
