@@ -248,6 +248,29 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     deltaDfs.map(_.select(keyCol)).reduce(_ unionByName _).distinct()
   }
 
+  /** The window's raw delta rows WITH the `_v`/`_deleted` internals —
+    * the small-window driver-side materialization path: a consumer that
+    * knows the window is tiny ([[windowBytes]]) collects this once and
+    * resolves last-writer-wins locally instead of paying a
+    * window-function + join plan.
+    */
+  def readWindowRaw(floorExclusive: Int, ceiling: Int): DataFrame = {
+    val deltaDfs = windowDeltaDfs(floorExclusive, ceiling)
+    require(deltaDfs.nonEmpty,
+      s"MOR table $dir has no deltas in ($floorExclusive, $ceiling]")
+    deltaDfs.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
+
+  /** Total on-disk bytes of the window's delta files — the zero-cost
+    * size probe for choosing driver-side vs distributed window
+    * materialization.
+    */
+  def windowBytes(floorExclusive: Int, ceiling: Int): Long =
+    deltaPaths()
+      .filter { case (v, _) => v > floorExclusive && v <= ceiling }
+      .map { case (_, p) => fs.getContentSummary(p).getLength }
+      .sum
+
   private def windowDeltaDfs(floorExclusive: Int, ceiling: Int): Seq[DataFrame] =
     deltaPaths()
       .filter { case (v, _) => v > floorExclusive && v <= ceiling }

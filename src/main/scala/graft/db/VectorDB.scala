@@ -1006,25 +1006,42 @@ class VectorDB private (
     val (cc0, dc0) = pc.morCeilings
     if (cc1 <= cc0 || dc1 <= dc0) return None // nothing to adopt / rewound
     val t0 = System.nanoTime()
-    val touched = codesMor.touchedKeys(cc0, cc1).collect().map(_.getLong(0))
-    java.util.Arrays.sort(touched)
+    // Small windows (the crawl-loop regime: a few MB of delta files)
+    // resolve DRIVER-SIDE from one collect per tier — last-writer-wins
+    // by key, touched ids derived in the same pass — instead of paying
+    // a touched-keys job plus a window-function + join plan; the
+    // distributed path remains for bulk windows. File sizes are the
+    // zero-cost dispatch probe.
+    val driverSide =
+      codesMor.windowBytes(cc0, cc1) + docsMor.windowBytes(dc0, dc1) <=
+        incServingDriverWindowBytes
+    val (touched, fusedWin) =
+      if (driverSide) {
+        val (tchd, fused) = driverFusedWindow(cc0, cc1, dc0, dc1)
+        (tchd, fused)
+      } else {
+        val tchd = codesMor.touchedKeys(cc0, cc1).collect().map(_.getLong(0))
+        java.util.Arrays.sort(tchd)
+        (tchd, null: org.apache.spark.sql.DataFrame)
+      }
     if (touched.length > VectorDB.IncServingMaxTouched) return None
     if (pc.churnRows + touched.length > incServingChurnFrac * pc.baseRows)
       return None
     val t1 = System.nanoTime()
-    val codesWin = codesMor.readWindow(cc0, cc1)
-    val docsWin = docsMor.readWindow(dc0, dc1)
-      .select(col("doc_id"), col("doc"), col("emb_int8"))
     val nParts = math.max(1L, math.min(64L,
       (touched.length.toLong + VectorDB.IncServingRowsPerBlock - 1) /
         VectorDB.IncServingRowsPerBlock)).toInt
     // coalesce, not repartition: the window is already small and
-    // partitioned by its delta files — an exchange would add a whole
-    // shuffle stage to the refresh floor just to rebalance a batch.
-    val fusedWin = codesWin
-      .join(docsWin, Seq("doc_id"))
-      .coalesce(nParts)
-    val out = PreparedScan.extend(prev, fusedWin, touched, nWords, isFlat, isIvf,
+    // partitioned by its delta files (or a local relation) — an
+    // exchange would add a whole shuffle stage to the refresh floor
+    // just to rebalance a batch.
+    val window =
+      (if (driverSide) fusedWin
+       else codesMor.readWindow(cc0, cc1).join(
+         docsMor.readWindow(dc0, dc1)
+           .select(col("doc_id"), col("doc"), col("emb_int8")),
+         Seq("doc_id"))).coalesce(nParts)
+    val out = PreparedScan.extend(prev, window, touched, nWords, isFlat, isIvf,
       withBytes = true, withDoc = true,
       navBuilder = indexStrategy.navBuilder(strategyCtx),
       newCeilings = (cc1, dc1),
@@ -1033,6 +1050,63 @@ class VectorDB private (
     lastExtendTimings = Some(((t1 - t0) / 1e6, (t2 - t1) / 1e6))
     Some(out)
   }
+
+  /** Driver-side materialization of a SMALL commit window: collect the
+    * raw deltas of both tiers once, resolve last-writer-wins per key
+    * (max `_v`; tombstones drop), inner-join codes↔docs locally, and
+    * return (sorted touched ids, the fused rows as a local relation) —
+    * exactly what the distributed window plan computes, minus two
+    * Spark actions' planning. Memory is bounded by the dispatch
+    * threshold on file bytes.
+    */
+  private def driverFusedWindow(cc0: Int, cc1: Int, dc0: Int, dc1: Int):
+      (Array[Long], org.apache.spark.sql.DataFrame) = {
+    def resolve(df: org.apache.spark.sql.DataFrame):
+        (StructType, scala.collection.mutable.LongMap[(Int, org.apache.spark.sql.Row)]) = {
+      val schema = df.schema
+      val idAt = schema.fieldIndex("doc_id")
+      val vAt = schema.fieldIndex("_v")
+      val delAt = schema.fieldIndex("_deleted")
+      val best = new scala.collection.mutable.LongMap[(Int, org.apache.spark.sql.Row)]()
+      df.collect().foreach { r =>
+        val id = r.getLong(idAt)
+        val v = r.getInt(vAt)
+        if (best.get(id).forall(_._1 < v))
+          best(id) = (v, if (r.getBoolean(delAt)) null else r)
+      }
+      (schema, best)
+    }
+    val (codesSchema, codesBest) = resolve(codesMor.readWindowRaw(cc0, cc1))
+    val (docsSchema, docsBest) = resolve(docsMor.readWindowRaw(dc0, dc1))
+    val touched = codesBest.keys.toArray
+    java.util.Arrays.sort(touched)
+
+    val codesKeep = codesSchema.fields.zipWithIndex
+      .filter { case (f, _) => f.name != "_v" && f.name != "_deleted" }
+    val docAt = docsSchema.fieldIndex("doc")
+    val embAt = docsSchema.fieldIndex("emb_int8")
+    val fusedSchema = StructType(codesKeep.map(_._1).toSeq ++
+      Seq(docsSchema("doc"), docsSchema("emb_int8")))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    codesBest.foreach { case (id, (_, cRow)) =>
+      if (cRow != null) docsBest.get(id).map(_._2).filter(_ != null).foreach { dRow =>
+        val vals = new Array[Any](codesKeep.length + 2)
+        var i = 0
+        while (i < codesKeep.length) { vals(i) = cRow.get(codesKeep(i)._2); i += 1 }
+        vals(codesKeep.length) = dRow.get(docAt)
+        vals(codesKeep.length + 1) = dRow.get(embAt)
+        rows.add(org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq))
+        ()
+      }
+    }
+    (touched, spark.createDataFrame(rows, fusedSchema))
+  }
+
+  /** Dispatch bound for [[driverFusedWindow]] (test hook: force either
+    * path).
+    */
+  @volatile private[graft] var incServingDriverWindowBytes: Long =
+    VectorDB.IncServingDriverWindowBytes
 
   /** Diagnostic: (touched-keys ms, window-build ms) of the most recent
     * chain extension through this instance.
@@ -2210,6 +2284,13 @@ object VectorDB {
   val IncServingMaxLayers = 32
   val IncServingMaxTouched = 2000000
   val IncServingRowsPerBlock = 262144L
+  /** Windows whose delta files total at most this many bytes resolve
+    * driver-side (one collect per tier, local last-writer-wins) instead
+    * of through the distributed window plan — saves two Spark actions'
+    * planning off the chain-refresh floor. In-memory footprint is a
+    * small multiple of the (parquet-compressed) bound.
+    */
+  val IncServingDriverWindowBytes: Long = 64L << 20
 
   def openOrCreate(spark: SparkSession, folder: String,
                    model: String = "graft-hash-64", dim: Int = 64,

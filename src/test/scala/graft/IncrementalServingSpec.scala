@@ -191,6 +191,35 @@ class IncrementalServingSpec extends AnyFunSuite {
     } finally db.disableServing()
   }
 
+  test("driver-side and distributed window materializations serve identical chains") {
+    // Same commit sequence through both extension paths: the small-
+    // window driver resolve (default dispatch at these sizes) and the
+    // distributed window plan (forced by a zero dispatch bound). Every
+    // search shape must agree with the Catalyst twin on both.
+    def scenario(forceDistributed: Boolean): (Seq[(Long, Int, Double)], Seq[(Long, Int)]) = {
+      val (db, twin) = mirrored()
+      if (forceDistributed) db.incServingDriverWindowBytes = 0L
+      try {
+        db.addDocuments(Seq((9001L, "tok1 tok5 tok1"), (5L, "tok9 tok4 tok9"))
+          .toDF("doc_id", "text"))
+        hits(db, "tok1")
+        db.removeDocs(Seq(5L, 9L))
+        val h = hits(db, "tok9 tok4", 40)
+        assert(db.servingChainForTest.exists(_.depth == 2),
+          s"forceDistributed=$forceDistributed must still EXTEND")
+        assert(h == hits(twin, "tok9 tok4", 40),
+          s"forceDistributed=$forceDistributed diverged from the twin")
+        val r = db.searchRadius(qVec("tok9 tok4"), 16)
+        assert(r == twin.searchRadius(qVec("tok9 tok4"), 16))
+        (h, r)
+      } finally db.disableServing()
+    }
+    val (hDriver, rDriver) = scenario(forceDistributed = false)
+    val (hDist, rDist) = scenario(forceDistributed = true)
+    assert(hDriver == hDist && rDriver == rDist,
+      "the two window materializations must be indistinguishable")
+  }
+
   test("retirement: churn bound, layer cap, and compaction each force a full rebuild") {
     val dir = freshDir()
     // churn bound: 400-row base, 25% churn = 100 rows; a 120-row window
