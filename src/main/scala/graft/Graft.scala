@@ -36,16 +36,28 @@ object Graft {
     */
   def scratchDir(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    scratchPaths.add(d)
+    installScratchHook
+    d.toString
+  }
+
+  /** All scratch dirs drain through ONE shutdown hook: benches that call
+    * [[scratchDir]] per configuration (IvfBench, GraphBench) used to
+    * register a hook + thread object per call, accumulated for the JVM
+    * lifetime (ADVICE r11).
+    */
+  private val scratchPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val installScratchHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(d.toFile)
+      var p = scratchPaths.poll()
+      while (p != null) { rm(p.toFile); p = scratchPaths.poll() }
     }))
-    d.toString
-  }
 
   lazy val fairDefaultPoolFile: String = {
     val f = java.nio.file.Files.createTempFile("graft-fairscheduler", ".xml")

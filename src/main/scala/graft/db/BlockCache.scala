@@ -64,18 +64,103 @@ private[graft] object BlockCache {
     SelectorCatalog.invalidateFolder(key, newVersion)
   }
 
+  /** An in-flight build for one (key, version): the thread that won the
+    * race runs the builder OUTSIDE the registry lock; latecomers for the
+    * SAME entry wait on the latch, everyone else proceeds. Before this,
+    * `acquire` ran the whole build (full Spark jobs, driver-side window
+    * collects on the incremental-serving path) inside the global
+    * synchronized block, so a slow build on one folder stalled
+    * acquire/release for every VectorDB in the JVM (ADVICE r11).
+    */
+  private final class Building {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var result: PreparedScan = null
+    @volatile var failure: Throwable = null
+  }
+  private val building =
+    new java.util.concurrent.ConcurrentHashMap[(Key, String), Building]()
+
   /** Get-or-build the shared blocks for (key, version); the caller owns
     * one reference and must [[release]] it. A dead entry (stopped
-    * SparkContext) is replaced.
+    * SparkContext) is replaced. Only acquirers of the SAME (key,
+    * version) wait while its blocks build; the registry lock is held
+    * only for the map bookkeeping.
     */
-  def acquire(key: Key, version: String)(build: => PreparedScan): PreparedScan =
+  def acquire(key: Key, version: String)(build: => PreparedScan): PreparedScan = {
+    val k = (key, version)
+    while (true) {
+      val hit = synchronized {
+        val e = entries.get(k)
+        if (e != null && e.scan.isAlive) { e.refs += 1; e.scan }
+        else { if (e != null) entries.remove(k); null }
+      }
+      if (hit != null) return hit
+      val mine = new Building
+      val race = building.putIfAbsent(k, mine)
+      if (race == null) {
+        try {
+          val scan =
+            try build
+            catch { case t: Throwable => mine.failure = t; throw t }
+          mine.result = scan
+          synchronized {
+            val ne = new Entry(scan)
+            ne.refs = 1
+            entries.put(k, ne)
+          }
+          return scan
+        } finally {
+          building.remove(k)
+          mine.latch.countDown()
+        }
+      } else {
+        race.latch.await()
+        if (race.failure == null && race.result != null) {
+          val adopted = synchronized {
+            val e = entries.get(k)
+            if (e != null && (e.scan eq race.result) && e.scan.isAlive) {
+              e.refs += 1; e.scan
+            } else null
+          }
+          if (adopted != null) return adopted
+        }
+        // builder failed, or the entry was released/died before we could
+        // take a reference — retry (this thread may become the builder)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The registry name of an ABSORBED (background-flattened) twin of a
+    * chain entry at `v`: same snapshot content, depth-0 blocks. A
+    * synthetic version string — never installed in `current`, never
+    * written to a marker; purely a shared-cache rendezvous so a second
+    * instance over the folder adopts the flattened tier instead of
+    * keeping its own chain.
+    */
+  private[db] def absorbedVersion(v: String): String = v + "#absorbed"
+
+  /** Take a reference on (key, version) ONLY if a live entry already
+    * exists — never builds. The absorbed-twin lookup on the serving
+    * path.
+    */
+  def tryAcquire(key: Key, version: String): Option[PreparedScan] = synchronized {
+    val e = entries.get((key, version))
+    if (e != null && e.scan.isAlive) { e.refs += 1; Some(e.scan) } else None
+  }
+
+  /** Register an externally built scan under (key, version) and take one
+    * reference on it. If a live entry already exists (another instance
+    * offered first), that entry wins: a reference on IT is returned and
+    * the caller must unpersist its own scan (compare identity).
+    */
+  def offer(key: Key, version: String, scan: PreparedScan): PreparedScan =
     synchronized {
       val k = (key, version)
       val e = entries.get(k)
       if (e != null && e.scan.isAlive) { e.refs += 1; e.scan }
       else {
         if (e != null) entries.remove(k)
-        val scan = build
         val ne = new Entry(scan)
         ne.refs = 1
         entries.put(k, ne)

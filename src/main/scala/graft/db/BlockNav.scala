@@ -81,7 +81,16 @@ final class NswNav(
       * nav's row indexes back to this block's rows. Null below the
       * size threshold (stride entries suffice there).
       */
-    upper: NswNav = null, upperMap: Array[Int] = null) extends BlockNav {
+    upper: NswNav = null, upperMap: Array[Int] = null,
+    /** Rows still unreachable from the stride entries after the build's
+      * reachability-repair passes (see [[NswNavBuilder]]). Swept
+      * linearly on every search — usually empty, so structural
+      * unreachability can never cost recall; only beam-width
+      * approximation can.
+      */
+    orphans: Array[Int] = Array.emptyIntArray,
+    /** Diagnostic: (initially unreachable, residual after repair). */
+    val repairStats: (Int, Int) = (0, 0)) extends BlockNav {
 
   private def hamming(row: Int, qWords: Array[Long]): Int = {
     val base = row * nWords
@@ -99,6 +108,11 @@ final class NswNav(
     val n = degree.length
     if (n == 0 || b <= 0) return Array.emptyLongArray
     val ef = math.max(b, efSearch)
+    // Result capacity caps at the block size like the linear scanBlock:
+    // a block can never yield more than n rows, and a huge user-supplied
+    // k would otherwise allocate 3 b-sized arrays per block per query
+    // (ADVICE r11).
+    val cap = math.min(b, n)
 
     val visited = new java.util.BitSet(n)
     // frontier: min-heap of packed (hamming << 32 | row) — natural long
@@ -107,9 +121,9 @@ final class NswNav(
     // evaluated: max-heap bound of width ef over ALL evaluated rows.
     val evaluated = new NswNav.LongHeap(min = false)
     // result: bounded max-heap on (hamming, doc_id) over admitted rows.
-    val resH = new Array[Int](b)
-    val resId = new Array[Long](b)
-    val resRow = new Array[Int](b)
+    val resH = new Array[Int](cap)
+    val resId = new Array[Long](cap)
+    val resRow = new Array[Int](cap)
     var resSize = 0
 
     def resWorse(h: Int, id: Long): Boolean =
@@ -146,7 +160,7 @@ final class NswNav(
     }
     def offer(row: Int, h: Int): Unit = if (admit(row)) {
       val id = ids(row)
-      if (resSize < b) {
+      if (resSize < cap) {
         resH(resSize) = h; resId(resSize) = id; resRow(resSize) = row
         resSize += 1; resSiftUp(resSize - 1)
       } else if (!resWorse(h, id)) {
@@ -223,6 +237,16 @@ final class NswNav(
         offer(r, hamming(r, qWords))
         r = visited.nextClearBit(r + 1)
       }
+    } else if (orphans.length > 0) {
+      // Residual structurally-unreachable rows (repair didn't converge —
+      // rare): evaluate them directly, so missing recall can only come
+      // from beam-width approximation, never from a severed row.
+      var i = 0
+      while (i < orphans.length) {
+        val r = orphans(i)
+        if (!visited.get(r)) offer(r, hamming(r, qWords))
+        i += 1
+      }
     }
 
     // drain the result heap into rank order (hamming asc, id asc)
@@ -235,6 +259,36 @@ final class NswNav(
       i += 1
     }
     out
+  }
+
+  /** Diagnostic (OrphanProbe, specs): rows with NO directed path from
+    * the stride entries — the structural-unreachability residue a
+    * best-first search can never visit regardless of `ef < n`. With the
+    * build-time repair on, this counts only what `orphans` still
+    * covers.
+    */
+  private[graft] def unreachableCount: Int = {
+    val n = degree.length
+    val reach = new java.util.BitSet(n)
+    val stack = new java.util.ArrayDeque[Integer]()
+    var e = 0
+    while (e < 4) {
+      val entry = (n.toLong * e / 4).toInt
+      if (entry < n && !reach.get(entry)) { reach.set(entry); stack.push(entry) }
+      e += 1
+    }
+    while (!stack.isEmpty) {
+      val r = stack.pop().intValue()
+      val base = r * maxDeg
+      val deg = degree(r)
+      var j = 0
+      while (j < deg) {
+        val nb = neighbors(base + j)
+        if (!reach.get(nb)) { reach.set(nb); stack.push(nb) }
+        j += 1
+      }
+    }
+    n - reach.cardinality()
   }
 }
 
@@ -299,7 +353,13 @@ object NswNav {
   */
 final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
                           buildThreads: Int = 1,
-                          hierarchy: Boolean = true)
+                          hierarchy: Boolean = true,
+                          /** Diagnostic escape hatch (OrphanProbe's A/B
+                            * baseline): `false` skips the reachability
+                            * repair — the pre-r12 behavior whose severed
+                            * rows produced the 0.975 recall plateau.
+                            */
+                          repair: Boolean = true)
     extends NavBuilder {
   require(m >= 1, s"m must be >= 1, got $m")
   require(efConstruction >= m,
@@ -499,6 +559,97 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
       if (failure.get() != null) throw failure.get()
     }
 
+    // ---- Reachability repair (the r11 0.975 recall plateau) ---------------
+    // Best-first search can only find rows with a directed path from the
+    // entry rows, and the diversity shrink can sever a row's LAST inbound
+    // edge (HNSW's known level-0 orphan hazard — faiss's
+    // keep_max_size_level0 debate). Measure the unreachable set by BFS
+    // from the query path's stride entries, then give each orphan one
+    // inbound edge from its nearest REACHABLE node (found with the
+    // insert-time beam, whose evaluated set is reachable by
+    // construction), appended with a force-replace of the farthest
+    // neighbor when the node is full — replacement can orphan the
+    // replaced target, so re-BFS and repeat up to 3 passes. Whatever
+    // remains rides the nav as `orphans` and is swept at query time, so
+    // structural unreachability costs a few extra distance evaluations,
+    // never recall.
+    def bfsReachable(): java.util.BitSet = {
+      val reach = new java.util.BitSet(n)
+      val stack = new java.util.ArrayDeque[Integer]()
+      var e = 0
+      while (e < 4) {
+        val entry = (n.toLong * e / 4).toInt
+        if (entry < n && !reach.get(entry)) { reach.set(entry); stack.push(entry) }
+        e += 1
+      }
+      while (!stack.isEmpty) {
+        val r = stack.pop().intValue()
+        val base = r * maxDeg
+        val deg = degree(r)
+        var j = 0
+        while (j < deg) {
+          val nb = neighbors(base + j)
+          if (!reach.get(nb)) { reach.set(nb); stack.push(nb) }
+          j += 1
+        }
+      }
+      reach
+    }
+    def unreached(reach: java.util.BitSet): Array[Int] = {
+      val out = scala.collection.mutable.ArrayBuilder.make[Int]
+      var r = reach.nextClearBit(0)
+      while (r < n) { out += r; r = reach.nextClearBit(r + 1) }
+      out.result()
+    }
+    /** One guaranteed inbound edge a→b: append when there is room, else
+      * replace a's FARTHEST current neighbor (never the diversity
+      * re-select — that is what severed b in the first place).
+      */
+    def forceLink(a: Int, b: Int): Unit = locks(a & 63).synchronized {
+      val base = a * maxDeg
+      val deg = degree(a)
+      var j = 0
+      while (j < deg) { if (neighbors(base + j) == b) return; j += 1 }
+      if (deg < maxDeg) {
+        neighbors(base + deg) = b
+        degree(a) = deg + 1
+      } else {
+        var worst = 0
+        var worstD = -1
+        var k = 0
+        while (k < deg) {
+          val d = ham(a, neighbors(base + k))
+          if (d > worstD) { worstD = d; worst = k }
+          k += 1
+        }
+        neighbors(base + worst) = b
+      }
+    }
+    var reach = if (repair) bfsReachable() else null
+    var orphans = if (repair) unreached(reach) else Array.emptyIntArray
+    val initialOrphans = orphans.length
+    var pass = 0
+    while (pass < 3 && orphans.length > 0) {
+      var i = 0
+      while (i < orphans.length) {
+        val o = orphans(i)
+        // nearest() walks the current graph from the stride entries, so
+        // every evaluated row is reachable; the closest one anchors o.
+        val cand = nearest(o, n)
+        var c = -1
+        var j = 0
+        while (c < 0 && j < cand.length) {
+          if (cand(j) != o && reach.get(cand(j))) c = cand(j)
+          j += 1
+        }
+        if (c >= 0) forceLink(c, o)
+        i += 1
+      }
+      reach = bfsReachable()
+      orphans = unreached(reach)
+      pass += 1
+    }
+
     // Sampled upper layer for large blocks: a 1/256 stride sample gets
     // its own (recursive — further layers while the sample stays above
     // the threshold) NSW over COPIED sample codes, searched at query
@@ -524,7 +675,7 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
         .build(upIds, upWords, nWords).asInstanceOf[NswNav]
     }
     new NswNav(ids, words, nWords, neighbors, degree, maxDeg, efSearch,
-      upperNav, upperMap)
+      upperNav, upperMap, orphans, (initialOrphans, orphans.length))
   }
 }
 

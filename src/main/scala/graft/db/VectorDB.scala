@@ -132,6 +132,7 @@ class VectorDB private (
     */
   @volatile private var incServingChurnFrac: Double = 0.0
   @volatile private var incServingMaxLayers: Int = VectorDB.IncServingMaxLayers
+  @volatile private var incServingAbsorbDepth: Int = VectorDB.IncServingAbsorbDepth
   /** The superseded serving blocks held back for a possible incremental
     * extension (one BlockCache reference, transferred to the chain when
     * the extension is adopted, released otherwise). Guarded by `this`.
@@ -829,10 +830,35 @@ class VectorDB private (
       if (incServingChurnFrac > 0 && isMor && servingEnabled && ps.isAlive) {
         pendingPrevServing.foreach { case (ov, _) => BlockCache.release(cacheKey, ov) }
         pendingPrevServing = Some((v, ps))
+        pendingPrevCommits = 0
       } else BlockCache.release(cacheKey, v)
     }
     prepared = None
+    // The stash pins a full serving tier in executor memory until the
+    // next search adopts or rejects it. A workload that keeps committing
+    // without ever searching would hold it indefinitely (ADVICE r11), so
+    // drop it once it can no longer (or will practically never) be
+    // adopted: a fold/compaction reorganized the tiers out from under
+    // its window, or [[VectorDB.IncServingStashMaxCommits]] commits have
+    // piled onto it with no intervening search (such a window is almost
+    // certainly past the churn threshold anyway).
+    pendingPrevServing.foreach { case (ov, ps) =>
+      pendingPrevCommits += 1
+      val foldMoved = ps.chain.baseRows > 0 &&
+        (codesMor.foldCeiling(), docsMor.foldCeiling()) != ps.chain.morFolds
+      if (!ps.isAlive || foldMoved ||
+          pendingPrevCommits > VectorDB.IncServingStashMaxCommits) {
+        BlockCache.release(cacheKey, ov)
+        pendingPrevServing = None
+        pendingPrevCommits = 0
+      }
+    }
   }
+
+  /** Commits observed since [[pendingPrevServing]] was stashed (the
+    * first one stashes it, so 1 = just stashed).
+    */
+  private var pendingPrevCommits: Int = 0
 
   /** Opt into the RAM-resident serving regime: the whole three-phase
     * funnel of [[searchVector]]/[[searchMany]] runs as ONE bare RDD job
@@ -876,15 +902,19 @@ class VectorDB private (
     * bounded).
     */
   def incrementalServing(maxChurnFraction: Double = 0.25,
-                         maxLayers: Int = VectorDB.IncServingMaxLayers): this.type = {
+                         maxLayers: Int = VectorDB.IncServingMaxLayers,
+                         absorbDepth: Int = VectorDB.IncServingAbsorbDepth)
+      : this.type = {
     require(isMor, "incrementalServing requires merge-on-read storage " +
       "(copy-on-write commits rewrite the tier files — there is no delta " +
       "window to extend with)")
     require(maxChurnFraction > 0 && maxChurnFraction <= 1.0,
       s"maxChurnFraction must be in (0, 1], got $maxChurnFraction")
     require(maxLayers >= 1, s"maxLayers must be >= 1, got $maxLayers")
+    require(absorbDepth >= 0, s"absorbDepth must be >= 0, got $absorbDepth")
     incServingChurnFrac = maxChurnFraction
     incServingMaxLayers = maxLayers
+    incServingAbsorbDepth = absorbDepth
     this
   }
 
@@ -904,6 +934,7 @@ class VectorDB private (
     incServingChurnFrac = 0.0
     pendingPrevServing.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
     pendingPrevServing = None
+    discardAbsorbed()
     this
   }
 
@@ -913,6 +944,13 @@ class VectorDB private (
     prepared = None
     pendingPrevServing.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
     pendingPrevServing = None
+    discardAbsorbed()
+  }
+
+  /** Drop an unadopted background-absorbed tier (caller holds `this`). */
+  private def discardAbsorbed(): Unit = {
+    absorbedReady.foreach { case (_, s) => if (s.isAlive) s.unpersist() }
+    absorbedReady = None
   }
 
   /** The fused serving index: [[PreparedScan]] blocks over
@@ -932,7 +970,11 @@ class VectorDB private (
     else {
       maybeRefresh()
       prepared match {
-        case Some((_, ps)) => Some(ps)
+        case Some((v, ps)) =>
+          val swapped = adoptAbsorbed(v)
+          val out = swapped.getOrElse(ps)
+          maybeScheduleAbsorb(v, out)
+          Some(out)
         case None => synchronized {
           prepared match {
             case Some((_, ps)) => Some(ps)
@@ -942,17 +984,28 @@ class VectorDB private (
               pendingPrevServing = None
               var stashAdopted = false
               try {
-                val ps = BlockCache.acquire(cacheKey, cur) {
-                  val extended = stash.flatMap { case (pv, prev) =>
-                    tryExtendServing(pv, prev)
-                  }
-                  extended match {
-                    case Some(e) => stashAdopted = true; e
-                    case None => buildFullServing()
-                  }
+                // Another instance may have background-flattened this
+                // snapshot already — adopt its absorbed twin from the
+                // shared cache instead of building.
+                BlockCache.tryAcquire(cacheKey,
+                    BlockCache.absorbedVersion(cur)) match {
+                  case Some(abs) =>
+                    prepared = Some((BlockCache.absorbedVersion(cur), abs))
+                    Some(abs)
+                  case None =>
+                    val ps = BlockCache.acquire(cacheKey, cur) {
+                      val extended = stash.flatMap { case (pv, prev) =>
+                        tryExtendServing(pv, prev)
+                      }
+                      extended match {
+                        case Some(e) => stashAdopted = true; e
+                        case None => buildFullServing()
+                      }
+                    }
+                    prepared = Some((cur, ps))
+                    maybeScheduleAbsorb(cur, ps)
+                    Some(ps)
                 }
-                prepared = Some((cur, ps))
-                Some(ps)
               } finally {
                 // Not adopted (full rebuild, ineligible window, or the
                 // entry already existed so the builder never ran):
@@ -965,6 +1018,83 @@ class VectorDB private (
         }
       }
     }
+  }
+
+  // ── Background chain absorption ────────────────────────────────────
+  // A served chain pays ~O(depth) extra per query (micro-block tasks +
+  // shadowing-map probes) until a compaction fold retires it. Once the
+  // depth crosses `incServingAbsorbDepth`, a daemon thread rebuilds the
+  // full serving tier OFF the query path; the next search swaps to the
+  // flattened tier through the shared cache (registered under the
+  // synthetic `#absorbed` version so other instances over the folder
+  // adopt it too). Queries keep the chain until the swap; refresh stays
+  // O(batch); correctness is untouched — the absorbed tier is the same
+  // full rebuild a retirement would have done, just not on the caller's
+  // wall.
+
+  @volatile private var absorbInFlight = false
+  @volatile private var absorbedReady: Option[(String, PreparedScan)] = None
+
+  /** Swap the served chain for a ready absorbed twin (same snapshot
+    * version only). Returns the adopted scan, or None to keep serving
+    * the chain.
+    */
+  private def adoptAbsorbed(v: String): Option[PreparedScan] = {
+    if (absorbedReady.isEmpty) return None
+    synchronized {
+      absorbedReady match {
+        case Some((av, ascan)) if av == v && ascan.isAlive &&
+            prepared.exists(_._1 == v) =>
+          absorbedReady = None
+          val shared = BlockCache.offer(cacheKey,
+            BlockCache.absorbedVersion(v), ascan)
+          if (!(shared eq ascan)) ascan.unpersist() // lost the offer race
+          BlockCache.release(cacheKey, v) // drop the chain reference
+          prepared = Some((BlockCache.absorbedVersion(v), shared))
+          Some(shared)
+        case Some((av, ascan)) =>
+          // stale (a commit moved the version, or serving was torn
+          // down and rebuilt): discard
+          if (av != v || !ascan.isAlive) {
+            absorbedReady = None
+            ascan.unpersist()
+          }
+          None
+        case None => None
+      }
+    }
+  }
+
+  /** Kick the background flatten when the served chain is deep enough
+    * and nothing is in flight. Cheap on the hot path: two volatile
+    * reads and an int compare.
+    */
+  private def maybeScheduleAbsorb(v: String, ps: PreparedScan): Unit = {
+    if (incServingAbsorbDepth <= 0 ||
+        ps.chain.depth < incServingAbsorbDepth ||
+        absorbInFlight || absorbedReady.isDefined) return
+    synchronized {
+      if (absorbInFlight || absorbedReady.isDefined) return
+      absorbInFlight = true
+    }
+    val t = new Thread(() => {
+      try {
+        val scan = buildFullServing()
+        synchronized {
+          val fresh = BlockCache.currentVersion(cacheKey, () => readMarker())
+          if (fresh == v && servingEnabled && prepared.exists(_._1 == v))
+            absorbedReady = Some((v, scan))
+          else scan.unpersist() // superseded while building
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          VectorDB.log.warn(
+            s"background chain absorption failed (chain keeps serving): $e")
+      } finally absorbInFlight = false
+    })
+    t.setDaemon(true)
+    t.setName(s"graft-absorb-${System.identityHashCode(this)}")
+    t.start()
   }
 
   private def buildFullServing(): PreparedScan = {
@@ -2291,6 +2421,20 @@ object VectorDB {
     * small multiple of the (parquet-compressed) bound.
     */
   val IncServingDriverWindowBytes: Long = 64L << 20
+  /** Commits a stashed extension base may survive with NO intervening
+    * search before it is released (the stash pins a full serving tier;
+    * a commit-only workload would otherwise hold roughly double the
+    * serving footprint indefinitely). Distinct from the LAYER cap: this
+    * bounds an unobserved stash, not a served chain.
+    */
+  val IncServingStashMaxCommits = 8
+  /** Chain depth at which a background daemon rebuilds (flattens) the
+    * serving tier off the query path ([[VectorDB.incrementalServing]]'s
+    * `absorbDepth`; 0 disables). Steady-state query latency then
+    * returns to the flat tier's without waiting for a compaction fold,
+    * while commit-to-serve refresh stays O(batch).
+    */
+  val IncServingAbsorbDepth = 3
 
   def openOrCreate(spark: SparkSession, folder: String,
                    model: String = "graft-hash-64", dim: Int = 64,

@@ -77,6 +77,11 @@ object Kernels {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Serializes extraStrategies check-and-append across sessions (the
+    * ExperimentalMethods object may be shared by clones).
+    */
+  private val strategyLock = new Object
+
   /** Idempotent per-session registration of all kernels. Session clones
     * (`newSession()`/`cloneSession()`) copy the parent's registry
     * contents, so each kernel is registered only if its name is absent —
@@ -100,9 +105,15 @@ object Kernels {
       // SPARK_GRAFT_NO_TOPK_EXEC=1 keeps the ObjectHashAggregate path
       // (A/B benching + safety valve for a custom physical operator).
       if (!sys.env.contains("SPARK_GRAFT_NO_TOPK_EXEC")) {
+        // ExperimentalMethods may be shared across session clones, and
+        // check-then-append is not atomic — two sessions installing
+        // concurrently could register the strategy twice (ADVICE r11).
+        // One global lock: installs are rare (once per session).
         val exp = spark.experimental
-        if (!exp.extraStrategies.contains(graft.plans.TopKCandStrategy))
-          exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKCandStrategy
+        strategyLock.synchronized {
+          if (!exp.extraStrategies.contains(graft.plans.TopKCandStrategy))
+            exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKCandStrategy
+        }
       }
     }
 

@@ -114,15 +114,26 @@ class AdviceHardeningSpec extends AnyFunSuite {
     assert(t.read().count() == 5, "corrupt ceiling must not fail the read")
   }
 
-  test("pinnedCompaction deletes its scratch DB") {
+  test("pinnedCompaction deletes its scratch DB; the memoized base doesn't accumulate") {
     val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:"))
-    val out = graft.operators.Transactional
-      .pinnedCompaction(spark, "/root/testdata/sf0.001")
-    assert(out.count() == 4)
-    val leftovers = Option(wh.listFiles()).getOrElse(Array.empty)
+    // twice: the second run must reuse the memoized base, not grow one
+    (0 until 2).foreach { _ =>
+      val out = graft.operators.Transactional
+        .pinnedCompaction(spark, "/root/testdata/sf0.001")
+      assert(out.count() == 4)
+    }
+    val all = Option(wh.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("graft-tx-"))
-    assert(leftovers.isEmpty,
-      s"scratch DBs must be deleted: ${leftovers.map(_.getName).mkString(",")}")
+    // the per-run clone must be gone; the JVM-lifetime memoized base
+    // (deleted by the shutdown hook) is the one allowed survivor
+    val (bases, clones) = all.partition(_.getName.startsWith("graft-tx-base-"))
+    assert(clones.isEmpty,
+      s"scratch DBs must be deleted: ${clones.map(_.getName).mkString(",")}")
+    // one base per variant (x1, x2) is the memo working as designed;
+    // two for the SAME variant means the memo failed to dedupe
+    val x1Bases = bases.count(_.getName.startsWith("graft-tx-base-x1-"))
+    assert(x1Bases <= 1,
+      s"the memoized x1 base must not accumulate: ${bases.map(_.getName).mkString(",")}")
   }
 }

@@ -64,6 +64,34 @@ class CrossJvmSpec extends AnyFunSuite {
       "the first JVM must adopt the second JVM's commit via the marker")
   }
 
+  test("a foreign MOR commit reaches a serving reader as a chain extension through the marker poll") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    db.addDocuments(fixture(0 until 60))
+    db.incrementalServing(maxChurnFraction = 1.0).enableServing()
+    val q = Seq.fill(64)(0.1)
+    assert(db.searchRadius(q, 64).map(_._1).toSet == (0L until 60L).toSet,
+      "warm serving must cover the base rows")
+    assert(db.servingChainForTest.exists(_.depth == 0))
+
+    // commit from a REAL second JVM (delta files + marker on disk; this
+    // JVM's BlockCache knows nothing yet)
+    assert(probe("commit", dir, "1000", "7") == "PROBE: COMMIT_OK 67")
+
+    // the poll adopts the foreign version and the next serving search
+    // must EXTEND the resident chain over the foreign window (depth 1),
+    // not fall back to a full rebuild
+    db.pollMarkerEvery(1)
+    Thread.sleep(5)
+    val ids = db.searchRadius(q, 64).map(_._1).toSet
+    assert(ids == ((0L until 60L) ++ (1000L until 1007L)).toSet,
+      "the serving tier must include the foreign window's rows")
+    assert(db.servingChainForTest.exists(_.depth == 1),
+      s"a qualifying foreign commit must chain-extend " +
+        s"(depth = ${db.servingChainForTest.map(_.depth)})")
+    db.disableServing()
+  }
+
   test("a second JVM adopts this JVM's persisted selector without recompiling") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir)

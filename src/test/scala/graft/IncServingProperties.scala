@@ -32,7 +32,7 @@ class IncServingProperties extends AnyFunSuite {
       val rnd = new scala.util.Random(1000 + seed)
       val dir = freshDir()
       val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
-        .incrementalServing(maxChurnFraction = 1.0, maxLayers = 16)
+        .incrementalServing(maxChurnFraction = 1.0, maxLayers = 16, absorbDepth = 0)
       val twin = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
 
       // model of what is live: id -> generation of its latest write

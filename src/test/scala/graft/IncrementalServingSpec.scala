@@ -50,7 +50,7 @@ class IncrementalServingSpec extends AnyFunSuite {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir,
       storage = VectorDB.StorageMor, index = index)
-      .incrementalServing()
+      .incrementalServing(absorbDepth = 0)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing()
     val twin = VectorDB.openOrCreate(spark, dir,
@@ -158,7 +158,7 @@ class IncrementalServingSpec extends AnyFunSuite {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor,
       index = VectorDB.IndexIvf, ivfCells = 8)
-      .incrementalServing()
+      .incrementalServing(absorbDepth = 0)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing()
     try {
@@ -225,7 +225,7 @@ class IncrementalServingSpec extends AnyFunSuite {
     // churn bound: 400-row base, 25% churn = 100 rows; a 120-row window
     // must retire the chain
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
-      .incrementalServing(maxChurnFraction = 0.25, maxLayers = 2)
+      .incrementalServing(maxChurnFraction = 0.25, maxLayers = 2, absorbDepth = 0)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing()
     try {
@@ -263,7 +263,7 @@ class IncrementalServingSpec extends AnyFunSuite {
   test("block-cache accounting: the chain pins its base versions, then frees whole") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
-      .incrementalServing()
+      .incrementalServing(absorbDepth = 0)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing()
     val folder = db.blockCacheKey.folder
@@ -290,7 +290,7 @@ class IncrementalServingSpec extends AnyFunSuite {
   test("a second instance over the folder shares the chain entry") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
-      .incrementalServing()
+      .incrementalServing(absorbDepth = 0)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing()
     try {
@@ -316,5 +316,69 @@ class IncrementalServingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { mor.incrementalServing(0.0) }
     intercept[IllegalArgumentException] { mor.incrementalServing(1.5) }
     intercept[IllegalArgumentException] { mor.incrementalServing(0.5, 0) }
+    intercept[IllegalArgumentException] { mor.incrementalServing(0.5, 1, -1) }
+  }
+
+  test("background absorption flattens a deep chain off the query path; results unchanged") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+      .incrementalServing(maxChurnFraction = 1.0, absorbDepth = 1)
+    db.addDocuments(corpus.toDF("doc_id", "text"))
+    db.enableServing()
+    val twin = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    try {
+      db.addDocuments(Seq((9001L, "tok1 tok5"), (5L, "tok9 tok4"))
+        .toDF("doc_id", "text"))
+      val before = hits(db, "tok1 tok5", 50)
+      assert(db.servingChainForTest.exists(_.depth == 1),
+        "the commit must first serve through a chain")
+      // depth 1 >= absorbDepth: that search scheduled the background
+      // flatten; poll until a later search adopts it
+      val deadline = System.currentTimeMillis() + 30000
+      var flat = false
+      while (!flat && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        hits(db, "tok1 tok5", 50)
+        flat = db.servingChainForTest.exists(_.depth == 0)
+      }
+      assert(flat, "the absorbed tier was never adopted within 30s")
+      val after = hits(db, "tok1 tok5", 50)
+      assert(after == before, "absorption must not change what is served")
+      assert(after == hits(twin, "tok1 tok5", 50),
+        "the absorbed tier must match the Catalyst twin")
+      // and the flattened tier extends again on the next commit
+      db.addDocuments(Seq((9002L, "tok1 tok5 tok1")).toDF("doc_id", "text"))
+      val again = hits(db, "tok1 tok5", 50)
+      assert(db.servingChainForTest.exists(_.depth == 1),
+        "post-absorption commits must chain-extend from the flattened base")
+      assert(again == hits(twin, "tok1 tok5", 50))
+    } finally {
+      db.disableServing()
+      assert(BlockCache.liveEntriesFor(db.blockCacheKey.folder) == 0,
+        "disable must free the absorbed tier too")
+    }
+  }
+
+  test("an unobserved stash is released after the commit bound (no search ever comes)") {
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+      .incrementalServing(maxChurnFraction = 1.0, absorbDepth = 0)
+    db.addDocuments(corpus.toDF("doc_id", "text"))
+    db.enableServing()
+    try {
+      hits(db, "tok1") // resident
+      // commit-only workload: the first commit stashes the superseded
+      // tier; the stash must NOT outlive the commit bound
+      (0 until VectorDB.IncServingStashMaxCommits + 1).foreach { i =>
+        db.addDocuments(Seq((9100L + i, s"tok$i")).toDF("doc_id", "text"))
+        ()
+      }
+      assert(db.pendingPrevForTest.isEmpty,
+        "the stash must be released after IncServingStashMaxCommits commits " +
+          "with no intervening search")
+      // the next search full-rebuilds and still matches the twin
+      val twin = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+      assert(hits(db, "tok1", 50) == hits(twin, "tok1", 50))
+    } finally db.disableServing()
   }
 }

@@ -40,6 +40,30 @@ class SemDedupSpec extends AnyFunSuite {
       s"learned clusters evicted only ${rows.length} of $nBase clones")
   }
 
+  test("hot buckets are salted: a single-bucket clone cluster stays equi-join and matches the unsalted result") {
+    import spark.implicits._
+    val dim = 16
+    val n = 4000
+    // every row near-parallel with positive signs: ONE (cluster, s16)
+    // bucket, all pairwise cosines ≈ 1 — the pathological hot bucket the
+    // salting exists for
+    val rows = (0 until n).map { i =>
+      (i.toLong, 0, (0 until dim).map(d => 1.0 + 0.0001 * ((i + d) % 7)).toArray)
+    }.toDF("vec_id", "cluster", "v")
+    val salted = graft.operators.Dedup.semDedupOver(rows, 0.97, saltRows = 64)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the salted self-join must stay an equi-join:\n$plan")
+    val got = salted.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val unsalted = graft.operators.Dedup
+      .semDedupOver(rows, 0.97, saltRows = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == unsalted, "salting must not change the decision")
+    assert(got.size == n - 1 && got.forall(_._2 == 0L),
+      "every row but the global minimum evicts to id 0")
+  }
+
   test("applying the decision: anti-join returns the corpus to its pre-clone size") {
     import spark.implicits._
     val removed = graft.operators.Dedup.semDedup(spark, dir).select("vec_id")
