@@ -261,6 +261,12 @@ final class NswNav(
     out
   }
 
+  /** Diagnostic (NavMissProbe): the graph's adjacency, read-only —
+    * (neighbors flat array, per-row degree, maxDeg).
+    */
+  private[graft] def adjacencyView: (Array[Int], Array[Int], Int) =
+    (neighbors, degree, maxDeg)
+
   /** Diagnostic (OrphanProbe, specs): rows with NO directed path from
     * the stride entries — the structural-unreachability residue a
     * best-first search can never visit regardless of `ef < n`. With the
@@ -625,6 +631,110 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
         neighbors(base + worst) = b
       }
     }
+    // ---- Hermit re-insertion (the r12 plateau root cause) -----------------
+    // NavMissProbe on the 1M-row-block manifold showed the persistent
+    // recall misses are HERMIT rows: their whole out-adjacency is far
+    // (min out-neighbor distance ~150 bits where cluster mates sit at
+    // ~55-70), because their own insert-time beam navigated the
+    // PARTIAL graph to the wrong region and linked far — after which
+    // near rows never discover them (all inbound edges also far), a
+    // self-sealing failure no search-time ef can break (misses persist
+    // at ef 8000). Second-pass refinement (the NSG/Vamana shape): flag
+    // rows whose nearest out-neighbor is > 1.5× the block median,
+    // re-run the insert beam on the COMPLETE graph (which navigates
+    // where the partial one failed), and relink — forced backlinks,
+    // since the diversity re-select is what sealed them in the first
+    // place.
+    if (repair && n > 8) {
+      val dOutMin = new Array[Int](n)
+      var r0 = 0
+      while (r0 < n) {
+        val base = r0 * maxDeg
+        val deg = degree(r0)
+        var best = Int.MaxValue
+        var j = 0
+        while (j < deg) {
+          val d = ham(r0, neighbors(base + j))
+          if (d < best) best = d
+          j += 1
+        }
+        dOutMin(r0) = best
+        r0 += 1
+      }
+      val finite = dOutMin.filter(_ != Int.MaxValue).sorted
+      if (finite.length > 0) {
+        val median = finite(finite.length / 2)
+        val thr = math.max((median * 3) / 2, median + 4)
+        var r1 = 0
+        while (r1 < n) {
+          if (dOutMin(r1) > thr) {
+            val found = nearest(r1, n)
+            var fi = 0
+            var nearestOther = -1
+            while (nearestOther < 0 && fi < found.length) {
+              if (found(fi) != r1) nearestOther = found(fi)
+              fi += 1
+            }
+            if (nearestOther >= 0 && ham(r1, nearestOther) < dOutMin(r1)) {
+              val cand = found.filter(_ != r1)
+              val links = selectDiverse(r1, cand, m)
+              var lj = 0
+              while (lj < links.length) {
+                link(r1, links(lj))
+                forceLink(links(lj), r1)
+                lj += 1
+              }
+            }
+          }
+          r1 += 1
+        }
+      }
+    }
+
+    // ---- Near-inbound guarantee (the r12 plateau root cause) --------------
+    // Reachable is not discoverable: NavMissProbe showed the residual
+    // misses (recall plateau 0.975 at 1M-row blocks, GRAPHBENCH_r12_4m)
+    // are rows with HEALTHY in-degree whose inbound edges all come from
+    // FAR nodes — in a dense region, every near neighbor's shrink
+    // re-select drops the late-inserted row (diversity prefers spread),
+    // so the best-first beam, which only expands nodes inside its
+    // distance bound, can never evaluate it: the probe caught queries
+    // finding 9 of a row's 10 exact neighbors but not the hamming-0 row
+    // itself. Guarantee: every row keeps at least one inbound edge from
+    // its NEAREST out-neighbor (out-edges are its nearest rows by
+    // construction), so exploring a row's neighborhood always discovers
+    // it — the same failure faiss's keepPrunedConnections / Vamana's
+    // reverse-edge insertion address. Any orphaning from the forced
+    // replacement is caught by the reachability passes below.
+    if (repair) {
+      var r = 0
+      while (r < n) {
+        val base = r * maxDeg
+        val deg = degree(r)
+        var has = false
+        var nearest0 = -1
+        var nearestD = Int.MaxValue
+        var j = 0
+        while (!has && j < deg) {
+          val nb = neighbors(base + j)
+          val nbase = nb * maxDeg
+          val nd = degree(nb)
+          var k = 0
+          while (!has && k < nd) {
+            if (neighbors(nbase + k) == r) has = true
+            k += 1
+          }
+          if (!has) {
+            val d = ham(r, nb)
+            if (d < nearestD) { nearestD = d; nearest0 = nb }
+          }
+          j += 1
+        }
+        if (!has && nearest0 >= 0) forceLink(nearest0, r)
+        r += 1
+      }
+    }
+
     var reach = if (repair) bfsReachable() else null
     var orphans = if (repair) unreached(reach) else Array.emptyIntArray
     val initialOrphans = orphans.length

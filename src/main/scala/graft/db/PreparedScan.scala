@@ -53,6 +53,12 @@ final class PreparedScan private (
     private[graft] val rowsLowerBound: Long,
     onFree: () => Unit) {
 
+  /** Serving block count (one per source partition; chains add their
+    * delta-layer blocks). Diagnostic — the facade's sizing guard reads
+    * rows-per-block from it.
+    */
+  private[graft] def numBlocks: Int = blocks.getNumPartitions
+
   /** Top-B hits by (hamming asc, doc_id asc) against the packed query
     * words; `probed` (if set) restricts to rows in those IVF cells;
     * `sel` (if set) is a doc_id allowlist ([[IdSet]]: broadcast sorted

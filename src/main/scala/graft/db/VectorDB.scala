@@ -1110,10 +1110,40 @@ class VectorDB private (
         PreparedScan.ChainInfo(0, -1L, 0L, committedCeilings(),
           (codesMor.foldCeiling(), docsMor.foldCeiling()))
       else PreparedScan.ChainInfo.none
-    PreparedScan.build(fused, nWords, isFlat, isIvf,
+    val nav = indexStrategy.navBuilder(strategyCtx)
+    val scan = PreparedScan.build(fused, nWords, isFlat, isIvf,
       withBytes = true, withDoc = true,
-      navBuilder = indexStrategy.navBuilder(strategyCtx), chain = chain)
+      navBuilder = nav, chain = chain)
+    // Loud sizing guard (GRAPHBENCH crossover): below ~1M rows per
+    // block the linear scan's early-exited popcount walk already sits
+    // on the job floor, so a graph strategy pays its build cost
+    // (data-dependent, up to minutes per block) for no latency win —
+    // ship flat/ivf there. Warn, don't refuse: small-block graph
+    // serving is still CORRECT (specs run it constantly) and a table
+    // about to grow may want the index from day one.
+    sizingWarning = nav.flatMap { _ =>
+      val perBlock = scan.rowsLowerBound / math.max(1, scan.numBlocks)
+      if (perBlock < VectorDB.NavCrossoverRows) Some(
+        s"index strategy '${indexStrategy.name}' builds per-block graphs, " +
+          s"but this serving tier averages $perBlock rows/block " +
+          s"(${scan.numBlocks} blocks) — below the ~${VectorDB.NavCrossoverRows} " +
+          "rows/block crossover where graph navigation beats the linear " +
+          "prepared scan (ARCHITECTURE.md 'Per-block graph search'). The " +
+          "graph build cost is pure overhead at this size; prefer " +
+          "index=flat or index=ivf until blocks grow.")
+      else None
+    }
+    sizingWarning.foreach(w => VectorDB.log.warn(w))
+    scan
   }
+
+  /** Set by the serving-tier build when a graph (NavBuilder) strategy
+    * is configured on a tier whose blocks are below the recorded
+    * crossover size — the loud default for the GRAPHBENCH sizing rule.
+    * None when sized sensibly (or serving not yet built).
+    */
+  @volatile private var sizingWarning: Option[String] = None
+  def servingSizingWarning: Option[String] = sizingWarning
 
   /** Extend the held-back serving blocks with the commit window between
     * their ceilings and the current ones, or None when a full rebuild
@@ -2413,6 +2443,14 @@ object VectorDB {
     */
   val IncServingMaxLayers = 32
   val IncServingMaxTouched = 2000000
+  /** Rows-per-block crossover below which a graph (NavBuilder) index
+    * strategy is pure build-cost overhead: the linear prepared scan's
+    * early-exited popcount walk matches or beats graph navigation
+    * under ~1M rows/partition (GRAPHBENCH_r11/_r12 grids; ARCHITECTURE
+    * "Per-block graph search"). The serving build warns — loudly, but
+    * builds anyway — when an nsw/ivf_nsw tier averages fewer.
+    */
+  val NavCrossoverRows = 1000000L
   val IncServingRowsPerBlock = 262144L
   /** Windows whose delta files total at most this many bytes resolve
     * driver-side (one collect per tier, local last-writer-wins) instead

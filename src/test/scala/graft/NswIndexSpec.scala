@@ -75,6 +75,32 @@ class NswIndexSpec extends AnyFunSuite {
     } finally IndexStrategies.register(new IndexStrategies.Nsw())
   }
 
+  test("serving build warns loudly when nsw blocks sit below the crossover") {
+    // The GRAPHBENCH sizing rule as the loud default (r11 verdict task
+    // 2): a graph strategy on tiny blocks is pure build overhead — the
+    // serving build must still BUILD (correctness unchanged) but flag it.
+    val nsw = VectorDB.openOrCreate(spark, freshDir(), index = VectorDB.IndexNsw)
+    nsw.addDocuments(corpus.toDF("doc_id", "text"))
+    assert(nsw.servingSizingWarning.isEmpty, "no warning before serving builds")
+    nsw.enableServing()
+    try {
+      hits(nsw, "tok1 tok5")
+      val warn = nsw.servingSizingWarning
+      assert(warn.isDefined, "300 rows/block is far below the 1M crossover")
+      assert(warn.get.contains("rows/block"))
+      assert(warn.get.contains("nsw"))
+    } finally nsw.disableServing()
+
+    // A flat tier of the same size: no graph build, no warning.
+    val flat = VectorDB.openOrCreate(spark, freshDir())
+    flat.addDocuments(corpus.toDF("doc_id", "text"))
+    flat.enableServing()
+    try {
+      hits(flat, "tok1 tok5")
+      assert(flat.servingSizingWarning.isEmpty)
+    } finally flat.disableServing()
+  }
+
   test("served nsw at the default width keeps high overlap with the exact top-k") {
     // One block much larger than the search width, rich 1024-bit codes:
     // the approximate regime. Default ef=96 over a 1500-row block.
