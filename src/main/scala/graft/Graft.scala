@@ -59,6 +59,15 @@ object Graft {
       while (p != null) { rm(p.toFile); p = scratchPaths.poll() }
     }))
 
+  /** Scheduler pool for off-the-query-path work (the incremental-serving
+    * background flatten): weight 1 vs the default pool's 8, so a
+    * foreground commit or search keeps ~8/9 of the task slots while a
+    * flatten is in flight. Only takes effect under FAIR scheduling with
+    * [[fairDefaultPoolFile]] (serving deployments); under FIFO the pool
+    * property is ignored — harmless.
+    */
+  val BackgroundPool = "graft-background"
+
   lazy val fairDefaultPoolFile: String = {
     val f = java.nio.file.Files.createTempFile("graft-fairscheduler", ".xml")
     java.nio.file.Files.writeString(f,
@@ -66,6 +75,11 @@ object Graft {
         |<allocations>
         |  <pool name="default">
         |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>8</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |  <pool name="graft-background">
+        |    <schedulingMode>FIFO</schedulingMode>
         |    <weight>1</weight>
         |    <minShare>0</minShare>
         |  </pool>

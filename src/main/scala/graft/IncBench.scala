@@ -40,6 +40,12 @@ object IncBench {
       .master(s"local[$cpus]")
       .appName("graft-incbench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // FAIR + the allocation file, like every serving bench: the
+      // background absorb flatten then runs in the low-weight
+      // graft-background pool and foreground commits/searches keep
+      // ~8/9 of the task slots (the r12 commit-wall contention fix).
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", Graft.fairDefaultPoolFile)
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()

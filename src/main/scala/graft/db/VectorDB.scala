@@ -1079,6 +1079,11 @@ class VectorDB private (
     }
     val t = new Thread(() => {
       try {
+        // Flatten jobs yield to foreground commits/searches: low-weight
+        // pool under FAIR serving configs (no-op under FIFO). Thread-
+        // local property — dies with this daemon thread.
+        spark.sparkContext.setLocalProperty(
+          "spark.scheduler.pool", graft.Graft.BackgroundPool)
         val scan = buildFullServing()
         synchronized {
           val fresh = BlockCache.currentVersion(cacheKey, () => readMarker())

@@ -75,6 +75,61 @@ class NswIndexSpec extends AnyFunSuite {
     } finally IndexStrategies.register(new IndexStrategies.Nsw())
   }
 
+  test("build repair: near-inbound invariant holds and default-width recall stays >= 0.99 on the clustered manifold") {
+    // Deterministic regression pin for the round-12 plateau fix
+    // (NAVMISS_r12): a single-threaded build on the RecallBench
+    // manifold must leave (a) every row with at least one inbound edge
+    // among its out-neighbors' adjacency — the discoverability
+    // guarantee whose absence sealed the hermit/undiscoverable rows —
+    // and (b) recall@10 >= 0.99 at the DEFAULT beam width, where the
+    // pre-fix builder plateaued at ~0.975 regardless of ef.
+    val n = 20000
+    val dim = 256
+    val nWords = dim / 64
+    val gen = RecallBench.pointGen(dim, 20, 8, 0.5)
+    val words = new Array[Long](n * nWords)
+    for (r <- 0 until n) {
+      val v = gen(r.toLong)._1
+      for (w <- 0 until nWords) {
+        var acc = 0L
+        for (b <- 0 until 64) if (v(w * 64 + b) > 0) acc |= (1L << (63 - b))
+        words(r * nWords + w) = acc
+      }
+    }
+    val ids = Array.tabulate(n)(_.toLong)
+    val nav = new NswNavBuilder(16, 128, 100)
+      .build(ids, words, nWords).asInstanceOf[graft.db.NswNav]
+
+    val (adjN, adjD, adjMax) = nav.adjacencyView
+    var noNearInbound = 0
+    for (r <- 0 until n) {
+      val deg = adjD(r)
+      val hasInbound = (0 until deg).exists { j =>
+        val nb = adjN(r * adjMax + j)
+        (0 until adjD(nb)).exists(k => adjN(nb * adjMax + k) == r)
+      }
+      if (!hasInbound && deg > 0) noNearInbound += 1
+    }
+    assert(noNearInbound == 0,
+      s"$noNearInbound rows lost their guaranteed near-inbound edge")
+
+    def ham(row: Int, q: Array[Long]): Int =
+      (0 until nWords).map(w =>
+        java.lang.Long.bitCount(words(row * nWords + w) ^ q(w))).sum
+    var hits = 0
+    val qRows = (0 until 20).map(i => i * (n / 20) + i)
+    qRows.foreach { qr =>
+      val q = java.util.Arrays.copyOfRange(words, qr * nWords, (qr + 1) * nWords)
+      val exact = (0 until n).map(r => (ham(r, q).toLong << 32) | r.toLong)
+        .sorted.take(10).map(p => (p & 0xffffffffL).toInt).toSet
+      val got = nav.topPacked(q, 10, _ => true)
+        .map(p => (p & 0xffffffffL).toInt).toSet
+      hits += exact.intersect(got).size
+    }
+    val recall = hits / (20 * 10.0)
+    assert(recall >= 0.99, s"default-width recall@10 $recall < 0.99")
+  }
+
   test("serving build warns loudly when nsw blocks sit below the crossover") {
     // The GRAPHBENCH sizing rule as the loud default (r11 verdict task
     // 2): a graph strategy on tiny blocks is pure build overhead — the
