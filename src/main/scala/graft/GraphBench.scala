@@ -79,7 +79,7 @@ object GraphBench {
     val ingestT0 = System.nanoTime()
     flat.addDocuments(docs, new SynthEmbedder(dim))
     val ingestS = (System.nanoTime() - ingestT0) / 1e9
-    val flatServeMs = time(flat.enableServing())
+    val flatServeMs = time(flat.enableServing(blocks = nBlocks))
     flat.searchHits(queries(qids.head), k = 10) // warm
     val exact = qids.map(q =>
       q -> flat.searchHits(queries(q), k = 10).map(_.docId).toSet).toMap
@@ -118,7 +118,7 @@ object GraphBench {
       IndexStrategies.register(
         new IndexStrategies.Nsw(m, efC, ef, buildThreads, hierarchy))
       val db = VectorDB.openOrCreate(spark, nswDir, dim = dim)
-      val buildMs = time(db.enableServing())
+      val buildMs = time(db.enableServing(blocks = nBlocks))
       db.searchHits(queries(qids.head), k = 10) // warm
       val (recalls, timed) = qids.map { q =>
         val t0 = System.nanoTime()
@@ -148,7 +148,7 @@ object GraphBench {
     // settled measurement of the SAME flat DB makes the artifact
     // self-adjudicating instead of leaving a cross-run mystery.
     val flatEndRow = {
-      val serveMs = time(flat.enableServing())
+      val serveMs = time(flat.enableServing(blocks = nBlocks))
       flat.searchHits(queries(qids.head), k = 10) // warm
       val (ts, p1s) = qids.map { q =>
         val ms = time(flat.searchHits(queries(q), k = 10))
@@ -172,7 +172,7 @@ object GraphBench {
         model = s"graft-synth-$dim", dim = dim, index = VectorDB.IndexIvfNsw,
         ivfCells = cells)
       db.addDocuments(docs, new SynthEmbedder(dim))
-      val buildMs = time(db.enableServing())
+      val buildMs = time(db.enableServing(blocks = nBlocks))
       db.searchHits(queries(qids.head), k = 10) // warm both paths
       db.searchHits(queries(qids.head), k = 10, nprobe = 4)
       val rows = Seq(4, cells).map { np =>

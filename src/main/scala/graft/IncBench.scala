@@ -102,7 +102,7 @@ object IncBench {
       val ingestT0 = System.nanoTime()
       db.addDocuments(docs, emb)
       val ingestS = (System.nanoTime() - ingestT0) / 1e9
-      val serveBuildMs = time(db.enableServing())
+      val serveBuildMs = time(db.enableServing(blocks = nBlocks))
       db.searchHits(queries(qids.head), k = 10) // warm
 
       val refreshMs = (0 until commits).map { c =>

@@ -873,10 +873,27 @@ class VectorDB private (
     * index-resident-in-RAM regime the reference's published numbers
     * assume. Rebuilt automatically after each commit (one codes⋈docs
     * join per rebuild); [[disableServing]] releases the memory.
+    *
+    * `blocks > 0` pins the serving-block COUNT: the fused source is
+    * coalesced to at most that many partitions, so each executor block
+    * carries ~rows/blocks rows. Without it, blocks follow the
+    * codes⋈docs join's shuffle width (`spark.sql.shuffle.partitions`) —
+    * a sane cluster default, but NOT the parquet layout: a round-12
+    * audit (via [[servingSizingWarning]]) caught serving tiers labeled
+    * "4 blocks of 1M" actually running 16 shuffle-width blocks of
+    * 250k. Graph strategies care: per-block navigators only beat the
+    * linear kernel when blocks are big (CROSSOVER_r12.json), so size
+    * blocks deliberately when using them. `coalesce` never widens —
+    * `blocks` above the join width leaves the width as is.
     */
-  def enableServing(): this.type = {
+  def enableServing(blocks: Int = 0): this.type = {
+    require(blocks >= 0, s"blocks must be >= 0, got $blocks")
+    servingBlocks = blocks
     servingEnabled = true; preparedScan(); this
   }
+
+  /** Serving-block count pin (0 = follow the join's shuffle width). */
+  @volatile private var servingBlocks: Int = 0
 
   /** Opt into INCREMENTAL serving refresh (MOR storage only): after a
     * commit, instead of rebuilding the whole serving tier — block
@@ -923,8 +940,8 @@ class VectorDB private (
     */
   def servingInfo(): VectorDB.ServingInfo = prepared match {
     case Some((_, ps)) => VectorDB.ServingInfo(resident = true,
-      ps.chain.depth, ps.chain.churnRows, ps.rowsLowerBound)
-    case None => VectorDB.ServingInfo(resident = false, 0, 0L, 0L)
+      ps.chain.depth, ps.chain.churnRows, ps.rowsLowerBound, ps.numBlocks)
+    case None => VectorDB.ServingInfo(resident = false, 0, 0L, 0L, 0)
   }
 
   /** Back to full rebuilds on every commit (releases any held-back
@@ -1103,9 +1120,13 @@ class VectorDB private (
   }
 
   private def buildFullServing(): PreparedScan = {
-    val fused = codes.join(
+    val joined = codes.join(
       docs.select(col("doc_id"), col("doc"), col("emb_int8")),
       Seq("doc_id"))
+    // blocks pin (enableServing(blocks)): coalesce, never repartition —
+    // merging shuffle outputs costs no exchange, and widening beyond
+    // the join width is the caller's shuffle.partitions decision.
+    val fused = if (servingBlocks > 0) joined.coalesce(servingBlocks) else joined
     // Every MOR build records the snapshot ceilings it was built at
     // (cheap FS listings) — turning on incrementalServing AFTER a build
     // then extends from the right window; the row count the churn
@@ -2279,7 +2300,13 @@ object VectorDB {
     * what a serving fleet dashboards next to the per-phase timings.
     */
   final case class ServingInfo(resident: Boolean, chainDepth: Int,
-                               chainChurnRows: Long, rowsLowerBound: Long)
+                               chainChurnRows: Long, rowsLowerBound: Long,
+                               /** Resident serving blocks, chain delta
+                                 * layers included — rowsLowerBound /
+                                 * blocks is the geometry graph
+                                 * strategies are sized by.
+                                 */
+                               blocks: Int)
 
   /** Per-phase wall times of one funnel search — the observability the
     * reference surfaces as INFO logs around each phase

@@ -130,6 +130,33 @@ class NswIndexSpec extends AnyFunSuite {
     assert(recall >= 0.99, s"default-width recall@10 $recall < 0.99")
   }
 
+  test("enableServing(blocks) pins the serving-block count without changing results") {
+    // Round-12 audit finding: serving blocks followed the codes-join-docs
+    // shuffle width, NOT the snapshot layout — the sizing warning caught
+    // bench tiers labeled "4 blocks of 1M" actually serving 16 shuffle
+    // blocks of 250k. The pin coalesces the fused source; results must
+    // be bit-identical (blocks only change WHERE rows sit).
+    val base = VectorDB.openOrCreate(spark, freshDir())
+    base.addDocuments(corpus.toDF("doc_id", "text"))
+    base.enableServing()
+    val defaultBlocks = try {
+      val info = base.servingInfo()
+      assert(info.resident && info.blocks >= 1)
+      (Seq("tok1 tok5", "tok4").map(q => hits(base, q)), info.blocks)
+    } finally base.disableServing()
+
+    val pinned = VectorDB.openOrCreate(spark, freshDir())
+    pinned.addDocuments(corpus.toDF("doc_id", "text"))
+    pinned.enableServing(blocks = 2)
+    try {
+      assert(pinned.servingInfo().blocks == 2)
+      assert(Seq("tok1 tok5", "tok4").map(q => hits(pinned, q)) ==
+        defaultBlocks._1)
+    } finally pinned.disableServing()
+
+    intercept[IllegalArgumentException] { pinned.enableServing(blocks = -1) }
+  }
+
   test("serving build warns loudly when nsw blocks sit below the crossover") {
     // The GRAPHBENCH sizing rule as the loud default (r11 verdict task
     // 2): a graph strategy on tiny blocks is pure build overhead — the
