@@ -102,13 +102,32 @@ private[graft] object BlockCache {
           val scan =
             try build
             catch { case t: Throwable => mine.failure = t; throw t }
-          mine.result = scan
-          synchronized {
-            val ne = new Entry(scan)
-            ne.refs = 1
-            entries.put(k, ne)
+          // Install under the lock, RE-CHECKING for a live entry first:
+          // between this thread's hit-check and its putIfAbsent, a prior
+          // builder may have installed its entry and removed its
+          // Building token — so this thread built a duplicate. Blindly
+          // `entries.put`-ing it would clobber the live entry, whose
+          // holders' later release() calls would then decrement the NEW
+          // entry (premature unpersist) while the clobbered scan leaks.
+          // Adopt the existing entry and discard the duplicate instead.
+          var dup: PreparedScan = null
+          val out = synchronized {
+            val e = entries.get(k)
+            if (e != null && e.scan.isAlive) {
+              e.refs += 1
+              dup = scan
+              e.scan
+            } else {
+              if (e != null) entries.remove(k)
+              val ne = new Entry(scan)
+              ne.refs = 1
+              entries.put(k, ne)
+              scan
+            }
           }
-          return scan
+          mine.result = out
+          if ((dup ne null) && dup.isAlive) dup.unpersist()
+          return out
         } finally {
           building.remove(k)
           mine.latch.countDown()

@@ -701,11 +701,15 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
     // distance bound, can never evaluate it: the probe caught queries
     // finding 9 of a row's 10 exact neighbors but not the hamming-0 row
     // itself. Guarantee: every row keeps at least one inbound edge from
-    // its NEAREST out-neighbor (out-edges are its nearest rows by
-    // construction), so exploring a row's neighborhood always discovers
-    // it — the same failure faiss's keepPrunedConnections / Vamana's
-    // reverse-edge insertion address. Any orphaning from the forced
-    // replacement is caught by the reachability passes below.
+    // ONE OF its out-neighbors (out-edges are near rows by
+    // construction; when NO out-neighbor links back, the scan covers
+    // them all and the forced backlink comes from the true nearest —
+    // when some out-neighbor already links back, that existing edge is
+    // accepted even if a nearer one exists), so exploring a row's
+    // neighborhood always discovers it — the same failure faiss's
+    // keepPrunedConnections / Vamana's reverse-edge insertion address.
+    // Any orphaning from the forced replacement is caught by the
+    // reachability passes below.
     if (repair) {
       var r = 0
       while (r < n) {

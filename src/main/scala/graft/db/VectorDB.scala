@@ -150,12 +150,62 @@ class VectorDB private (
   private def markerPath = new Path(s"$folder/_snapshot")
   private def historyPath = new Path(s"$folder/_history")
 
+  /** Atomic small-marker write: stage to a uniquely named sibling, then
+    * rename onto the destination. On a POSIX-backed FS the data-file
+    * rename is rename(2) — readers see the old bytes or the new bytes,
+    * never a torn file. Two residual non-atomic windows remain and both
+    * are handled by the READERS, not here: (a) a checksummed local FS
+    * renames the data file and its .crc as two operations, so a read
+    * between them can fail verification; (b) an FS whose rename refuses
+    * to overwrite falls back to delete+rename, exposing a brief absence.
+    * Every marker reader therefore retries transient unreadability
+    * (and the lease reader additionally treats persistent
+    * exists-but-unreadable as HELD — see [[readLease]]).
+    */
+  private def writeMarkerFile(dest: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, dest)) {
+      // FS whose rename won't clobber (e.g. strict HDFS semantics):
+      // fall back to delete+rename. The absence window this opens is
+      // covered by reader-side retry / held-on-unreadable rules.
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"atomic marker swap failed for $dest")
+      }
+    }
+  }
+
+  /** Reader-side twin of [[writeMarkerFile]]: retry a marker read that
+    * fails transiently (the checksum-pair or delete+rename windows
+    * above). The LAST attempt's failure propagates — persistent
+    * unreadability is a real error for every marker except the lease,
+    * whose caller maps it to "held by an unknown writer" instead.
+    */
+  private def retryingMarkerRead[T](attempts: Int = 5, sleepMs: Long = 20)(
+      body: => T): T = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          i += 1
+          if (i >= attempts) throw e
+          Thread.sleep(sleepMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Ordered list of RETAINED snapshot versions (oldest first), as
     * maintained by COW commits: the versions whose generation files
     * survive GC — the last [[keepGenerations]] plus any pinned. Empty
     * for folders that predate versioned snapshots and for MOR storage.
     */
-  private def readHistory(): Seq[String] = {
+  private def readHistory(): Seq[String] = retryingMarkerRead() {
     if (!fs.exists(historyPath)) Seq.empty
     else {
       val in = fs.open(historyPath)
@@ -166,10 +216,8 @@ class VectorDB private (
     }
   }
 
-  private def writeHistory(versions: Seq[String]): Unit = {
-    val out = fs.create(historyPath, true)
-    try out.write(versions.mkString("\n").getBytes("UTF-8")) finally out.close()
-  }
+  private def writeHistory(versions: Seq[String]): Unit =
+    writeMarkerFile(historyPath, versions.mkString("\n").getBytes("UTF-8"))
 
   /** How many trailing generations a COW commit retains (besides
     * pinned ones). Minimum 2 — current plus previous — because the
@@ -228,7 +276,7 @@ class VectorDB private (
     * version markers reads as "genesis" everywhere, which is still
     * correct: the first commit anywhere writes a real marker.
     */
-  private def readMarker(): String = {
+  private def readMarker(): String = retryingMarkerRead() {
     val p = markerPath
     if (!fs.exists(p)) "genesis"
     else {
@@ -255,8 +303,7 @@ class VectorDB private (
     // orphan). MOR deltas are visible from their file write, so for MOR
     // this is defense in depth, not a complete fence.
     assertWritable()
-    val out = fs.create(markerPath, true)
-    try out.write(v.getBytes("UTF-8")) finally out.close()
+    writeMarkerFile(markerPath, v.getBytes("UTF-8"))
     BlockCache.invalidate(cacheKey, v)
     lastSeenVersion = v
     sweepOrphanSelectorDirs(v)
@@ -351,10 +398,24 @@ class VectorDB private (
   // checks, holder or not — verifies the on-disk lease, so an
   // accidental second writer errors instead of corrupting. Advisory by
   // construction (a writer that never opens the folder through this
-  // class is invisible to it); the steal-after-expiry window between
-  // read and write is not atomic on a generic Hadoop FS — the TTL and
-  // heartbeat keep it negligible, and the post-steal commit fence
-  // catches the loser.
+  // class is invisible to it).
+  //
+  // Atomicity argument (the r12 suite caught the torn-read steal this
+  // replaces): every lease WRITE is a staged-file rename
+  // ([[writeMarkerFile]]) — a reader sees the previous lease or the
+  // renewed one, never a truncated file. The residual unreadable
+  // windows a generic Hadoop FS leaves (checksum-pair rename,
+  // delete+rename fallback) are closed on the READ side:
+  // exists-but-unreadable is reported as [[LeaseRead.Unreadable]] after
+  // bounded retries and every caller treats it as HELD-BY-UNKNOWN —
+  // acquire refuses, commits refuse (unless we hold), GC refuses, and
+  // the heartbeat just skips one beat. A live, renewing holder can
+  // therefore never be stolen from: stealing requires a READABLE lease
+  // whose expiry has passed, and absence only ever arises from
+  // [[dropLease]]'s deliberate delete. The remaining non-atomic window
+  // — two racers both reading the SAME readable expired lease before
+  // either writes — is the classic steal race; the post-steal commit
+  // fence ([[assertWritable]]) sequences its loser.
 
   @volatile private[db] var heldLease: Option[WriterLease] = None
 
@@ -372,11 +433,16 @@ class VectorDB private (
       require(heldLease.isEmpty, "this instance already holds the writer lease")
       val now = System.currentTimeMillis()
       readLease() match {
-        case Some((otherId, expiry)) if expiry > now =>
+        case LeaseRead.Held(otherId, expiry) if expiry > now =>
           throw new IllegalStateException(
             s"folder $folder is leased by writer $otherId for another " +
               s"${expiry - now} ms; close that lease (or let it expire) first")
-        case _ => () // absent or expired: take it
+        case LeaseRead.Unreadable =>
+          throw new IllegalStateException(
+            s"folder $folder has a lease file that could not be read — " +
+              "treating it as leased by an unknown (possibly mid-renewal) " +
+              "writer; retry, or remove the file if its writer is known dead")
+        case _ => () // absent or readable-and-expired: take it
       }
       val id = java.util.UUID.randomUUID().toString
       writeLease(id, now + ttlMs)
@@ -385,23 +451,40 @@ class VectorDB private (
       l
     }
 
-  private[db] def readLease(): Option[(String, Long)] =
-    if (!fs.exists(leasePath)) None
-    else try {
-      val in = fs.open(leasePath)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      val lines = text.trim.split('\n')
-      Some((lines(0).trim, lines(1).trim.toLong))
-    } catch { case scala.util.control.NonFatal(_) => None }
-
-  private[db] def writeLease(id: String, expiryMs: Long): Unit = {
-    val out = fs.create(leasePath, true)
-    try out.write(s"$id\n$expiryMs".getBytes("UTF-8")) finally out.close()
+  /** Three-valued lease read. `Unreadable` = the file EXISTS but did
+    * not parse after bounded retries — the signature of a writer
+    * mid-swap (or corruption). Callers MUST treat it as held by an
+    * unknown writer, never as absent: absence only ever arises from
+    * [[dropLease]]'s atomic delete, so mapping a torn read to "no
+    * lease" is exactly the steal-a-live-lease race r12's suite caught.
+    */
+  private[db] def readLease(): LeaseRead = {
+    var attempts = 0
+    while (attempts < 5) {
+      if (!fs.exists(leasePath)) return LeaseRead.Absent
+      try {
+        val in = fs.open(leasePath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val lines = text.trim.split('\n')
+        return LeaseRead.Held(lines(0).trim, lines(1).trim.toLong)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          attempts += 1
+          if (attempts < 5) Thread.sleep(20)
+      }
+    }
+    LeaseRead.Unreadable
   }
 
+  private[db] def writeLease(id: String, expiryMs: Long): Unit =
+    writeMarkerFile(leasePath, s"$id\n$expiryMs".getBytes("UTF-8"))
+
   private[db] def dropLease(id: String): Unit = synchronized {
-    if (readLease().exists(_._1 == id)) fs.delete(leasePath, false)
+    readLease() match {
+      case LeaseRead.Held(hid, _) if hid == id => fs.delete(leasePath, false)
+      case _ => () // not ours / already gone / unreadable (never delete blind)
+    }
     if (heldLease.exists(_.id == id)) heldLease = None
   }
 
@@ -414,7 +497,7 @@ class VectorDB private (
   private def assertWritable(): Unit = {
     val now = System.currentTimeMillis()
     readLease() match {
-      case Some((id, expiry)) if !heldLease.exists(_.id == id) =>
+      case LeaseRead.Held(id, expiry) if !heldLease.exists(_.id == id) =>
         if (heldLease.isDefined)
           throw new IllegalStateException(
             s"writer lease on $folder lost to writer $id: this instance " +
@@ -423,10 +506,19 @@ class VectorDB private (
           throw new IllegalStateException(
             s"folder $folder is leased by writer $id for another " +
               s"${expiry - now} ms; refusing a concurrent commit")
-      case None if heldLease.isDefined =>
+      case LeaseRead.Absent if heldLease.isDefined =>
         throw new IllegalStateException(
           s"writer lease on $folder lost (lease file removed): this " +
             "instance is fenced; re-acquire before committing")
+      case LeaseRead.Unreadable =>
+        // A torn read is a writer mid-swap. If WE hold a lease it is
+        // almost certainly our own heartbeat's swap — proceed (a real
+        // steal is caught at the next readable read). If we hold
+        // nothing, refuse: an unknown writer is active right now.
+        if (heldLease.isEmpty)
+          throw new IllegalStateException(
+            s"folder $folder has an unreadable lease file (a writer is " +
+              "mid-renewal); refusing a concurrent commit")
       case _ => ()
     }
   }
@@ -447,9 +539,16 @@ class VectorDB private (
 
   private def committedPath = new Path(s"$folder/_committed")
 
-  private def readCommitted(): Option[(Int, Int)] =
+  /** `None` means the file is ABSENT (legacy folder — the only case
+    * where the raw-listing fallback is sound). An exists-but-unreadable
+    * ceilings file is NOT mapped to `None`: that is the signature of a
+    * concurrent writer mid-swap (or corruption), and falling back to
+    * the raw listing would un-gate orphan deltas — so it retries and
+    * then throws.
+    */
+  private def readCommitted(): Option[(Int, Int)] = retryingMarkerRead() {
     if (!fs.exists(committedPath)) None
-    else try {
+    else {
       val in = fs.open(committedPath)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                  finally in.close()
@@ -457,13 +556,12 @@ class VectorDB private (
         val Array(k, v) = l.split('='); (k, v.toInt)
       }.toMap
       Some((m("codes"), m("docs")))
-    } catch { case scala.util.control.NonFatal(_) => None }
-
-  private[db] def writeCommitted(codesCeil: Int, docsCeil: Int): Unit = {
-    val out = fs.create(committedPath, true)
-    try out.write(s"codes=$codesCeil\ndocs=$docsCeil".getBytes("UTF-8"))
-    finally out.close()
+    }
   }
+
+  private[db] def writeCommitted(codesCeil: Int, docsCeil: Int): Unit =
+    writeMarkerFile(committedPath,
+      s"codes=$codesCeil\ndocs=$docsCeil".getBytes("UTF-8"))
 
   /** Per-tier visibility ceilings. Legacy fallback (no file): every
     * delta on disk is committed — true for folders written before the
@@ -546,19 +644,28 @@ class VectorDB private (
       m
     }
 
-  /** The hot tier: (doc_id, code…), cached in memory across queries. */
+  /** The hot tier: (doc_id, code…), cached in memory across queries.
+    * The get-or-build is synchronized: the background absorb daemon
+    * ([[maybeScheduleAbsorb]]) calls [[buildFullServing]] → `codes`
+    * concurrently with foreground commits/Catalyst reads, and an
+    * unsynchronized double-build would persist the hot tier twice and
+    * leak the loser's MEMORY_AND_DISK copy when `codesCache` is
+    * overwritten. The fast path stays a lock-free volatile read.
+    */
   def codes: DataFrame = {
     maybeRefresh()
-    codesCache.getOrElse {
-    val df =
-      if (!hasData) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptyCodesSchema)
-      else if (isMor)
-        codesMor.readAt(committedCeilings()._1).persist(StorageLevel.MEMORY_AND_DISK)
-      else spark.read.parquet(codesPath).persist(StorageLevel.MEMORY_AND_DISK)
-    codesCache = Some(df)
-    df
-    }
+    codesCache.getOrElse(synchronized {
+      codesCache.getOrElse {
+        val df =
+          if (!hasData) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptyCodesSchema)
+          else if (isMor)
+            codesMor.readAt(committedCeilings()._1).persist(StorageLevel.MEMORY_AND_DISK)
+          else spark.read.parquet(codesPath).persist(StorageLevel.MEMORY_AND_DISK)
+        codesCache = Some(df)
+        df
+      }
+    })
   }
 
   /** The cold tier: (doc_id, doc, emb_int8), read per query. */
@@ -769,9 +876,10 @@ class VectorDB private (
     */
   private def mayGcRetired(): Boolean =
     readLease() match {
-      case Some((id, expiry)) =>
+      case LeaseRead.Held(id, expiry) =>
         heldLease.exists(_.id == id) || expiry <= System.currentTimeMillis()
-      case None => heldLease.isEmpty
+      case LeaseRead.Absent => heldLease.isEmpty
+      case LeaseRead.Unreadable => false // unknown active writer: never GC
     }
 
   /** Pending delta commits on the hot tier (0 under copy-on-write). */
@@ -809,7 +917,13 @@ class VectorDB private (
     countCache = -1L
   }
 
+  /** Monotonic stamp of the last commit through this instance — the
+    * absorb daemon's commit-idle probe ([[maybeScheduleAbsorb]]).
+    */
+  @volatile private var lastCommitNanos: Long = System.nanoTime()
+
   private def invalidateCache(): Unit = {
+    lastCommitNanos = System.nanoTime()
     dropLocalCaches()
     // A commit changed the tiers: let go of the serving blocks; they
     // rebuild lazily (under the new snapshot version) on the next
@@ -826,6 +940,13 @@ class VectorDB private (
     * to read, not the stash count).
     */
   private def releaseOrStashPrepared(): Unit = synchronized {
+    // The snapshot version has moved, so a ready-but-unadopted absorbed
+    // twin is unconditionally stale. Discarding it HERE (not only on the
+    // search path via adoptAbsorbed) matters for commit-only workloads:
+    // they never reach the search fast path, and the flattened tier
+    // would otherwise stay pinned in executor memory indefinitely —
+    // the same unobserved-holdback class the stash cap below bounds.
+    discardAbsorbed()
     prepared.foreach { case (v, ps) =>
       if (incServingChurnFrac > 0 && isMor && servingEnabled && ps.isAlive) {
         pendingPrevServing.foreach { case (ov, _) => BlockCache.release(cacheKey, ov) }
@@ -917,6 +1038,19 @@ class VectorDB private (
     * window touches more than [[VectorDB.IncServingMaxTouched]] ids
     * (the shadowing map is driver/broadcast-resident and must stay
     * bounded).
+    *
+    * Background absorption (`absorbDepth`, DEFAULT ON at
+    * [[VectorDB.IncServingAbsorbDepth]]): once the served chain reaches
+    * that depth, a DAEMON THREAD flattens the full serving tier off the
+    * query path and the next search swaps to it. Two things to know
+    * before relying on the default: (a) while the flatten is in flight
+    * the chain AND the new flat tier are both resident — a transient
+    * ~2× serving-memory footprint; (b) the flatten's Spark jobs share
+    * the cluster with foreground commits (low-weight pool under FAIR
+    * schedulers; commit-idle deferred on a busy single box, see
+    * [[maybeScheduleAbsorb]]). Pass `absorbDepth = 0` for fully
+    * deterministic, no-daemon behavior (chains then retire only via the
+    * churn/layer/fold rules above).
     */
   def incrementalServing(maxChurnFraction: Double = 0.25,
                          maxLayers: Int = VectorDB.IncServingMaxLayers,
@@ -1096,17 +1230,42 @@ class VectorDB private (
     }
     val t = new Thread(() => {
       try {
-        // Flatten jobs yield to foreground commits/searches: low-weight
-        // pool under FAIR serving configs (no-op under FIFO). Thread-
-        // local property — dies with this daemon thread.
-        spark.sparkContext.setLocalProperty(
-          "spark.scheduler.pool", graft.Graft.BackgroundPool)
-        val scan = buildFullServing()
-        synchronized {
-          val fresh = BlockCache.currentVersion(cacheKey, () => readMarker())
-          if (fresh == v && servingEnabled && prepared.exists(_._1 == v))
-            absorbedReady = Some((v, scan))
-          else scan.unpersist() // superseded while building
+        // COMMIT-IDLE DEFERRAL (INCBENCH_r12: flatten jobs tripled
+        // foreground commit latency on a single box — FAIR weighting
+        // cannot preempt coarse tasks already holding every slot). Wait
+        // for a commit-quiet window before launching the build; a busy
+        // commit stream also supersedes the version this flatten is
+        // for, so starting mid-stream would burn cluster time on a tier
+        // the next commit discards. Abort early when the version moves
+        // or serving stops (the chain re-extends under the new version
+        // and re-triggers); after MaxDefer, go anyway — under a FAIR
+        // config the pool still yields, and an ever-deferring absorb
+        // would let the chain grow to its layer cap and put the full
+        // rebuild back on the query path.
+        val deferDeadline = System.nanoTime() + VectorDB.AbsorbMaxDeferNanos
+        var abort = false
+        var goIdle = false
+        while (!goIdle && !abort && System.nanoTime() < deferDeadline) {
+          if (!servingEnabled || !prepared.exists(_._1 == v) ||
+              BlockCache.currentVersion(cacheKey, () => readMarker()) != v)
+            abort = true
+          else if (System.nanoTime() - lastCommitNanos >=
+                     VectorDB.AbsorbIdleNanos) goIdle = true
+          else Thread.sleep(VectorDB.AbsorbPollMs)
+        }
+        if (!abort) {
+          // Flatten jobs yield to foreground commits/searches: low-weight
+          // pool under FAIR serving configs (no-op under FIFO). Thread-
+          // local property — dies with this daemon thread.
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", graft.Graft.BackgroundPool)
+          val scan = buildFullServing()
+          synchronized {
+            val fresh = BlockCache.currentVersion(cacheKey, () => readMarker())
+            if (fresh == v && servingEnabled && prepared.exists(_._1 == v))
+              absorbedReady = Some((v, scan))
+            else scan.unpersist() // superseded while building
+          }
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -2195,6 +2354,19 @@ final class Snapshot private[db] (
     }
 }
 
+/** Result of one on-disk lease read ([[VectorDB.readLease]]). */
+private[db] sealed trait LeaseRead
+private[db] object LeaseRead {
+  /** No lease file — the only state produced by a deliberate release. */
+  case object Absent extends LeaseRead
+  /** A parsed lease; `expiry` may be in the past (dead writer). */
+  final case class Held(id: String, expiry: Long) extends LeaseRead
+  /** File exists but failed to read/parse after bounded retries —
+    * treat as held by an unknown writer (mid-swap), NEVER as absent.
+    */
+  case object Unreadable extends LeaseRead
+}
+
 /** The advisory single-writer lease handle ([[VectorDB
   * .acquireWriterLease]]): heartbeats every ttl/3 to keep the on-disk
   * lease fresh while this process is alive, and stops renewing the
@@ -2219,14 +2391,20 @@ final class WriterLease private[db] (
       try Thread.sleep(math.max(50L, ttlMs / 3))
       catch { case _: InterruptedException => () }
       if (!closed && !lost) {
-        val stillOurs = db.readLease().exists(_._1 == id)
         // Re-check `closed` AFTER the (possibly slow) lease read:
         // close() may have run while this thread was blocked in it —
         // renewing now would resurrect the dropped lease and block
-        // other writers for a full TTL.
-        if (!stillOurs) lost = true
-        else if (!closed)
-          db.writeLease(id, System.currentTimeMillis() + ttlMs)
+        // other writers for a full TTL. An Unreadable result skips THIS
+        // beat rather than renewing (it might be a stealer mid-write —
+        // clobbering it blind would race) or fencing (it might be FS
+        // noise); the next beat re-reads, and ttl/3 pacing leaves two
+        // more beats before our lease could expire.
+        db.readLease() match {
+          case LeaseRead.Held(hid, _) if hid == id =>
+            if (!closed) db.writeLease(id, System.currentTimeMillis() + ttlMs)
+          case LeaseRead.Unreadable => ()
+          case _ => lost = true // readable-not-ours, or deliberately deleted
+        }
       }
     }
   }, s"graft-writer-lease-$id")
@@ -2505,6 +2683,26 @@ object VectorDB {
     * while commit-to-serve refresh stays O(batch).
     */
   val IncServingAbsorbDepth = 3
+
+  /** Commit-idle window the absorb daemon waits for before launching
+    * its flatten: a commit within this window restarts the wait.
+    * INCBENCH_r12 measured the alternative — flatten jobs racing a
+    * foreground commit stream tripled single-box commit latency, and
+    * the commits moving the version discarded the flattened tier
+    * anyway. 1.5 s clears any back-to-back commit loop while being
+    * well inside a serving lull.
+    */
+  val AbsorbIdleNanos: Long = 1500L * 1000 * 1000
+
+  /** Hard cap on absorb deferral: past this, the flatten launches even
+    * mid-commit-stream (the low-weight pool still yields under FAIR;
+    * deferring forever would let the chain hit its layer cap and put
+    * the full rebuild back on the query path).
+    */
+  val AbsorbMaxDeferNanos: Long = 60L * 1000 * 1000 * 1000
+
+  /** Absorb daemon's idle-probe period. */
+  val AbsorbPollMs: Long = 100L
 
   def openOrCreate(spark: SparkSession, folder: String,
                    model: String = "graft-hash-64", dim: Int = 64,

@@ -60,11 +60,15 @@ class WriterLeaseSpec extends AnyFunSuite {
     leaseA.lost = true // halt renewals without deleting the file
     val b = VectorDB.openOrCreate(spark, dir)
     a.asInstanceOf[AnyRef] // (a stays 'alive' as the fenced loser)
-    // age: rewrite with a past expiry under A's id
+    // age: rewrite with a past expiry under A's id. The raw rewrite
+    // staleness-breaks Hadoop's checksum sidecar — remove it, because
+    // an UNREADABLE lease now correctly reads as held-by-unknown and
+    // this test needs a READABLE expired lease (the dead-writer case).
     val leaseFile = new java.io.File(dir, "_lease")
     val id = scala.io.Source.fromFile(leaseFile).getLines().next()
     java.nio.file.Files.write(leaseFile.toPath,
       s"$id\n${System.currentTimeMillis() - 1}".getBytes("UTF-8"))
+    new java.io.File(dir, "._lease.crc").delete()
 
     val leaseB = b.acquireWriterLease()
     b.addDocuments(fixture(5 until 10))
