@@ -39,6 +39,23 @@ trait BlockNav extends Serializable {
   */
 trait NavBuilder extends Serializable {
   def build(ids: Array[Long], words: Array[Long], nWords: Int): BlockNav
+
+  /** Optional persistence codec ([[NavStore]]): write `nav` in a form
+    * [[loadNav]] can restore against a later build's arrays. Return
+    * false when this builder's navs are not persistable (the default —
+    * the block then always rebuilds).
+    */
+  def saveNav(nav: BlockNav, out: java.io.DataOutputStream): Boolean = false
+
+  /** Restore a nav persisted by [[saveNav]] for a block now holding
+    * `ids`/`words` (possibly in a DIFFERENT row order than at save
+    * time — shuffle fetch order is not stable across runs, so codecs
+    * must validate by content and remap, not assume positions). None on
+    * any mismatch: stale snapshot, changed builder parameters, torn
+    * file — the caller rebuilds.
+    */
+  def loadNav(ids: Array[Long], words: Array[Long], nWords: Int,
+              in: java.io.DataInputStream): Option[BlockNav] = None
 }
 
 /** Navigable-small-world graph over a block's packed codes in hamming
@@ -266,6 +283,12 @@ final class NswNav(
     */
   private[graft] def adjacencyView: (Array[Int], Array[Int], Int) =
     (neighbors, degree, maxDeg)
+
+  /** Persistence view ([[NswNavBuilder.saveNav]]): the save-time id
+    * order, word width, residual orphan list, and repair stats.
+    */
+  private[graft] def identityView: (Array[Long], Int, Array[Int], (Int, Int)) =
+    (ids, nWords, orphans, repairStats)
 
   /** Diagnostic (OrphanProbe, specs): rows with NO directed path from
     * the stride entries — the structural-unreachability residue a
@@ -764,36 +787,149 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
       pass += 1
     }
 
-    // Sampled upper layer for large blocks: a 1/256 stride sample gets
-    // its own (recursive — further layers while the sample stays above
-    // the threshold) NSW over COPIED sample codes, searched at query
-    // time to pick entry points near the query. Cost: ~n/256 extra
-    // inserts + words/256 bytes; below the threshold the four stride
-    // entries already cover the block. Deterministic (single-threaded,
-    // stride sample) regardless of `buildThreads`.
-    var upperNav: NswNav = null
-    var upperMap: Array[Int] = null
-    if (hierarchy && n >= NswNavBuilder.UpperMinRows) {
-      val upperSize = n / NswNavBuilder.UpperFraction
-      val stride = n / upperSize
-      upperMap = Array.tabulate(upperSize)(i => i * stride)
-      val upWords = new Array[Long](upperSize * nWords)
-      var i = 0
-      while (i < upperSize) {
-        System.arraycopy(words, upperMap(i) * nWords, upWords, i * nWords, nWords)
-        i += 1
-      }
-      val upIds = Array.tabulate(upperSize)(i => ids(upperMap(i)))
-      upperNav = new NswNavBuilder(m, efConstruction,
-        NswNavBuilder.UpperEfSearch, buildThreads = 1, hierarchy = true)
-        .build(upIds, upWords, nWords).asInstanceOf[NswNav]
-    }
+    val (upperNav, upperMap) = buildUpper(ids, words, nWords)
     new NswNav(ids, words, nWords, neighbors, degree, maxDeg, efSearch,
       upperNav, upperMap, orphans, (initialOrphans, orphans.length))
+  }
+
+  /** Sampled upper layer for large blocks: a 1/256 stride sample gets
+    * its own (recursive — further layers while the sample stays above
+    * the threshold) NSW over COPIED sample codes, searched at query
+    * time to pick entry points near the query. Cost: ~n/256 extra
+    * inserts + words/256 bytes; below the threshold the four stride
+    * entries already cover the block. Deterministic (single-threaded,
+    * stride sample) regardless of `buildThreads`. Shared by [[build]]
+    * and [[loadNav]] — the upper layer is NOT persisted: rebuilding it
+    * is ~0.4% of the base build, cheaper than versioning a recursive
+    * on-disk structure.
+    */
+  private def buildUpper(ids: Array[Long], words: Array[Long],
+                         nWords: Int): (NswNav, Array[Int]) = {
+    val n = ids.length
+    if (!hierarchy || n < NswNavBuilder.UpperMinRows) return (null, null)
+    val upperSize = n / NswNavBuilder.UpperFraction
+    val stride = n / upperSize
+    val upperMap = Array.tabulate(upperSize)(i => i * stride)
+    val upWords = new Array[Long](upperSize * nWords)
+    var i = 0
+    while (i < upperSize) {
+      System.arraycopy(words, upperMap(i) * nWords, upWords, i * nWords, nWords)
+      i += 1
+    }
+    val upIds = Array.tabulate(upperSize)(i => ids(upperMap(i)))
+    val upperNav = new NswNavBuilder(m, efConstruction,
+      NswNavBuilder.UpperEfSearch, buildThreads = 1, hierarchy = true)
+      .build(upIds, upWords, nWords).asInstanceOf[NswNav]
+    (upperNav, upperMap)
+  }
+
+  /** Persist the graph's derived state: builder params (a graph built
+    * under different m/efConstruction has different quality — never
+    * silently adopted), geometry, the SAVE-TIME id order, adjacency,
+    * and the orphan sweep list. Words are NOT written (the block
+    * carries them; ids at a fixed snapshot version determine them).
+    */
+  override def saveNav(nav: BlockNav, out: java.io.DataOutputStream): Boolean =
+    nav match {
+      case nsw: NswNav =>
+        val (neighbors, degree, maxDeg) = nsw.adjacencyView
+        val (ids, nWords, orphans, stats) = nsw.identityView
+        out.writeInt(NswNavBuilder.FileMagic)
+        out.writeInt(NswNavBuilder.FileVersion)
+        out.writeInt(m); out.writeInt(efConstruction)
+        out.writeInt(ids.length); out.writeInt(nWords); out.writeInt(maxDeg)
+        var i = 0
+        while (i < ids.length) { out.writeLong(ids(i)); i += 1 }
+        i = 0
+        while (i < degree.length) { out.writeInt(degree(i)); i += 1 }
+        i = 0
+        while (i < neighbors.length) { out.writeInt(neighbors(i)); i += 1 }
+        out.writeInt(orphans.length)
+        i = 0
+        while (i < orphans.length) { out.writeInt(orphans(i)); i += 1 }
+        out.writeInt(stats._1); out.writeInt(stats._2)
+        true
+      case _ => false
+    }
+
+  /** Restore against this build's arrays. Row order may differ from
+    * save time (shuffle fetch order is run-dependent), so adjacency is
+    * REMAPPED through the id correspondence; any id absent either way,
+    * or any geometry/param mismatch, rejects the file (caller
+    * rebuilds). The upper hierarchy layer is rebuilt, not read.
+    */
+  override def loadNav(ids: Array[Long], words: Array[Long], nWords: Int,
+                       in: java.io.DataInputStream): Option[BlockNav] = {
+    if (in.readInt() != NswNavBuilder.FileMagic) return None
+    if (in.readInt() != NswNavBuilder.FileVersion) return None
+    if (in.readInt() != m || in.readInt() != efConstruction) return None
+    val n = in.readInt()
+    if (n != ids.length) return None
+    if (in.readInt() != nWords) return None
+    val maxDeg = in.readInt()
+    if (maxDeg != 2 * m) return None
+    val savedIds = new Array[Long](n)
+    var i = 0
+    while (i < n) { savedIds(i) = in.readLong(); i += 1 }
+    // saved row -> this build's row, via the id correspondence
+    val newRowOf = new scala.collection.mutable.LongMap[Int](n * 2)
+    i = 0
+    while (i < n) { newRowOf(ids(i)) = i; i += 1 }
+    if (newRowOf.size != n) return None // duplicate ids: never valid
+    val savedToNew = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      newRowOf.get(savedIds(i)) match {
+        case Some(r) => savedToNew(i) = r
+        case None => return None // different id set: stale file
+      }
+      i += 1
+    }
+    val savedDeg = new Array[Int](n)
+    i = 0
+    while (i < n) { savedDeg(i) = in.readInt(); i += 1 }
+    val savedNb = new Array[Int](math.max(n, 1) * maxDeg)
+    i = 0
+    while (i < savedNb.length) { savedNb(i) = in.readInt(); i += 1 }
+    val degree = new Array[Int](n)
+    val neighbors = new Array[Int](math.max(n, 1) * maxDeg)
+    var s = 0
+    while (s < n) {
+      val r = savedToNew(s)
+      val d = savedDeg(s)
+      if (d < 0 || d > maxDeg) return None
+      degree(r) = d
+      var j = 0
+      while (j < d) {
+        val nb = savedNb(s * maxDeg + j)
+        if (nb < 0 || nb >= n) return None
+        neighbors(r * maxDeg + j) = savedToNew(nb)
+        j += 1
+      }
+      s += 1
+    }
+    val nOrph = in.readInt()
+    if (nOrph < 0 || nOrph > n) return None
+    val orphans = new Array[Int](nOrph)
+    i = 0
+    while (i < nOrph) {
+      val o = in.readInt()
+      if (o < 0 || o >= n) return None
+      orphans(i) = savedToNew(o)
+      i += 1
+    }
+    val stats = (in.readInt(), in.readInt())
+    val (upperNav, upperMap) = buildUpper(ids, words, nWords)
+    Some(new NswNav(ids, words, nWords, neighbors, degree, maxDeg, efSearch,
+      upperNav, upperMap, orphans, stats))
   }
 }
 
 object NswNavBuilder {
+  /** Nav-file header magic ("GNAV") and format version. */
+  val FileMagic = 0x474e4156
+  val FileVersion = 1
+
   /** Blocks below this row count skip the upper layer (stride entries
     * reach everywhere fast enough).
     */

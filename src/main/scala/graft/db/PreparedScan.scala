@@ -497,9 +497,10 @@ object PreparedScan {
             isIvf: Boolean, withBytes: Boolean = false,
             withDoc: Boolean = false,
             navBuilder: Option[NavBuilder] = None,
-            chain: ChainInfo = ChainInfo.none): PreparedScan = {
+            chain: ChainInfo = ChainInfo.none,
+            navStore: Option[NavStore] = None): PreparedScan = {
     val blocks = blockify(codes, nWords, isFlat, isIvf, withBytes, withDoc,
-      navBuilder, layer = 0)
+      navBuilder, layer = 0, navStore = navStore)
     // One job materializes eagerly (serving opts into RAM residency)
     // AND counts the rows; a chain's churn policy reads the count too.
     val rows = materializedRows(blocks)
@@ -565,7 +566,15 @@ object PreparedScan {
   private def blockify(codes: DataFrame, nWords: Int, isFlat: Boolean,
                        isIvf: Boolean, withBytes: Boolean, withDoc: Boolean,
                        navBuilder: Option[NavBuilder],
-                       layer: Int): RDD[Block] = {
+                       layer: Int,
+                       /** Full builds pass the snapshot-versioned store:
+                         * each block reloads its persisted graph when
+                         * fresh (id-validated) instead of rebuilding,
+                         * and persists what it builds. Chain-extension
+                         * delta layers pass None — their navs are
+                         * O(batch) and not worth files.
+                         */
+                       navStore: Option[NavStore] = None): RDD[Block] = {
     val wordsCol =
       if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*).as("w")
       else col("code").as("w")
@@ -602,10 +611,18 @@ object PreparedScan {
       val cellArr = cells.result()
       val idArr = ids.result()
       val wordArr = words.result()
+      val nav = navBuilder.map { nb =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        navStore.flatMap(_.tryLoad(pid, idArr, wordArr, nWords)).getOrElse {
+          val built = nb.build(idArr, wordArr, nWords)
+          navStore.foreach(_.trySave(pid, built))
+          built
+        }
+      }.orNull
       Iterator.single(Block(idArr, wordArr, cellArr,
         cellArr.distinct.sorted, bytes.result(), byteLen,
         if (withDoc) docs.result() else null,
-        navBuilder.map(_.build(idArr, wordArr, nWords)).orNull,
+        nav,
         layer))
     }.persist(StorageLevel.MEMORY_AND_DISK)
   }

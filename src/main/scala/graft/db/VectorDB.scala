@@ -307,7 +307,25 @@ class VectorDB private (
     BlockCache.invalidate(cacheKey, v)
     lastSeenVersion = v
     sweepOrphanSelectorDirs(v)
+    sweepStaleNavDirs(v)
   }
+
+  /** Per-block serving-graph files live under `_nav/<version>/`
+    * ([[NavStore]]); a commit makes every non-current version's graphs
+    * stale derived state, so sweep them here. A sweep racing a build
+    * still writing into a swept dir costs that build a persist warning
+    * (and a rebuild next open), never correctness — loads validate ids
+    * against the live arrays.
+    */
+  private def sweepStaleNavDirs(current: String): Unit = {
+    val root = new Path(s"$folder/_nav")
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath).foreach { d =>
+      if (d.getName != current) fs.delete(d, true)
+    }
+  }
+
+  private def navDir(version: String): String = s"$folder/_nav/$version"
 
   /** Writer-side orphan GC for persisted selector manifests: a
     * building JVM that died leaves `_selectors/sel-*` dirs no catalog
@@ -432,7 +450,7 @@ class VectorDB private (
       require(ttlMs >= 100, s"lease ttl must be >= 100 ms, got $ttlMs")
       require(heldLease.isEmpty, "this instance already holds the writer lease")
       val now = System.currentTimeMillis()
-      readLease() match {
+      val observed = readLease() match {
         case LeaseRead.Held(otherId, expiry) if expiry > now =>
           throw new IllegalStateException(
             s"folder $folder is leased by writer $otherId for another " +
@@ -442,11 +460,12 @@ class VectorDB private (
             s"folder $folder has a lease file that could not be read — " +
               "treating it as leased by an unknown (possibly mid-renewal) " +
               "writer; retry, or remove the file if its writer is known dead")
-        case _ => () // absent or readable-and-expired: take it
+        case LeaseRead.Held(otherId, expiry) => Some((otherId, expiry))
+        case LeaseRead.Absent => None
       }
       val id = java.util.UUID.randomUUID().toString
       writeLease(id, now + ttlMs)
-      val l = new WriterLease(this, id, ttlMs)
+      val l = new WriterLease(this, id, ttlMs, observed)
       heldLease = Some(l)
       l
     }
@@ -1296,9 +1315,24 @@ class VectorDB private (
           (codesMor.foldCeiling(), docsMor.foldCeiling()))
       else PreparedScan.ChainInfo.none
     val nav = indexStrategy.navBuilder(strategyCtx)
+    // Snapshot-versioned graph persistence (the engine analogue of the
+    // reference's `faiss.write_index_binary`, `BinaryVectorDB.py:172`):
+    // full serve-builds reload each block's persisted adjacency when
+    // fresh instead of paying the graph build again (the NSW strategy's
+    // whole price — ~66 s/1M-row block), and persist what they build.
+    val navStore = nav.map { nb =>
+      val confProps = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val b = scala.collection.mutable.ArrayBuilder.make[(String, String)]
+        while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+        b.result()
+      }
+      fs.mkdirs(new Path(navDir(lastSeenVersion)))
+      new NavStore(navDir(lastSeenVersion), confProps, nb)
+    }
     val scan = PreparedScan.build(fused, nWords, isFlat, isIvf,
       withBytes = true, withDoc = true,
-      navBuilder = nav, chain = chain)
+      navBuilder = nav, chain = chain, navStore = navStore)
     // Loud sizing guard (GRAPHBENCH crossover): below ~1M rows per
     // block the linear scan's early-exited popcount walk already sits
     // on the job floor, so a graph strategy pays its build cost
@@ -2377,7 +2411,16 @@ private[db] object LeaseRead {
   * writers.
   */
 final class WriterLease private[db] (
-    db: VectorDB, private[db] val id: String, ttlMs: Long)
+    db: VectorDB, private[db] val id: String, ttlMs: Long,
+    /** What acquire observed on disk: the READABLE EXPIRED lease this
+      * one took over (dead-writer takeover), or None when no lease file
+      * existed. Diagnostic: with rename-swapped writes, an acquire that
+      * succeeded over a LIVE holder can only ever show an expired
+      * takeover (the documented read-expired-then-write race) — a None
+      * while a holder lives would mean absence was fabricated, i.e.
+      * the r12 torn-read class (spec-pinned impossible).
+      */
+    private[graft] val tookOver: Option[(String, Long)] = None)
   extends AutoCloseable {
 
   @volatile private var closed = false
@@ -2385,6 +2428,15 @@ final class WriterLease private[db] (
     * writer — this handle is fenced and will never renew again.
     */
   @volatile var lost: Boolean = false
+
+  /** Wall-clock of the last successful renewal (acquire counts as one)
+    * and how many renewals ran. Diagnostics: lets a test (or operator)
+    * distinguish an ILLEGITIMATE steal — acquired while this lease was
+    * freshly renewed, the r12 torn-read class — from the by-design
+    * dead-writer takeover of a lease whose heartbeat stalled past ttl.
+    */
+  @volatile private[graft] var lastRenewMs: Long = System.currentTimeMillis()
+  @volatile private[graft] var renewals: Int = 0
 
   private val beat = new Thread(() => {
     while (!closed && !lost) {
@@ -2401,7 +2453,11 @@ final class WriterLease private[db] (
         // more beats before our lease could expire.
         db.readLease() match {
           case LeaseRead.Held(hid, _) if hid == id =>
-            if (!closed) db.writeLease(id, System.currentTimeMillis() + ttlMs)
+            if (!closed) {
+              db.writeLease(id, System.currentTimeMillis() + ttlMs)
+              lastRenewMs = System.currentTimeMillis()
+              renewals += 1
+            }
           case LeaseRead.Unreadable => ()
           case _ => lost = true // readable-not-ours, or deliberately deleted
         }
