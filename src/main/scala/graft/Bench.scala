@@ -387,7 +387,13 @@ object Bench {
         }
       }
       qs.foreach { case (name, fn) =>
-        val samples = (1 to reps).map { _ =>
+        // x-family (transactional gates): reps pinned to 1. Each rep is
+        // 4s of deliberate commit/fence/re-read semantics at Spark's
+        // per-job floor (TxPhaseProbe-adjudicated irreducible), its
+        // regression signal lives in TxBench/IncBench, and 3 reps made
+        // x1+x2 31% of the whole driver gate for a median nobody reads.
+        val qReps = if (name.startsWith("x")) 1 else reps
+        val samples = (1 to qReps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
             case t: Throwable =>

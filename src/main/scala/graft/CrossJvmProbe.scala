@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions.col
   *                            `PROBE: ADOPT <size> adopted=<bool>`
   *                            (adopted = reused this folder's persisted
   *                            manifest instead of compiling)
+  *  - watch <ms> <maxN>     → poll `count()` with a 1 ms marker poll for
+  *                            `ms` milliseconds while ANOTHER process
+  *                            commits — hammers the `_snapshot` and
+  *                            `_committed` reads against their
+  *                            rename-swapped writes. Drops a
+  *                            `_probe_watching` file when the watch
+  *                            begins (the spec's start gate).
+  *                            `PROBE: WATCH ok=<bool> distinct=<k> last=<n>`
+  *                            (ok = counts stayed monotonic, ≤ maxN,
+  *                            and no read ever threw)
   */
 object CrossJvmProbe {
   def main(args: Array[String]): Unit = {
@@ -61,6 +71,32 @@ object CrossJvmProbe {
         }
         println(s"PROBE: ADOPT ${sel.size} adopted=$adopted")
         sel.release()
+      case "watch" =>
+        val ms = args(2).toLong
+        val maxN = args(3).toLong
+        db.pollMarkerEvery(1)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(folder, "_probe_watching"),
+          "watching".getBytes("UTF-8"))
+        val deadline = System.currentTimeMillis() + ms
+        var last = -1L
+        var distinct = 0
+        var ok = true
+        var err: String = null
+        while (System.currentTimeMillis() < deadline && ok) {
+          try {
+            val c = db.count()
+            if (c < last || c > maxN) { ok = false; err = s"count $c after $last (max $maxN)" }
+            if (c != last) distinct += 1
+            last = c
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              ok = false; err = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          }
+          Thread.sleep(2)
+        }
+        if (err != null) System.err.println(s"[watch] $err")
+        println(s"PROBE: WATCH ok=$ok distinct=$distinct last=$last")
       case other =>
         throw new IllegalArgumentException(s"unknown probe command: $other")
     }

@@ -196,7 +196,7 @@ object GraphBench {
     println(s"""{"metric":"graph_serving","n":$n,"dim":$dim,"n_blocks":$nBlocks,""" +
       s""""n_queries":$nQueries,"ingest_s":${f"$ingestS%.1f"},""" +
       s""""rows":${((flatRow +: rows) ++ (flatEndRow +: ivfRows)).mkString("[", ",", "]")},""" +
-      """"note":"per-block NSW graphs vs the linear prepared scan, same corpus/queries; recall_at10 vs the flat DB's exact funnel results. phase1_ms is the Phase-I scan job wall (VectorDB.lastSearchTimings) — hits_ms minus it is the job floor + phases II/III, identical for both configs. serve_build_ms is the enableServing wall (block arrays + graph construction, commit-amortized). Few large blocks on purpose: the graph's O(ef·2m) per-partition cost vs linear O(rows/partition) only separates when partitions are big."}""")
+      """"note":"per-block NSW graphs vs the linear prepared scan, same corpus/queries; recall_at10 vs the flat DB's exact funnel results. phase1_ms is the Phase-I scan job wall (VectorDB.lastSearchTimings) — hits_ms minus it is the job floor + phases II/III, identical for both configs. serve_build_ms is the enableServing wall; since r13 the FIRST nsw row is the COLD build (graph construction + _nav persist) and every later ef row is a WARM reload of the persisted graphs (same folder, same snapshot — NavStore), so the grid records cold vs warm natively. Few large blocks on purpose: the graph's O(ef·2m) per-partition cost vs linear O(rows/partition) only separates when partitions are big."}""")
     spark.stop()
   }
 }

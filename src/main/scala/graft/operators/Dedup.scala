@@ -466,12 +466,13 @@ object Dedup {
     * verbatim by the oracle, giving a known-true removal set.
     */
   def semDedup(spark: SparkSession, dir: String,
-               minCosine: Double = 0.97): DataFrame = {
+               minCosine: Double = 0.97,
+               maxNeighbors: Int = 0): DataFrame = {
     Kernels.install(spark)
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label").as("cluster"),
         col("embedding").cast("array<double>").as("v"))
-    semDedupOver(withClones(base), minCosine)
+    semDedupOver(withClones(base), minCosine, maxNeighbors = maxNeighbors)
   }
 
   /** [[semDedup]] with the paper's actual cluster source — a LEARNED
@@ -531,12 +532,31 @@ object Dedup {
     * Total within-bucket work stays |bucket|² — that is SemDeDup's
     * semantics — salting bounds the TASK, not the semantics. Small
     * buckets get nSalt = 1: plan and results bit-identical to before.
+    *
+    * `maxNeighbors > 0` switches to the BOUNDED-WORK variant (default
+    * OFF — the exact quadratic semantics above): within each bucket,
+    * rows are ordered by a secondary sign-prefix sort key (dims 16-47,
+    * so near-identical vectors sort adjacent) and each row is compared
+    * only against its `maxNeighbors` predecessors in that order — the
+    * sorted-neighborhood method, generating exactly |bucket|·T pairs
+    * through an equi-join on (bucket, predecessor rank), never a
+    * quadratic join. APPROXIMATE by construction: a pair further than
+    * T apart in sort order is never compared, so the removal set is a
+    * SUBSET of the exact variant's (every compared pair is one the
+    * exact path also compares; spec-quantified on a pathological
+    * near-identical bucket where coverage stays ≥ 95%). This is the
+    * escape hatch SemDeDup itself reaches for on pathological clusters
+    * (cap the per-row candidate set) — a 10M-row near-identical bucket
+    * is ~5·10¹³ cosine pairs exact but 3·10⁸ at T = 32.
     */
   private[graft] def semDedupOver(clustered: DataFrame, minCosine: Double,
-                                  saltRows: Int = SemDedupSaltRows): DataFrame = {
+                                  saltRows: Int = SemDedupSaltRows,
+                                  maxNeighbors: Int = 0): DataFrame = {
     // codegen'd 16-term sum, not a HOF: bit i set iff dim i+1 > 0
     val s16 = (0 until 16).map(i =>
       when(col("v").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    if (maxNeighbors > 0)
+      return semDedupBounded(clustered, minCosine, s16, maxNeighbors)
     // bucket row count via a sort-free window (one shuffle on the bucket
     // key; linear), then the per-bucket salt fan-out, capped at 64
     val bn = count(lit(1)).over(
@@ -562,6 +582,45 @@ object Dedup {
 
   /** Bucket size above which [[semDedupOver]] salts the self-join. */
   val SemDedupSaltRows = 4096
+
+  /** The bounded-work (sorted-neighborhood) SemDeDup variant — see
+    * [[semDedupOver]]'s `maxNeighbors` doc. Pair generation is an
+    * explode of each row's T predecessor RANKS followed by an equi-join
+    * on (cluster, s16, rank): exactly |bucket|·T pairs ever exist, no
+    * quadratic join anywhere. The survivor rule is preserved — of any
+    * compared pair at/above the threshold, the higher id is evicted and
+    * records its lowest compared evictor.
+    */
+  private def semDedupBounded(clustered: DataFrame, minCosine: Double,
+                              s16: org.apache.spark.sql.Column,
+                              maxNeighbors: Int): DataFrame = {
+    // secondary proximity key: sign bits of dims 16-47 (near-identical
+    // vectors agree on signs, so they sort adjacent within the bucket)
+    val sortKey = (16 until 48).map(i =>
+      when(col("v").getItem(i) > 0, lit(1L << (i - 16))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val ranked = clustered.withColumn("s16", s16)
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster", "s16").orderBy(sortKey, col("vec_id"))))
+    val a = ranked
+      .filter(col("rnk") > 1)
+      .select(col("vec_id").as("id_a"), col("cluster"), col("s16"),
+        explode(sequence(greatest(col("rnk") - maxNeighbors, lit(1)),
+          col("rnk") - 1)).as("rnk_b"),
+        col("v").as("va"))
+    val b = ranked.select(col("vec_id").as("id_b"), col("cluster"),
+      col("s16"), col("rnk").as("rnk_b"), col("v").as("vb"))
+    a.join(b, Seq("cluster", "s16", "rnk_b"))
+      .withColumn("cos", round(Kernels.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= lit(minCosine))
+      .select(col("cluster"),
+        greatest(col("id_a"), col("id_b")).as("vec_id"),
+        least(col("id_a"), col("id_b")).as("nb"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(min(col("nb")).as("dup_of"))
+      .orderBy("vec_id")
+  }
 
   // ---- DuckDB oracles -----------------------------------------------------
 

@@ -92,6 +92,54 @@ class CrossJvmSpec extends AnyFunSuite {
     db.disableServing()
   }
 
+  test("marker+ceilings reads in a second JVM survive a commit storm (no torn reads, counts monotonic)") {
+    // The r12 lease race generalized: `_snapshot` and `_committed` used
+    // to be rewritten in place, so a reader in another process could
+    // catch either mid-write — a torn `_committed` read silently
+    // un-gated orphan deltas (fallback to the raw listing). Both now
+    // swap by rename and readers retry transients; this hammers a real
+    // second JVM's marker-poll + ceilings reads against ~25 commits.
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    db.addDocuments(fixture(0 until 10))
+
+    val launcher = new java.io.File("scripts/run.sh")
+    assume(launcher.isFile &&
+      new java.io.File("target/scala-2.13/classes/graft/CrossJvmProbe.class").isFile,
+      "compiled-classes launcher not available")
+    val nCommits = 25
+    val maxN = 10 + 2 * nCommits
+    val pb = new ProcessBuilder("bash", launcher.getPath,
+      "graft.CrossJvmProbe", "watch", dir, "12000", maxN.toString)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    // gate: wait for the probe's watch loop to actually start
+    val gate = new java.io.File(dir, "_probe_watching")
+    val gateDeadline = System.currentTimeMillis() + 120000
+    while (!gate.exists && System.currentTimeMillis() < gateDeadline)
+      Thread.sleep(50)
+    assert(gate.exists, "the watch probe never started")
+    // commit storm: every commit rewrites _committed and _snapshot
+    var i = 0
+    while (i < nCommits) {
+      db.addDocuments(fixture(100 + 2 * i until 100 + 2 * i + 2))
+      i += 1
+    }
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    val err = scala.io.Source.fromInputStream(proc.getErrorStream).getLines().toList
+    val code = proc.waitFor()
+    assert(code == 0, s"watch probe exited $code:\n${err.takeRight(15).mkString("\n")}")
+    val line = out.find(_.startsWith("PROBE: WATCH")).getOrElse(
+      fail(s"no PROBE line:\n${out.mkString("\n")}"))
+    assert(line.contains("ok=true"),
+      s"$line\n${err.takeRight(10).mkString("\n")}")
+    // the probe must have actually observed a commit landing mid-watch
+    // (each MOR count is a full merged-read job — seconds on a loaded
+    // box — so even 2 distinct values means reads raced ~25 commits)
+    val distinct = "distinct=(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+    assert(distinct >= 2, s"the watch never saw a commit land: $line")
+  }
+
   test("a second JVM adopts this JVM's persisted selector without recompiling") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir)

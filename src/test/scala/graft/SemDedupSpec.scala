@@ -64,6 +64,37 @@ class SemDedupSpec extends AnyFunSuite {
       "every row but the global minimum evicts to id 0")
   }
 
+  test("bounded variant (maxNeighbors): no quadratic pairs, subset of exact, >=95% coverage on a pathological bucket") {
+    import spark.implicits._
+    val dim = 64
+    val n = 3000
+    // one near-identical bucket: exact = ~4.5M cosine pairs; bounded at
+    // T=32 generates exactly (n-1)·T-ish pairs through an equi-join
+    val rows = (0 until n).map { i =>
+      (i.toLong, 0, (0 until dim).map(d => 1.0 + 0.0001 * ((i + d) % 7)).toArray)
+    }.toDF("vec_id", "cluster", "v")
+    val bounded = graft.operators.Dedup.semDedupOver(rows, 0.97, maxNeighbors = 32)
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the bounded variant must stay an equi-join:\n$plan")
+    val got = bounded.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exact = graft.operators.Dedup.semDedupOver(rows, 0.97)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every bounded decision is one the exact path also makes (a
+    // compared pair is a pair): the removal set is a strict subset
+    assert(got.keySet.subsetOf(exact.keySet),
+      "bounded removals must be a subset of the exact removal set")
+    // decision delta, quantified: on a near-identical bucket each row's
+    // window predecessors are all dups, so coverage stays high
+    assert(got.size >= (exact.size * 0.95).toInt,
+      s"bounded covered ${got.size} of ${exact.size} exact removals")
+    // the default path is byte-identical to before the knob existed
+    val dflt = graft.operators.Dedup.semDedupOver(rows, 0.97, maxNeighbors = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dflt == exact)
+  }
+
   test("applying the decision: anti-join returns the corpus to its pre-clone size") {
     import spark.implicits._
     val removed = graft.operators.Dedup.semDedup(spark, dir).select("vec_id")
