@@ -151,32 +151,62 @@ class VectorDB private (
   private def historyPath = new Path(s"$folder/_history")
 
   /** Atomic small-marker write: stage to a uniquely named sibling, then
-    * rename onto the destination. On a POSIX-backed FS the data-file
-    * rename is rename(2) — readers see the old bytes or the new bytes,
-    * never a torn file. Two residual non-atomic windows remain and both
-    * are handled by the READERS, not here: (a) a checksummed local FS
-    * renames the data file and its .crc as two operations, so a read
-    * between them can fail verification; (b) an FS whose rename refuses
-    * to overwrite falls back to delete+rename, exposing a brief absence.
-    * Every marker reader therefore retries transient unreadability
-    * (and the lease reader additionally treats persistent
-    * exists-but-unreadable as HELD — see [[readLease]]).
+    * swap it onto the destination with a REPLACING rename — readers see
+    * the old bytes or the new bytes, never absence, never a torn file.
+    *
+    * The swap must NOT go through `FileSystem.rename`: its contract
+    * REFUSES an existing destination (graft.MarkerSwapProbe measured
+    * 100% of overwrite renames returning false on the local FS, pushing
+    * every swap through a delete+rename whose absence window a
+    * concurrent reader hit ~4% of the time — the residual lease-steal
+    * WriterLeaseHammerSpec caught after the r12 fix). On `file://` the
+    * swap is java.nio ATOMIC_MOVE — rename(2) — bypassing the checksum
+    * layer (markers from this path carry no .crc; a stale one from the
+    * old fs.create era is removed so it can't fail-verify the new
+    * bytes). Elsewhere it is FileContext rename OVERWRITE, which HDFS
+    * executes atomically server-side. Only an FS with neither (exotic
+    * object stores) falls back to delete+rename; [[readLease]] guards
+    * that path by confirming absence with re-stats before believing it.
     */
   private def writeMarkerFile(dest: Path, bytes: Array[Byte]): Unit = {
+    if (markerSwapIsPosix) {
+      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
+      val tmp = destNio.getParent.resolve(
+        s".${destNio.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, destNio,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.deleteIfExists(
+        destNio.getParent.resolve(s".${destNio.getFileName}.crc"))
+      return
+    }
     val tmp = new Path(dest.getParent,
       s".${dest.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (!fs.rename(tmp, dest)) {
-      // FS whose rename won't clobber (e.g. strict HDFS semantics):
-      // fall back to delete+rename. The absence window this opens is
-      // covered by reader-side retry / held-on-unreadable rules.
-      fs.delete(dest, false)
-      if (!fs.rename(tmp, dest)) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(s"atomic marker swap failed for $dest")
-      }
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // FS with no atomic replacing rename at all: delete+rename. The
+        // absence window is covered by readLease's absence confirmation
+        // and the other markers' reader-side retries.
+        fs.delete(dest, false)
+        if (!fs.rename(tmp, dest)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"atomic marker swap failed for $dest")
+        }
     }
+  }
+
+  /** True when marker swaps can use rename(2) directly ([[writeMarkerFile]]). */
+  private lazy val markerSwapIsPosix: Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    scheme == "file" || scheme == "local"
   }
 
   /** Reader-side twin of [[writeMarkerFile]]: retry a marker read that
@@ -480,7 +510,21 @@ class VectorDB private (
   private[db] def readLease(): LeaseRead = {
     var attempts = 0
     while (attempts < 5) {
-      if (!fs.exists(leasePath)) return LeaseRead.Absent
+      if (!fs.exists(leasePath)) {
+        // POSIX/HDFS swaps are replacing renames — absence is real.
+        // On an FS where writeMarkerFile may have used delete+rename,
+        // a mid-swap reader can catch the gap: believe absence only
+        // after it persists across two more spaced stats (a genuinely
+        // released lease stays absent; the swap gap is microseconds).
+        if (markerSwapIsPosix) return LeaseRead.Absent
+        var confirms = 0
+        while (confirms < 2) {
+          Thread.sleep(20)
+          if (fs.exists(leasePath)) confirms = 3 else confirms += 1
+        }
+        if (confirms == 2) return LeaseRead.Absent
+        // reappeared: a swap was in flight — fall through and read it
+      }
       try {
         val in = fs.open(leasePath)
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

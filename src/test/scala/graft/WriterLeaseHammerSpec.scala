@@ -46,8 +46,14 @@ class WriterLeaseHammerSpec extends AnyFunSuite {
     val threads = (0 until 8).map { t =>
       new Thread(() => {
         val db = contenders(t % contenders.length)
+        // Run for a minimum ITERATION count and a minimum RENEWAL count:
+        // 40 × 5 ms ≈ 200 ms of hammering can finish before the first
+        // ~300 ms heartbeat fires, and a hammer that never overlapped a
+        // renewal proves nothing about the torn-swap window.
         var i = 0
-        while (i < 40 && !anySteal.get()) {
+        val deadline = System.currentTimeMillis() + 30000
+        while ((i < 40 || (lease.renewals < 2 &&
+                 System.currentTimeMillis() < deadline)) && !anySteal.get()) {
           try {
             val stolen = db.acquireWriterLease(ttlMs = ttl)
             // Stolen. `tookOver` says what the acquire OBSERVED:
@@ -86,7 +92,10 @@ class WriterLeaseHammerSpec extends AnyFunSuite {
       s"${freshSteals.get()} acquire(s) observed a live lease as ABSENT " +
         "(the torn-read race is back)")
     assert(oddities.isEmpty, s"unexpected failures: $oddities")
-    assert(lease.renewals > 0, "the hammer must overlap actual renewals")
+    // A legitimate expiry takeover can end the hammer before the first
+    // renewal; only the steal-free run must prove it overlapped renewals.
+    assert(anySteal.get() || lease.renewals > 0,
+      "the hammer must overlap actual renewals")
 
     if (!anySteal.get()) {
       // common case (no scheduler stall): the holder is still THE writer
