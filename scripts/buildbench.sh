@@ -10,5 +10,5 @@ ROUND="${1:?usage: scripts/buildbench.sh <round> [nDocs]}"
 N="${2:-1000000}"
 OUT="BUILDBENCH_r${ROUND}.json"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.BuildBench "$N" \
-  | tee /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
+  | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

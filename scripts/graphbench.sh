@@ -17,5 +17,5 @@ NB="${5:-4}"
 OUT="GRAPHBENCH_r${ROUND}.json"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
   scripts/run.sh graft.GraphBench "$N" "$DIM" "$NQ" "$NB" \
-  | tee /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
+  | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

@@ -14,5 +14,5 @@ NQ="${4:-20}"
 OUT="IVFBENCH_r${ROUND}.json"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
   scripts/run.sh graft.IvfBench "$N" "$DIM" "$NQ" \
-  | tee /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
+  | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

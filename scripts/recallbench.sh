@@ -22,12 +22,12 @@ if [ -n "$SYNTH" ]; then
   OUT="RECALL_r${ROUND}_synth${SUFFIX}.json"
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
     scripts/run.sh graft.RecallBench synth "$@" \
-    | tee /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
+    | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
 else
   SF="${1:-/root/testdata/sf0.01}"
   NQ="${2:-20}"
   OUT="RECALL_r${ROUND}.json"
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.RecallBench "$SF" "$NQ" \
-    | tee /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
+    | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
 fi
 echo "wrote $OUT" >&2

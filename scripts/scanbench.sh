@@ -13,7 +13,7 @@ ROUND="${1:?usage: scripts/scanbench.sh <round> [nVectors]}"
 N="${2:-1000000}"
 OUT="SCANBENCH_r${ROUND}.json"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.ScanBench "$N" \
-  | tee /dev/stderr | grep '^{' | tail -1 > "$OUT"
+  | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2
 if [ -z "${SKIP_4M:-}" ]; then
   OUT4="SCANBENCH_r${ROUND}_4m.json"
@@ -24,7 +24,7 @@ if [ -z "${SKIP_4M:-}" ]; then
   # full-GC pauses that a 24g heap does not.
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM_4M:-24g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS_4M:-32}" \
     scripts/run.sh graft.ScanBench 4000000 \
-    | tee /dev/stderr | grep '^{' | tail -1 > "$OUT4"
+    | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT4"
   echo "wrote $OUT4" >&2
 fi
 # 16M extends the crossover table one more octave (~22 GB resident funnel
@@ -34,6 +34,6 @@ if [ -n "${RUN_16M:-}" ]; then
   OUT16="SCANBENCH_r${ROUND}_16m.json"
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM_16M:-40g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS_16M:-32}" \
     scripts/run.sh graft.ScanBench 16000000 \
-    | tee /dev/stderr | grep '^{' | tail -1 > "$OUT16"
+    | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT16"
   echo "wrote $OUT16" >&2
 fi

@@ -20,5 +20,5 @@ else
 fi
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
   scripts/run.sh graft.ServeBench "$N" "$DIM" \
-  | tee /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
+  | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

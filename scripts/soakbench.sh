@@ -11,5 +11,5 @@ N="${2:-100}"
 B="${3:-200}"
 OUT="SOAKBENCH_r${ROUND}.json"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.SoakBench "$N" "$B" \
-  | tee /dev/stderr | grep '^{' | tail -1 > "$OUT"
+  | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

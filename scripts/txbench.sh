@@ -12,5 +12,5 @@ REPS="${2:-40}"
 B="${3:-2000}"
 OUT="TXBENCH_r${ROUND}.json"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.TxBench "$REPS" "$B" \
-  | tee /dev/stderr | grep '^{' | tail -1 > "$OUT"
+  | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

@@ -981,12 +981,27 @@ class VectorDB private (
   }
 
   /** Monotonic stamp of the last commit through this instance — the
-    * absorb daemon's commit-idle probe ([[maybeScheduleAbsorb]]).
+    * absorb daemon's commit-idle probe ([[maybeScheduleAbsorb]]) — and
+    * an EMA of the inter-commit gap, the daemon's storm-cadence signal:
+    * a flatten started while commits arrive faster than it can build is
+    * guaranteed discarded (the adopt check requires the version it was
+    * built for), so the idle threshold scales with the observed cadence
+    * instead of launching a doomed, commit-contending build every cycle
+    * (INCBENCH_r13 at the TRUE 2-block geometry: 13–32 s commits vs
+    * 3.5–5.4 s without absorption, and the flatten never adopted).
     */
   @volatile private var lastCommitNanos: Long = System.nanoTime()
+  @volatile private var commitGapEmaNanos: Long = 0L
 
   private def invalidateCache(): Unit = {
-    lastCommitNanos = System.nanoTime()
+    val now = System.nanoTime()
+    val gap = now - lastCommitNanos
+    // alpha = 1/2, capped: one long idle pause must not poison the
+    // cadence estimate for the next storm
+    val capped = math.min(gap, VectorDB.AbsorbIdleCapNanos)
+    commitGapEmaNanos =
+      if (commitGapEmaNanos == 0L) capped else (commitGapEmaNanos + capped) / 2
+    lastCommitNanos = now
     dropLocalCaches()
     // A commit changed the tiers: let go of the serving blocks; they
     // rebuild lazily (under the new snapshot version) on the next
@@ -1313,7 +1328,8 @@ class VectorDB private (
               BlockCache.currentVersion(cacheKey, () => readMarker()) != v)
             abort = true
           else if (System.nanoTime() - lastCommitNanos >=
-                     VectorDB.AbsorbIdleNanos) goIdle = true
+                     VectorDB.absorbIdleRequiredNanos(commitGapEmaNanos))
+            goIdle = true
           else Thread.sleep(VectorDB.AbsorbPollMs)
         }
         if (!abort) {
@@ -2793,6 +2809,28 @@ object VectorDB {
     * well inside a serving lull.
     */
   val AbsorbIdleNanos: Long = 1500L * 1000 * 1000
+
+  /** Upper bound on the ADAPTIVE idle window (and on the per-gap
+    * sample feeding the cadence EMA): cadence-scaling must never turn
+    * into minutes of deferral after one slow commit.
+    */
+  val AbsorbIdleCapNanos: Long = 30L * 1000 * 1000 * 1000
+
+  /** The idle window the absorb daemon actually requires, given the
+    * observed inter-commit cadence: a flatten launched while commits
+    * arrive faster than it builds is GUARANTEED discarded (adoption
+    * re-checks the version), so during a storm whose period is below
+    * the build wall the fixed 1.5 s floor just schedules doomed,
+    * commit-contending builds every cycle — measured at the true
+    * 2-block IncBench geometry as 13–32 s commits vs 3.5–5.4 s
+    * without absorption, with the tier never adopting. Requiring
+    * idle ≥ 2× the cadence EMA means a storm defers absorption
+    * wholesale (chain extensions stay O(batch)); the first real lull
+    * — two missed periods — starts one clean build that adopts.
+    * Pure function of the EMA so the policy is unit-testable.
+    */
+  def absorbIdleRequiredNanos(gapEmaNanos: Long): Long =
+    math.min(math.max(AbsorbIdleNanos, 2L * gapEmaNanos), AbsorbIdleCapNanos)
 
   /** Hard cap on absorb deferral: past this, the flatten launches even
     * mid-commit-stream (the low-weight pool still yields under FAIR;

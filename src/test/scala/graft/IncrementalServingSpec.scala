@@ -319,6 +319,22 @@ class IncrementalServingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { mor.incrementalServing(0.5, 1, -1) }
   }
 
+  test("absorb idle policy: scales with commit cadence, floored and capped") {
+    // fixed floor when the folder is quiet or the cadence is fast
+    assert(VectorDB.absorbIdleRequiredNanos(0L) == VectorDB.AbsorbIdleNanos)
+    assert(VectorDB.absorbIdleRequiredNanos(500L * 1000 * 1000) ==
+      VectorDB.AbsorbIdleNanos)
+    // a storm whose period exceeds the floor requires two missed
+    // periods of silence: mid-storm builds are guaranteed discarded, so
+    // launching them only taxes the foreground commits (INCBENCH_r13
+    // first draw: 13-32s commits vs 3.5-5.4s without absorption)
+    val eightSec = 8L * 1000 * 1000 * 1000
+    assert(VectorDB.absorbIdleRequiredNanos(eightSec) == 2 * eightSec)
+    // capped: one slow commit must not defer absorption by minutes
+    assert(VectorDB.absorbIdleRequiredNanos(Long.MaxValue / 4) ==
+      VectorDB.AbsorbIdleCapNanos)
+  }
+
   test("background absorption flattens a deep chain off the query path; results unchanged") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
