@@ -212,18 +212,42 @@ object PreparedScan {
     * payloads. `layer` is the block's position in an incremental chain
     * (0 = the full build; k = the k-th delta extension) — a row is live
     * iff no LATER layer touched its id ([[Superseded]]).
+    *
+    * `bytes` is CHUNKED (`rowsPerChunk` rows per flat chunk): a single
+    * flat payload array caps a block at Int.MaxValue/byteLen rows —
+    * ~2M rows at dim 1024 — and the first TRUE-geometry 8M bench (2 ×
+    * 4M-row blocks, 4.3 GB of int8 payload per block) overflowed
+    * exactly there (`ArrayBuffer.resizeUp`, requested length
+    * -2147483648). Chunks keep the row-major cache behavior (one
+    * `copyOfRange` per payload read, no per-row object) with no row
+    * bound; rows never straddle chunks.
     */
   private[db] case class Block(ids: Array[Long], words: Array[Long],
                                cells: Array[Int], distinctCells: Array[Int],
-                               bytes: Array[Byte], byteLen: Int,
+                               bytes: Array[Array[Byte]], byteLen: Int,
+                               rowsPerChunk: Int,
                                docs: Array[String],
                                nav: BlockNav = null,
-                               layer: Int = 0)
+                               layer: Int = 0) {
+    /** Row r's payload bytes (only valid when `byteLen > 0`). */
+    def payload(r: Int): Array[Byte] = {
+      val c = r / rowsPerChunk
+      val off = (r - c * rowsPerChunk) * byteLen
+      java.util.Arrays.copyOfRange(bytes(c), off, off + byteLen)
+    }
+  }
 
   private[db] object Block {
     def bare(ids: Array[Long], words: Array[Long], cells: Array[Int],
              distinctCells: Array[Int]): Block =
-      Block(ids, words, cells, distinctCells, Array.emptyByteArray, 0, null)
+      Block(ids, words, cells, distinctCells,
+        Array.empty[Array[Byte]], 0, 1, null)
+
+    /** Per-chunk payload budget: chunks stay comfortably under the
+      * Int.MaxValue array bound while big enough that the chunk seam
+      * costs nothing (one extra array deref per payload read).
+      */
+    val PayloadChunkBytes: Long = 1L << 30
   }
 
   /** Chain-wide shadowing map for incrementally extended scans: for
@@ -321,10 +345,7 @@ object PreparedScan {
         val r = (packed(i) & 0xffffffffL).toInt
         out(i) = Hit(blk.ids(r), h,
           java.util.Arrays.copyOfRange(blk.words, r * nWords, (r + 1) * nWords),
-          if (withPayload)
-            java.util.Arrays.copyOfRange(blk.bytes, r * blk.byteLen,
-              (r + 1) * blk.byteLen)
-          else null,
+          if (withPayload) blk.payload(r) else null,
           if (blk.docs != null) blk.docs(r) else null)
         i += 1
       }
@@ -430,9 +451,7 @@ object PreparedScan {
       val r = heapRow(i)
       out(i) = Hit(heapId(i), heapH(i),
         java.util.Arrays.copyOfRange(blk.words, r * nWords, (r + 1) * nWords),
-        if (withPayload)
-          java.util.Arrays.copyOfRange(blk.bytes, r * blk.byteLen, (r + 1) * blk.byteLen)
-        else null,
+        if (withPayload) blk.payload(r) else null,
         if (blk.docs != null) blk.docs(r) else null)
       i += 1
     }
@@ -471,10 +490,7 @@ object PreparedScan {
               (!checkSup || sup.latestLayer(id) <= blk.layer)) {
             out += Hit(id, acc,
               java.util.Arrays.copyOfRange(blk.words, base, base + nWords),
-              if (withPayload)
-                java.util.Arrays.copyOfRange(blk.bytes, row * blk.byteLen,
-                  (row + 1) * blk.byteLen)
-              else null,
+              if (withPayload) blk.payload(row) else null,
               if (blk.docs != null) blk.docs(row) else null)
           }
         }
@@ -590,9 +606,14 @@ object PreparedScan {
       val ids = scala.collection.mutable.ArrayBuilder.make[Long]
       val words = scala.collection.mutable.ArrayBuilder.make[Long]
       val cells = scala.collection.mutable.ArrayBuilder.make[Int]
-      val bytes = scala.collection.mutable.ArrayBuilder.make[Byte]
       val docs = scala.collection.mutable.ArrayBuilder.make[String]
+      // payload chunks: a single flat Array[Byte] caps the block at
+      // ~2M rows × dim 1024 (Int.MaxValue bytes) — see Block's doc
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var cur = scala.collection.mutable.ArrayBuilder.make[Byte]
+      var curRows = 0
       var byteLen = 0
+      var rowsPerChunk = 0
       it.foreach { r =>
         ids += r.getLong(0)
         val w = r.getSeq[Long](1)
@@ -601,13 +622,23 @@ object PreparedScan {
         if (isIvf) cells += r.getInt(cellAt)
         if (withBytes) {
           val ba = r.getAs[Array[Byte]](bytesAt)
-          if (byteLen == 0) byteLen = ba.length
-          else require(ba.length == byteLen,
+          if (byteLen == 0) {
+            byteLen = ba.length
+            rowsPerChunk = math.max(1,
+              (Block.PayloadChunkBytes / math.max(1, byteLen)).toInt)
+          } else require(ba.length == byteLen,
             s"in-band payload rows must share one length: $byteLen vs ${ba.length}")
-          bytes ++= ba
+          cur ++= ba
+          curRows += 1
+          if (curRows == rowsPerChunk) {
+            chunks += cur.result()
+            cur = scala.collection.mutable.ArrayBuilder.make[Byte]
+            curRows = 0
+          }
         }
         if (withDoc) docs += r.getString(docAt)
       }
+      if (curRows > 0) chunks += cur.result()
       val cellArr = cells.result()
       val idArr = ids.result()
       val wordArr = words.result()
@@ -620,7 +651,8 @@ object PreparedScan {
         }
       }.orNull
       Iterator.single(Block(idArr, wordArr, cellArr,
-        cellArr.distinct.sorted, bytes.result(), byteLen,
+        cellArr.distinct.sorted, chunks.toArray, byteLen,
+        math.max(1, rowsPerChunk),
         if (withDoc) docs.result() else null,
         nav,
         layer))

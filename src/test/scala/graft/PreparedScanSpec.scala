@@ -148,6 +148,28 @@ class PreparedScanSpec extends AnyFunSuite {
     } finally ps.unpersist()
   }
 
+  test("payload chunking: rows read identically across chunk seams") {
+    // A single flat payload array caps a block at Int.MaxValue/byteLen
+    // rows (~2M at dim 1024) — the true-geometry 8M bench overflowed
+    // there. Pin the chunk-seam addressing: rows never straddle chunks
+    // and payload(r) is exact at and around every seam.
+    val byteLen = 3
+    val rowsPerChunk = 4
+    val n = 11 // 2 full chunks + a 3-row tail
+    def rowBytes(r: Int): Array[Byte] =
+      Array.tabulate(byteLen)(j => (r * byteLen + j).toByte)
+    val chunks = (0 until n).grouped(rowsPerChunk).map { rs =>
+      rs.flatMap(rowBytes).toArray
+    }.toArray
+    val blk = PreparedScan.Block(
+      Array.tabulate(n)(_.toLong), Array.empty[Long],
+      Array.empty[Int], Array.empty[Int],
+      chunks, byteLen, rowsPerChunk, null)
+    (0 until n).foreach { r =>
+      assert(blk.payload(r).toSeq == rowBytes(r).toSeq, s"row $r")
+    }
+  }
+
   test("scanBlock: bounded heap == brute-force sort on random blocks") {
     val rnd = new scala.util.Random(42)
     val nWords = 2
