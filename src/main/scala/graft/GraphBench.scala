@@ -60,8 +60,24 @@ object GraphBench {
 
     // Few large partitions: the rows-per-executor regime the graph path
     // exists for (32 toy shards would make every block trivially small).
-    val docs = spark.range(n).select(col("id").as("doc_id"),
-      col("id").cast("string").as("text")).repartition(nBlocks)
+    def docsRange(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        col("id").cast("string").as("text")).repartition(nBlocks)
+    // Chunked ingest: addDocuments caches the embedded batch for its
+    // commit (calibration + codes + docs reuse one embedder pass), and
+    // ONE 8M-row batch is a 33 GB float-array spill — stacked against
+    // two parquet folders and a serving-block persist it filled the
+    // disk (the first two 8M recordings died of ENOSPC mid-serve).
+    // Real pipelines ingest in batches (the reference embeds per batch
+    // too); 2M rows caps the transient spill at ~8 GB.
+    val ingestChunk = 2000000L
+    def ingestAll(db: VectorDB, embedder: graft.db.Embedder): Unit = {
+      var lo = 0L
+      while (lo < n) {
+        db.addDocuments(docsRange(lo, math.min(lo + ingestChunk, n)), embedder)
+        lo += ingestChunk
+      }
+    }
     val qGen = RecallBench.pointGen(dim, clusters, intrinsicDim, sigma)
     val qids = (0 until nQueries).map(i => i.toLong * (n / nQueries) + i)
     val queries = qids.map(id => id -> qGen(id)._1.map(_.toDouble).toSeq).toMap
@@ -77,7 +93,7 @@ object GraphBench {
     val flat = VectorDB.openOrCreate(spark, freshDir("flat"),
       model = s"graft-synth-$dim", dim = dim)
     val ingestT0 = System.nanoTime()
-    flat.addDocuments(docs, new SynthEmbedder(dim))
+    ingestAll(flat, new SynthEmbedder(dim))
     val ingestS = (System.nanoTime() - ingestT0) / 1e9
     val flatServeMs = time(flat.enableServing(blocks = nBlocks))
     flat.searchHits(queries(qids.head), k = 10) // warm
@@ -99,7 +115,7 @@ object GraphBench {
     IndexStrategies.register(new IndexStrategies.Nsw(m, efC, 96))
     val nswSeed = VectorDB.openOrCreate(spark, nswDir,
       model = s"graft-synth-$dim", dim = dim, index = VectorDB.IndexNsw)
-    nswSeed.addDocuments(docs, new SynthEmbedder(dim))
+    ingestAll(nswSeed, new SynthEmbedder(dim))
 
     // The funnel's Phase-I budget b = k·binaryOversample = 100 floors
     // the effective width at max(b, efSearch) — grid values below 100
@@ -171,7 +187,7 @@ object GraphBench {
       val db = VectorDB.openOrCreate(spark, freshDir("ivfnsw"),
         model = s"graft-synth-$dim", dim = dim, index = VectorDB.IndexIvfNsw,
         ivfCells = cells)
-      db.addDocuments(docs, new SynthEmbedder(dim))
+      ingestAll(db, new SynthEmbedder(dim))
       val buildMs = time(db.enableServing(blocks = nBlocks))
       db.searchHits(queries(qids.head), k = 10) // warm both paths
       db.searchHits(queries(qids.head), k = 10, nprobe = 4)
