@@ -66,6 +66,12 @@ object SparkEntry {
     // E2d: incremental batch-vs-corpus dedup (continuous-ingest shape).
     "d5_incremental_simhash" -> ((s, d) => Dedup.incrementalSimhashDedup(s, d)),
     "d6_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
+    // The bounded-work (sorted-neighborhood) variant, driver-gated at a
+    // window that covers every fixture bucket: the |b|·T equi-join path
+    // must then reproduce the exact quadratic result bit-for-bit (the
+    // explode is rank-bounded, so a huge T costs nothing extra here);
+    // SemDedupSpec separately quantifies the small-T approximation.
+    "d6b_semdedup_bounded" -> ((s, d) => Dedup.semDedup(s, d, maxNeighbors = 1 << 20)),
     // Retrieval: BM25 keyword search + hybrid keyword/vector RRF fusion.
     "t6_bm25" -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "v10_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),

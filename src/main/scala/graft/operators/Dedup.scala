@@ -659,8 +659,12 @@ object Dedup {
       |  SELECT sima.doc_id, sima.sh60 sa, simb.sh60 sb
       |  FROM sima JOIN simb USING (doc_id))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "d6_semdedup" ->
+  /** d6's exact oracle, shared verbatim by `d6b_semdedup_bounded`: with a
+    * window covering every bucket, the sorted-neighborhood path compares
+    * exactly the pairs the quadratic join does, so the SAME known-true
+    * removal set gates both (the spec covers the small-window delta).
+    */
+  private val semDedupOracleSql =
       """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
         |allv AS (
         |  SELECT vec_id, label, v FROM base
@@ -677,7 +681,11 @@ object Dedup {
         |WHERE round(list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.97
         |GROUP BY a.vec_id, a.label
-        |ORDER BY a.vec_id""".stripMargin,
+        |ORDER BY a.vec_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d6_semdedup" -> semDedupOracleSql,
+    "d6b_semdedup_bounded" -> semDedupOracleSql,
 
     "d1_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs,
