@@ -993,6 +993,13 @@ class VectorDB private (
   @volatile private var lastCommitNanos: Long = System.nanoTime()
   @volatile private var commitGapEmaNanos: Long = 0L
 
+  /** Job group of an absorb flatten currently running Spark jobs, and a
+    * count of builds the commit path cancelled (diagnostics/specs).
+    */
+  @volatile private var absorbJobGroup: String = null
+  @volatile private[graft] var absorbCancels: Int = 0
+  private[graft] def absorbBuildInFlight: Boolean = absorbJobGroup != null
+
   private def invalidateCache(): Unit = {
     val now = System.nanoTime()
     val gap = now - lastCommitNanos
@@ -1002,6 +1009,13 @@ class VectorDB private (
     commitGapEmaNanos =
       if (commitGapEmaNanos == 0L) capped else (commitGapEmaNanos + capped) / 2
     lastCommitNanos = now
+    // This commit supersedes any flatten the absorb daemon has in
+    // flight (its adopt check requires the version that just moved):
+    // cancel its jobs instead of letting a doomed build tax the
+    // foreground. Best-effort and in-JVM only — a cross-JVM commit's
+    // doomed build is still discarded at the adopt check.
+    val gid = absorbJobGroup
+    if (gid != null) spark.sparkContext.cancelJobGroup(gid)
     dropLocalCaches()
     // A commit changed the tiers: let go of the serving blocks; they
     // rebuild lazily (under the new snapshot version) on the next
@@ -1338,7 +1352,21 @@ class VectorDB private (
           // local property — dies with this daemon thread.
           spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", graft.Graft.BackgroundPool)
-          val scan = buildFullServing()
+          // Cancellable build: a commit moving the version makes this
+          // flatten GUARANTEED discarded (the adopt check below requires
+          // `v`), so letting it run to completion only burns cluster
+          // time and co-location bandwidth — the commit path cancels the
+          // job group instead ([[invalidateCache]]). Thread-local group,
+          // unique per attempt: only this daemon's jobs are cancelled.
+          val gid = s"graft-absorb-${System.identityHashCode(this)}-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          spark.sparkContext.setJobGroup(gid,
+            s"graft background chain absorption: $folder @ $v",
+            interruptOnCancel = true)
+          absorbJobGroup = gid
+          val scan =
+            try buildFullServing()
+            finally { absorbJobGroup = null; spark.sparkContext.clearJobGroup() }
           synchronized {
             val fresh = BlockCache.currentVersion(cacheKey, () => readMarker())
             if (fresh == v && servingEnabled && prepared.exists(_._1 == v))
@@ -1348,7 +1376,13 @@ class VectorDB private (
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
-          VectorDB.log.warn(
+          // A cancel is the commit path telling this build it is already
+          // superseded — bookkeeping, not a failure.
+          if (BlockCache.currentVersion(cacheKey, () => readMarker()) != v) {
+            absorbCancels += 1
+            VectorDB.log.info(
+              s"background chain absorption cancelled (version moved): $e")
+          } else VectorDB.log.warn(
             s"background chain absorption failed (chain keeps serving): $e")
       } finally absorbInFlight = false
     })
@@ -2835,7 +2869,10 @@ object VectorDB {
   /** Hard cap on absorb deferral: past this, the flatten launches even
     * mid-commit-stream (the low-weight pool still yields under FAIR;
     * deferring forever would let the chain hit its layer cap and put
-    * the full rebuild back on the query path).
+    * the full rebuild back on the query path). A cap-forced build that
+    * a commit then supersedes is CANCELLED by that commit
+    * ([[VectorDB.invalidateCache]] cancels the build's job group — it
+    * could never adopt), so the cap costs a busy stream almost nothing.
     */
   val AbsorbMaxDeferNanos: Long = 60L * 1000 * 1000 * 1000
 

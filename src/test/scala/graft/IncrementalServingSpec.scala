@@ -335,6 +335,62 @@ class IncrementalServingSpec extends AnyFunSuite {
       VectorDB.AbsorbIdleCapNanos)
   }
 
+  test("a commit cancels an in-flight absorb build (doomed by the version move)") {
+    import graft.db.{IndexStrategies, IndexStrategy, NavBuilder, BlockNav}
+    // A build the spec can reliably catch mid-flight: the nsw builder
+    // with a long sleep per block build, registered under the same name
+    // so the folder's config resolves to it.
+    val real = new IndexStrategies.Nsw()
+    val slow = new IndexStrategy {
+      def name = VectorDB.IndexNsw
+      def partitioned = false
+      override def navBuilder(ctx: IndexStrategy.Context): Option[NavBuilder] =
+        real.navBuilder(ctx).map { nb =>
+          new NavBuilder {
+            def build(ids: Array[Long], words: Array[Long], nWords: Int): BlockNav = {
+              Thread.sleep(5000)
+              nb.build(ids, words, nWords)
+            }
+          }
+        }
+    }
+    IndexStrategies.register(slow)
+    val dir = freshDir()
+    try {
+      val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor,
+        index = VectorDB.IndexNsw)
+        .incrementalServing(maxChurnFraction = 1.0, absorbDepth = 1)
+      db.addDocuments(corpus.toDF("doc_id", "text"))
+      // First serve build pays the slow builder once.
+      db.enableServing(blocks = 2)
+      try {
+        db.addDocuments(Seq((9001L, "tok1 tok5")).toDF("doc_id", "text"))
+        // depth 1 >= absorbDepth: this search schedules the daemon,
+        // which defers (cadence EMA), then starts the slow build.
+        hits(db, "tok1 tok5", 20)
+        val startDeadline = System.currentTimeMillis() + 60000
+        while (!db.absorbBuildInFlight &&
+               System.currentTimeMillis() < startDeadline) {
+          Thread.sleep(50)
+          hits(db, "tok1 tok5", 5) // keep re-triggering if discarded
+        }
+        assert(db.absorbBuildInFlight, "the absorb build never started")
+        // The build sleeps ~5s per block wave: land a commit inside it.
+        val cancelsBefore = db.absorbCancels
+        db.addDocuments(Seq((9002L, "tok2 tok6")).toDF("doc_id", "text"))
+        val cancelDeadline = System.currentTimeMillis() + 30000
+        while (db.absorbCancels == cancelsBefore &&
+               System.currentTimeMillis() < cancelDeadline)
+          Thread.sleep(50)
+        assert(db.absorbCancels > cancelsBefore,
+          "the commit must cancel the doomed in-flight flatten")
+        // The chain keeps serving correctly through all of it.
+        val twin = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+        assert(hits(db, "tok1 tok5", 20) == hits(twin, "tok1 tok5", 20))
+      } finally db.disableServing()
+    } finally IndexStrategies.register(new IndexStrategies.Nsw())
+  }
+
   test("background absorption flattens a deep chain off the query path; results unchanged") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
