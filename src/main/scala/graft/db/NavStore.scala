@@ -49,6 +49,14 @@ final class NavStore(
     * (the codec validates identity — id set, geometry, builder params —
     * and remaps row order). None on absence, corruption, or mismatch:
     * the caller rebuilds.
+    *
+    * Body integrity: the codec's structural checks catch truncation and
+    * param drift, but NOT bit rot whose degree/neighbor values happen to
+    * stay in-bounds — such a graph would load silently and degrade
+    * recall with no diagnostic (hamming scores stay correct, so it is
+    * recall-only). The trailing CRC32 [[trySave]] appends closes that:
+    * the body's checksum is verified before the decoded nav is adopted.
+    * A pre-CRC file fails the trailer read and rebuilds once.
     */
   def tryLoad(pid: Int, ids: Array[Long], words: Array[Long],
               nWords: Int): Option[BlockNav] =
@@ -57,9 +65,16 @@ final class NavStore(
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) None
       else {
-        val in = new java.io.DataInputStream(
-          new java.io.BufferedInputStream(fs.open(p), 1 << 20))
-        val out = try codec.loadNav(ids, words, nWords, in) finally in.close()
+        val crc = new java.util.zip.CRC32()
+        val checked = new java.util.zip.CheckedInputStream(
+          new java.io.BufferedInputStream(fs.open(p), 1 << 20), crc)
+        val in = new java.io.DataInputStream(checked)
+        val out = try {
+          codec.loadNav(ids, words, nWords, in).filter { _ =>
+            val bodyCrc = crc.getValue // before the trailer bytes
+            in.readLong() == bodyCrc
+          }
+        } finally in.close()
         if (out.isDefined) NavStore.loadsForTest.incrementAndGet()
         out
       }
@@ -67,28 +82,43 @@ final class NavStore(
       case scala.util.control.NonFatal(_) => None
     }
 
-  /** Persist block `pid`'s nav (staged + renamed). Failures warn and
-    * never fail the build — persistence is an optimization.
+  /** Persist block `pid`'s nav: staged to a uniquely named sibling,
+    * CRC32 of the codec body appended as a trailer, then swapped onto
+    * the destination with the shared REPLACING rename
+    * ([[AtomicFiles.replacingRename]] — plain `FileSystem.rename`
+    * refuses an existing destination on the local FS, and a
+    * delete+rename absence window here would cost a concurrent loader a
+    * spurious rebuild). Failures warn and never fail the build —
+    * persistence is an optimization.
     */
-  def trySave(pid: Int, nav: BlockNav): Unit =
+  def trySave(pid: Int, nav: BlockNav): Unit = {
+    val p = blockPath(pid)
+    val tmp = new Path(dirUri,
+      s".block-$pid.nav.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val p = blockPath(pid)
       val fs = p.getFileSystem(conf)
-      val tmp = new Path(dirUri,
-        s".block-$pid.nav.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = new java.io.DataOutputStream(
-        new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20))
-      val wrote = try codec.saveNav(nav, out) finally out.close()
+      val crc = new java.util.zip.CRC32()
+      val checked = new java.util.zip.CheckedOutputStream(
+        new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20), crc)
+      val out = new java.io.DataOutputStream(checked)
+      val wrote = try {
+        val w = codec.saveNav(nav, out)
+        if (w) out.writeLong(crc.getValue) // trailer: body CRC (see tryLoad)
+        w
+      } finally out.close()
       if (wrote) {
-        if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+        AtomicFiles.replacingRename(fs, conf, tmp, p)
         NavStore.savesForTest.incrementAndGet()
       } else fs.delete(tmp, false)
     } catch {
       case scala.util.control.NonFatal(e) =>
+        try p.getFileSystem(conf).delete(tmp, false)
+        catch { case scala.util.control.NonFatal(_) => }
         org.slf4j.LoggerFactory.getLogger(classOf[NavStore])
           .warn(s"nav persist failed for block $pid under $dirUri " +
             s"(serving is unaffected; the block rebuilds next open): $e")
     }
+  }
 }
 
 object NavStore {

@@ -198,7 +198,22 @@ class VectorDB private (
         fs.delete(dest, false)
         if (!fs.rename(tmp, dest)) {
           fs.delete(tmp, false)
-          throw new java.io.IOException(s"atomic marker swap failed for $dest")
+          // The delete above already landed: failing NOW would leave the
+          // marker ABSENT, and for `_committed` absence re-enables the
+          // legacy raw-listing fallback in other readers — un-gating
+          // orphan deltas (ADVICE r13). Rewrite dest from the in-memory
+          // bytes (non-atomic — a reader may catch a torn read, which
+          // its retry loop covers; torn beats absent). If the rewrite
+          // lands, the swap COMPLETED (just not atomically) — throwing
+          // would report a now-visible marker as a failed write.
+          val restored =
+            try {
+              val o = fs.create(dest, true)
+              try o.write(bytes) finally o.close()
+              true
+            } catch { case scala.util.control.NonFatal(_) => false }
+          if (!restored)
+            throw new java.io.IOException(s"atomic marker swap failed for $dest")
         }
     }
   }
@@ -993,10 +1008,20 @@ class VectorDB private (
   @volatile private var lastCommitNanos: Long = System.nanoTime()
   @volatile private var commitGapEmaNanos: Long = 0L
 
-  /** Job group of an absorb flatten currently running Spark jobs, and a
-    * count of builds the commit path cancelled (diagnostics/specs).
+  /** Job group of an absorb flatten currently running Spark jobs, the
+    * group the commit path most recently cancelled, and a count of
+    * builds the commit path cancelled (diagnostics/specs).
+    *
+    * `absorbCancelledGroup` is the cancel's INTENT flag: the commit
+    * path stamps it BEFORE `cancelJobGroup`, and the daemon's exception
+    * handler classifies by it — never by re-reading the snapshot
+    * version, which the committing thread has not flipped yet at cancel
+    * time (`writeCommitted → invalidateCache → bumpVersion`): a
+    * version re-read in the handler races `bumpVersion()` and
+    * misclassifies the cancel as a build failure when it wins.
     */
   @volatile private var absorbJobGroup: String = null
+  @volatile private var absorbCancelledGroup: String = null
   @volatile private[graft] var absorbCancels: Int = 0
   private[graft] def absorbBuildInFlight: Boolean = absorbJobGroup != null
 
@@ -1015,7 +1040,13 @@ class VectorDB private (
     // foreground. Best-effort and in-JVM only — a cross-JVM commit's
     // doomed build is still discarded at the adopt check.
     val gid = absorbJobGroup
-    if (gid != null) spark.sparkContext.cancelJobGroup(gid)
+    if (gid != null) {
+      // Intent before action: the daemon's handler may run before this
+      // thread reaches bumpVersion(), so it must be able to see WHY its
+      // jobs died without consulting the (still-old) version.
+      absorbCancelledGroup = gid
+      spark.sparkContext.cancelJobGroup(gid)
+    }
     dropLocalCaches()
     // A commit changed the tiers: let go of the serving blocks; they
     // rebuild lazily (under the new snapshot version) on the next
@@ -1321,6 +1352,9 @@ class VectorDB private (
       absorbInFlight = true
     }
     val t = new Thread(() => {
+      // Hoisted so the exception handler can match the cancel-intent
+      // stamp ([[absorbCancelledGroup]]) against THIS attempt's group.
+      var gid: String = null
       try {
         // COMMIT-IDLE DEFERRAL (INCBENCH_r12: flatten jobs tripled
         // foreground commit latency on a single box — FAIR weighting
@@ -1358,27 +1392,52 @@ class VectorDB private (
           // time and co-location bandwidth — the commit path cancels the
           // job group instead ([[invalidateCache]]). Thread-local group,
           // unique per attempt: only this daemon's jobs are cancelled.
-          val gid = s"graft-absorb-${System.identityHashCode(this)}-" +
+          gid = s"graft-absorb-${System.identityHashCode(this)}-" +
             java.util.UUID.randomUUID().toString.take(8)
           spark.sparkContext.setJobGroup(gid,
             s"graft background chain absorption: $folder @ $v",
             interruptOnCancel = true)
           absorbJobGroup = gid
-          val scan =
-            try buildFullServing()
-            finally { absorbJobGroup = null; spark.sparkContext.clearJobGroup() }
-          synchronized {
-            val fresh = BlockCache.currentVersion(cacheKey, () => readMarker())
-            if (fresh == v && servingEnabled && prepared.exists(_._1 == v))
-              absorbedReady = Some((v, scan))
-            else scan.unpersist() // superseded while building
+          // Lost-cancel window: cancelJobGroup kills only ACTIVE jobs —
+          // it neither remembers the group nor cancels future
+          // submissions, so a commit landing between the assignment
+          // above and the build's first job submission would cancel
+          // nothing and the doomed build would run to completion just
+          // to be discarded at the adopt check. Re-checking the version
+          // here closes it: a commit in that gap has already either
+          // stamped the cancel intent or moved the version.
+          val doomed = absorbCancelledGroup == gid ||
+            BlockCache.currentVersion(cacheKey, () => readMarker()) != v
+          if (doomed) {
+            absorbJobGroup = null; spark.sparkContext.clearJobGroup()
+            if (absorbCancelledGroup == gid) absorbCancels += 1
+            VectorDB.log.info(
+              "background chain absorption skipped: superseded before first job")
+          } else {
+            val scan =
+              try buildFullServing()
+              finally { absorbJobGroup = null; spark.sparkContext.clearJobGroup() }
+            synchronized {
+              val fresh = BlockCache.currentVersion(cacheKey, () => readMarker())
+              if (fresh == v && servingEnabled && prepared.exists(_._1 == v))
+                absorbedReady = Some((v, scan))
+              else scan.unpersist() // superseded while building
+            }
           }
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
           // A cancel is the commit path telling this build it is already
-          // superseded — bookkeeping, not a failure.
-          if (BlockCache.currentVersion(cacheKey, () => readMarker()) != v) {
+          // superseded — bookkeeping, not a failure. Classified by the
+          // commit's intent stamp (set BEFORE cancelJobGroup), which is
+          // deterministic under any interleaving; the version re-read
+          // below covers only the cross-JVM commit, whose fence write IS
+          // visible before our jobs can fail against it.
+          if (gid != null && absorbCancelledGroup == gid) {
+            absorbCancels += 1
+            VectorDB.log.info(
+              s"background chain absorption cancelled by a commit (build superseded): $e")
+          } else if (BlockCache.currentVersion(cacheKey, () => readMarker()) != v) {
             absorbCancels += 1
             VectorDB.log.info(
               s"background chain absorption cancelled (version moved): $e")

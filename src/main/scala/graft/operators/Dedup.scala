@@ -590,6 +590,18 @@ object Dedup {
     * quadratic join anywhere. The survivor rule is preserved — of any
     * compared pair at/above the threshold, the higher id is evicted and
     * records its lowest compared evictor.
+    *
+    * Known scale bound (ADVICE r13, accepted): the `row_number` ranking
+    * partitions only by (cluster, s16), so a multi-million-row
+    * pathological bucket is SORTED in a single task — spill-heavy
+    * (linear-sort, external-spill; never quadratic compute like the
+    * exact path's unsalted self-join would be), but a single-task
+    * hotspot nonetheless. Salting the window would break rank
+    * contiguity (neighbors straddling a salt boundary are never
+    * compared), i.e. it would change the operator's RESULT, not just
+    * its plan — so the bound stands documented instead. A bucket big
+    * enough to hurt here is the same near-identical-flood shape this
+    * variant exists for; the sort is the price of the |b|·T pair bound.
     */
   private def semDedupBounded(clustered: DataFrame, minCosine: Double,
                               s16: org.apache.spark.sql.Column,

@@ -337,9 +337,15 @@ class IncrementalServingSpec extends AnyFunSuite {
 
   test("a commit cancels an in-flight absorb build (doomed by the version move)") {
     import graft.db.{IndexStrategies, IndexStrategy, NavBuilder, BlockNav}
-    // A build the spec can reliably catch mid-flight: the nsw builder
-    // with a long sleep per block build, registered under the same name
-    // so the folder's config resolves to it.
+    // A build the spec can DETERMINISTICALLY catch mid-flight: the nsw
+    // builder gated on [[AbsorbCancelProbe]] — once armed, each block
+    // build signals "inside a Spark task" and then parks until released
+    // (or a generous timeout). The test commits only AFTER the signal,
+    // so the cancel always finds an ACTIVE job — no lost-cancel window,
+    // no polling race on absorbBuildInFlight. Registered under the same
+    // name so the folder's config resolves to it; the probe object is a
+    // JVM singleton, which local-mode tasks share across closure
+    // serialization.
     val real = new IndexStrategies.Nsw()
     val slow = new IndexStrategy {
       def name = VectorDB.IndexNsw
@@ -348,7 +354,7 @@ class IncrementalServingSpec extends AnyFunSuite {
         real.navBuilder(ctx).map { nb =>
           new NavBuilder {
             def build(ids: Array[Long], words: Array[Long], nWords: Int): BlockNav = {
-              Thread.sleep(5000)
+              AbsorbCancelProbe.enterBuild()
               nb.build(ids, words, nWords)
             }
           }
@@ -361,23 +367,32 @@ class IncrementalServingSpec extends AnyFunSuite {
         index = VectorDB.IndexNsw)
         .incrementalServing(maxChurnFraction = 1.0, absorbDepth = 1)
       db.addDocuments(corpus.toDF("doc_id", "text"))
-      // First serve build pays the slow builder once.
+      // First serve build runs un-armed (the probe is pass-through).
       db.enableServing(blocks = 2)
       try {
         db.addDocuments(Seq((9001L, "tok1 tok5")).toDF("doc_id", "text"))
-        // depth 1 >= absorbDepth: this search schedules the daemon,
-        // which defers (cadence EMA), then starts the slow build.
+        // The chain extension this search triggers also builds delta
+        // navs — still un-armed. depth 1 >= absorbDepth: the search
+        // schedules the daemon, which defers (cadence EMA), then
+        // launches the flatten — the next armed build() call.
         hits(db, "tok1 tok5", 20)
+        AbsorbCancelProbe.arm()
         val startDeadline = System.currentTimeMillis() + 60000
-        while (!db.absorbBuildInFlight &&
+        while (!AbsorbCancelProbe.insideBuild &&
                System.currentTimeMillis() < startDeadline) {
-          Thread.sleep(50)
-          hits(db, "tok1 tok5", 5) // keep re-triggering if discarded
+          if (!db.absorbBuildInFlight)
+            hits(db, "tok1 tok5", 5) // keep re-triggering if discarded
+          AbsorbCancelProbe.awaitInside(100)
         }
-        assert(db.absorbBuildInFlight, "the absorb build never started")
-        // The build sleeps ~5s per block wave: land a commit inside it.
+        assert(AbsorbCancelProbe.insideBuild,
+          "the absorb build never reached a block build task")
+        // A flatten task is provably parked inside a Spark job NOW:
+        // land the commit. Its invalidateCache stamps the cancel intent
+        // and kills the job group; the daemon's handler must classify
+        // that as a cancel (absorbCancels), never as a build failure.
         val cancelsBefore = db.absorbCancels
         db.addDocuments(Seq((9002L, "tok2 tok6")).toDF("doc_id", "text"))
+        AbsorbCancelProbe.release() // let any uncancelled task finish fast
         val cancelDeadline = System.currentTimeMillis() + 30000
         while (db.absorbCancels == cancelsBefore &&
                System.currentTimeMillis() < cancelDeadline)
@@ -388,7 +403,10 @@ class IncrementalServingSpec extends AnyFunSuite {
         val twin = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
         assert(hits(db, "tok1 tok5", 20) == hits(twin, "tok1 tok5", 20))
       } finally db.disableServing()
-    } finally IndexStrategies.register(new IndexStrategies.Nsw())
+    } finally {
+      AbsorbCancelProbe.reset()
+      IndexStrategies.register(new IndexStrategies.Nsw())
+    }
   }
 
   test("background absorption flattens a deep chain off the query path; results unchanged") {
@@ -452,5 +470,50 @@ class IncrementalServingSpec extends AnyFunSuite {
       val twin = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
       assert(hits(db, "tok1", 50) == hits(twin, "tok1", 50))
     } finally db.disableServing()
+  }
+}
+
+/** JVM-singleton rendezvous for the absorb-cancel spec: local-mode
+  * tasks share this object across closure serialization, so the test
+  * thread can wait until a flatten task is provably parked INSIDE a
+  * Spark job before landing the commit that must cancel it — the
+  * deterministic replacement for polling `absorbBuildInFlight`, which
+  * raced both the build's first job submission (lost cancel) and the
+  * daemon's catch-block accounting. Pass-through until armed.
+  */
+private[graft] object AbsorbCancelProbe {
+  import java.util.concurrent.{CountDownLatch, TimeUnit}
+  @volatile private var armed = false
+  @volatile private var entered: CountDownLatch = null
+  @volatile private var releasedLatch: CountDownLatch = null
+
+  def arm(): Unit = synchronized {
+    entered = new CountDownLatch(1)
+    releasedLatch = new CountDownLatch(1)
+    armed = true
+  }
+
+  def insideBuild: Boolean = armed && entered.getCount == 0
+
+  def awaitInside(ms: Long): Boolean =
+    armed && entered.await(ms, TimeUnit.MILLISECONDS)
+
+  /** Called by the instrumented builder from inside a task: signal the
+    * test thread, then park until released. The job-group cancel
+    * (`interruptOnCancel = true`) interrupts the park — which is
+    * exactly the point — and the timeout bounds a missed release so a
+    * broken test can't hang the suite.
+    */
+  def enterBuild(): Unit = if (armed) {
+    entered.countDown()
+    try releasedLatch.await(60, TimeUnit.SECONDS)
+    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+  }
+
+  def release(): Unit = if (armed) releasedLatch.countDown()
+
+  def reset(): Unit = synchronized {
+    if (releasedLatch != null) releasedLatch.countDown()
+    armed = false
   }
 }
