@@ -123,10 +123,11 @@ object GraphBench {
     // the 48 and 96 rows came out identical).
     val efGrid = sys.env.get("SPARK_GRAFT_GRAPH_EFS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(100, 192, 384, 768))
-    // SPARK_GRAFT_GRAPH_BUILD_THREADS > 1 opts into the concurrent
-    // per-block graph build (run-dependent graph; exactness unaffected).
+    // SPARK_GRAFT_GRAPH_BUILD_THREADS: 0 (default) = auto-sized
+    // concurrent per-block build (cores-aware; run-dependent graph,
+    // exactness unaffected); 1 = deterministic single-threaded.
     val buildThreads = sys.env.get("SPARK_GRAFT_GRAPH_BUILD_THREADS")
-      .map(_.toInt).getOrElse(1)
+      .map(_.toInt).getOrElse(0)
     // SPARK_GRAFT_GRAPH_NO_HIER=1 disables the sampled upper layer
     // (stride entries only) — the A/B for the hierarchy's recall win.
     val hierarchy = !sys.env.contains("SPARK_GRAFT_GRAPH_NO_HIER")
@@ -212,7 +213,7 @@ object GraphBench {
     println(s"""{"metric":"graph_serving","n":$n,"dim":$dim,"n_blocks":$nBlocks,""" +
       s""""n_queries":$nQueries,"ingest_s":${f"$ingestS%.1f"},""" +
       s""""rows":${((flatRow +: rows) ++ (flatEndRow +: ivfRows)).mkString("[", ",", "]")},""" +
-      """"note":"per-block NSW graphs vs the linear prepared scan, same corpus/queries; recall_at10 vs the flat DB's exact funnel results. phase1_ms is the Phase-I scan job wall (VectorDB.lastSearchTimings) — hits_ms minus it is the job floor + phases II/III, identical for both configs. serve_build_ms is the enableServing wall; since r13 the FIRST nsw row is the COLD build (graph construction + _nav persist) and every later ef row is a WARM reload of the persisted graphs (same folder, same snapshot — NavStore), so the grid records cold vs warm natively. Few large blocks on purpose: the graph's O(ef·2m) per-partition cost vs linear O(rows/partition) only separates when partitions are big."}""")
+      """"note":"per-block NSW graphs vs the linear prepared scan, same corpus/queries; recall_at10 vs the flat DB's exact funnel results. phase1_ms is the Phase-I scan job wall (VectorDB.lastSearchTimings) — hits_ms minus it is the job floor + phases II/III, identical for both configs. serve_build_ms is the enableServing wall; the FIRST nsw row is the COLD build (codes-docs join + block assembly + graph construction + _nav/_blocks persist) and every later ef row is a WARM reload — since r14 pure IO: the packed block arrays stream back from _blocks (BlockStore) and the graphs from _nav, no join, no assembly, no graph build — so the grid records cold vs warm natively. Few large blocks on purpose: the graph's O(ef·2m) per-partition cost vs linear O(rows/partition) only separates when partitions are big."}""")
     spark.stop()
   }
 }

@@ -87,8 +87,9 @@ object IncBench {
       db.removeDocs((delLo until delLo + batch / 20).toSeq)
     }
 
+    // 0 = auto (cores-aware, NswNavBuilder.autoThreads); env overrides.
     val buildThreads = sys.env.get("SPARK_GRAFT_GRAPH_BUILD_THREADS")
-      .map(_.toInt).getOrElse(1)
+      .map(_.toInt).getOrElse(0)
     IndexStrategies.register(new IndexStrategies.Nsw(16, 128, 96, buildThreads))
 
     def run(tag: String, incremental: Boolean, absorbDepth: Int = 0):

@@ -373,15 +373,26 @@ object NswNav {
   * `buildThreads > 1` parallelizes insertion inside the block (per-node
   * lock striping on adjacency mutation, lock-free racy reads during the
   * insert-time beam search — the standard concurrent-HNSW construction;
-  * fills the cores that sit idle while few big blocks build). OPT-IN
-  * because interleaving makes the resulting graph run-dependent: the
-  * approximate default-width results may vary slightly between builds.
-  * The EXACTNESS contract is interleaving-independent — `ef ≥ n`
-  * exhausts + sweeps whatever graph came out (property-pinned with a
-  * threaded build) — and recall stays in the same band.
+  * fills the cores that sit idle while few big blocks build).
+  * `buildThreads = 0` — the DEFAULT — sizes the pool automatically
+  * ([[NswNavBuilder.autoThreads]]): on a declared-cores executor it
+  * stays inside the task's cpu entitlement (`spark.task.cpus` — the
+  * other slots run concurrent tasks); in local/undeclared mode it
+  * divides the machine's cores among the graph builds actually in
+  * flight, capped — the few-big-blocks serve-build regime where
+  * single-threaded insertion left 30 of 32 cores idle
+  * (INCBENCH_r13_1thread: 13–32 s commits vs 2.9–5.6 s threaded).
+  * Interleaving makes the resulting graph run-dependent, so the
+  * approximate default-width results may vary slightly between builds;
+  * pass `buildThreads = 1` for bit-deterministic builds. The EXACTNESS
+  * contract is interleaving-independent — `ef ≥ n` exhausts + sweeps
+  * whatever graph came out (property-pinned with a threaded build) —
+  * and recall stays in the same band. Blocks under 2048 rows always
+  * build single-threaded (deterministic), which keeps every small
+  * fixture and spec corpus bit-stable.
   */
 final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
-                          buildThreads: Int = 1,
+                          buildThreads: Int = 0,
                           hierarchy: Boolean = true,
                           /** Diagnostic escape hatch (OrphanProbe's A/B
                             * baseline): `false` skips the reachability
@@ -394,7 +405,8 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
   require(efConstruction >= m,
     s"efConstruction must be >= m ($m), got $efConstruction")
   require(efSearch >= 1, s"efSearch must be >= 1, got $efSearch")
-  require(buildThreads >= 1, s"buildThreads must be >= 1, got $buildThreads")
+  require(buildThreads >= 0,
+    s"buildThreads must be >= 0 (0 = auto), got $buildThreads")
 
   override def build(ids: Array[Long], words: Array[Long],
                      nWords: Int): BlockNav = {
@@ -557,36 +569,47 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
       }
     }
 
-    if (buildThreads <= 1 || n < 2048) {
-      var i = 1
-      while (i < n) { insertOne(i); i += 1 }
-    } else {
-      // Dense deterministic core first, then workers pull ascending
-      // indices — a row's beam may race rows still linking below it
-      // (the `nb < limit` gate uses the index as an inserted-ness
-      // proxy), which is the standard concurrent-HNSW approximation.
-      val seed = math.min(1024, n)
-      var i = 1
-      while (i < seed) { insertOne(i); i += 1 }
-      val cursor = new java.util.concurrent.atomic.AtomicInteger(seed)
-      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-      val workers = (0 until buildThreads).map { _ =>
-        val t = new Thread(() => {
-          try {
-            var j = cursor.getAndIncrement()
-            while (j < n && failure.get() == null) {
-              insertOne(j)
-              j = cursor.getAndIncrement()
-            }
-          } catch { case e: Throwable => failure.compareAndSet(null, e) }
-        })
-        t.setDaemon(true)
-        t.start()
-        t
+    // Pool sizing: explicit > 0 wins; 0 (default) auto-sizes against
+    // the cores this JVM is entitled to and the builds actually in
+    // flight — registered for the insert phase only, so a finished
+    // block's slice is immediately reusable by a straggler.
+    val autoSized = buildThreads == 0 && n >= 2048
+    val threads =
+      if (buildThreads >= 1) buildThreads
+      else if (n < 2048) 1
+      else NswNavBuilder.beginAutoBuild()
+    try {
+      if (threads <= 1 || n < 2048) {
+        var i = 1
+        while (i < n) { insertOne(i); i += 1 }
+      } else {
+        // Dense deterministic core first, then workers pull ascending
+        // indices — a row's beam may race rows still linking below it
+        // (the `nb < limit` gate uses the index as an inserted-ness
+        // proxy), which is the standard concurrent-HNSW approximation.
+        val seed = math.min(1024, n)
+        var i = 1
+        while (i < seed) { insertOne(i); i += 1 }
+        val cursor = new java.util.concurrent.atomic.AtomicInteger(seed)
+        val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val workers = (0 until threads).map { _ =>
+          val t = new Thread(() => {
+            try {
+              var j = cursor.getAndIncrement()
+              while (j < n && failure.get() == null) {
+                insertOne(j)
+                j = cursor.getAndIncrement()
+              }
+            } catch { case e: Throwable => failure.compareAndSet(null, e) }
+          })
+          t.setDaemon(true)
+          t.start()
+          t
+        }
+        workers.foreach(_.join())
+        if (failure.get() != null) throw failure.get()
       }
-      workers.foreach(_.join())
-      if (failure.get() != null) throw failure.get()
-    }
+    } finally if (autoSized) NswNavBuilder.endAutoBuild()
 
     // ---- Reachability repair (the r11 0.975 recall plateau) ---------------
     // Best-first search can only find rows with a directed path from the
@@ -940,4 +963,60 @@ object NswNavBuilder {
     * taken, the width just makes them good ones.
     */
   val UpperEfSearch = 32
+
+  /** Auto pool-size ceiling: insertion throughput flattens past this
+    * (lock-striping contention on the hot adjacency rows), and one
+    * build must not monopolize a big box another build is about to
+    * share (CrossoverProbe measured ~diminishing returns past 8–16).
+    */
+  val MaxAutoThreads = 16
+
+  /** Auto-sized graph builds currently in their insert phase in this
+    * JVM — the denominator that divides the local core budget. Tasks
+    * of one serve-build start together, so each sees the others
+    * registered and takes its fair slice; a straggler re-registering
+    * later sees fewer and takes more.
+    */
+  private val autoActive = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def autoActiveForTest: Int = autoActive.get()
+
+  private[db] def beginAutoBuild(): Int = autoThreads(autoActive.incrementAndGet())
+  private[db] def endAutoBuild(): Unit = autoActive.decrementAndGet()
+
+  /** Pool size for one auto-threaded build when `active` auto builds
+    * (this one included) are in flight in this JVM:
+    *   - on an executor with DECLARED cores (`spark.executor.cores`
+    *     set — any real cluster deploy), stay inside the task's own
+    *     entitlement (`spark.task.cpus`): the other slots run
+    *     concurrent tasks, and threading past the entitlement
+    *     oversubscribes the container;
+    *   - in local[n] / undeclared mode every slot shares one JVM, so
+    *     divide the JVM's core budget (the master's n, bounded by the
+    *     machine) among the builds actually in flight — the
+    *     few-big-blocks serve-build regime where task-count parallelism
+    *     leaves most cores idle.
+    */
+  private[graft] def autoThreads(active: Int): Int = {
+    val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf).orNull
+    val execCores = if (conf == null) 0 else conf.getInt("spark.executor.cores", 0)
+    if (execCores > 0) {
+      math.max(1, if (conf == null) 1 else conf.getInt("spark.task.cpus", 1))
+    } else {
+      val procs = Runtime.getRuntime.availableProcessors()
+      val budget = localMasterThreads(conf).map(math.min(_, procs)).getOrElse(procs)
+      math.max(1, math.min(MaxAutoThreads, budget / math.max(1, active)))
+    }
+  }
+
+  /** The n of a `local[n]` master (None for `local[*]`, non-local, or
+    * unparseable — callers fall back to the machine's cores).
+    */
+  private def localMasterThreads(conf: org.apache.spark.SparkConf): Option[Int] = {
+    val master = if (conf == null) "" else conf.get("spark.master", "")
+    val m = "local\\[(\\d+)\\]".r
+    master match {
+      case m(n) => scala.util.Try(n.toInt).toOption.filter(_ > 0)
+      case _ => None
+    }
+  }
 }

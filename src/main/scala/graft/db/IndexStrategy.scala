@@ -137,7 +137,11 @@ object IndexStrategies {
     */
   final class Nsw(val m: Int = 16, val efConstruction: Int = 128,
                   val efSearch: Int = 96,
-                  val buildThreads: Int = 1,
+                  /** 0 (default) = auto-sized concurrent insertion —
+                    * cores-aware, [[NswNavBuilder.autoThreads]]; 1 =
+                    * deterministic single-threaded builds.
+                    */
+                  val buildThreads: Int = 0,
                   val hierarchy: Boolean = true) extends IndexStrategy {
     val name = VectorDB.IndexNsw
     val partitioned = false
@@ -156,7 +160,8 @@ object IndexStrategies {
     */
   final class IvfNsw(val m: Int = 16, val efConstruction: Int = 128,
                      val efSearch: Int = 96,
-                     val buildThreads: Int = 1,
+                     /** 0 (default) = auto — see [[Nsw.buildThreads]]. */
+                     val buildThreads: Int = 0,
                      val hierarchy: Boolean = true) extends IndexStrategy {
     val name = VectorDB.IndexIvfNsw
     val partitioned = true

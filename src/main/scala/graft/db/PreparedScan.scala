@@ -514,15 +514,71 @@ object PreparedScan {
             withDoc: Boolean = false,
             navBuilder: Option[NavBuilder] = None,
             chain: ChainInfo = ChainInfo.none,
-            navStore: Option[NavStore] = None): PreparedScan = {
+            navStore: Option[NavStore] = None,
+            blockStore: Option[BlockStore] = None): PreparedScan = {
     val blocks = blockify(codes, nWords, isFlat, isIvf, withBytes, withDoc,
-      navBuilder, layer = 0, navStore = navStore)
+      navBuilder, layer = 0, navStore = navStore, blockStore = blockStore)
     // One job materializes eagerly (serving opts into RAM residency)
     // AND counts the rows; a chain's churn policy reads the count too.
     val rows = materializedRows(blocks)
+    // Manifest LAST, driver-side, only once every block file landed —
+    // its presence is the warm path's all-or-nothing gate.
+    blockStore.foreach(_.writeManifestIfComplete(blocks.getNumPartitions, rows))
     new PreparedScan(blocks, nWords, null, chain.copy(baseRows = rows),
       rows, () => blocks.unpersist())
   }
+
+  /** Rebuild the serving tier PURELY from [[BlockStore]] files — the
+    * warm path for an unchanged snapshot: one IO-bound task per block
+    * streams the packed arrays back (CRC-gated), reattaches the block's
+    * persisted nav ([[NavStore]]) or rebuilds it, and pins the block.
+    * No codes⋈docs join, no shuffle, no Row materialization — the
+    * 47–74 s per-4M-block assembly wall becomes sequential reads.
+    * None when there is no complete, geometry-matching manifest or any
+    * block file fails its check — the caller falls back to the full
+    * build. Never wrong, only absent: every acceptance is validated
+    * (manifest geometry, per-file CRC, nav id remap).
+    */
+  def loadPersisted(sc: org.apache.spark.SparkContext,
+                    store: BlockStore, nWords: Int,
+                    navBuilder: Option[NavBuilder],
+                    navStore: Option[NavStore],
+                    chain: ChainInfo): Option[PreparedScan] =
+    store.readManifest().flatMap { nBlocks =>
+      val blocks = sc.parallelize(0 until nBlocks, nBlocks).mapPartitions { it =>
+        val pid = it.next()
+        val blk = store.tryLoadBlock(pid).getOrElse(
+          throw new PreparedScan.BlockLoadFailed(pid))
+        val nav = navBuilder.map { nb =>
+          navStore.flatMap(_.tryLoad(pid, blk.ids, blk.words, nWords)).getOrElse {
+            val built = nb.build(blk.ids, blk.words, nWords)
+            navStore.foreach(_.trySave(pid, built))
+            built
+          }
+        }.orNull
+        Iterator.single(blk.copy(nav = nav))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rows = materializedRows(blocks)
+        Some(new PreparedScan(blocks, nWords, null, chain.copy(baseRows = rows),
+          rows, () => blocks.unpersist()))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          blocks.unpersist(blocking = false)
+          org.slf4j.LoggerFactory.getLogger(classOf[PreparedScan]).warn(
+            s"persisted serving blocks rejected (falling back to a full " +
+              s"build): $e")
+          None
+      }
+    }
+
+  /** A block file failed its load inside the warm path's task — fails
+    * the job so the driver falls back to the full build (per-block
+    * fallback is impossible: the cold path's partitioning comes from
+    * the join, not from file indices).
+    */
+  private[db] final class BlockLoadFailed(pid: Int)
+      extends RuntimeException(s"persisted serving block $pid failed to load")
 
   /** Extend `base` with one incremental delta layer instead of
     * rebuilding: `windowRows` are the resolved live rows of the commit
@@ -590,7 +646,13 @@ object PreparedScan {
                          * delta layers pass None — their navs are
                          * O(batch) and not worth files.
                          */
-                       navStore: Option[NavStore] = None): RDD[Block] = {
+                       navStore: Option[NavStore] = None,
+                       /** Full builds under a nav strategy also persist
+                         * the packed block arrays themselves, making the
+                         * next warm serve-build pure IO
+                         * ([[PreparedScan.loadPersisted]]).
+                         */
+                       blockStore: Option[BlockStore] = None): RDD[Block] = {
     val wordsCol =
       if (isFlat) array((0 until nWords).map(i => col(s"c$i")): _*).as("w")
       else col("code").as("w")
@@ -650,12 +712,15 @@ object PreparedScan {
           built
         }
       }.orNull
-      Iterator.single(Block(idArr, wordArr, cellArr,
+      val blk = Block(idArr, wordArr, cellArr,
         cellArr.distinct.sorted, chunks.toArray, byteLen,
         math.max(1, rowsPerChunk),
         if (withDoc) docs.result() else null,
         nav,
-        layer))
+        layer)
+      blockStore.foreach(
+        _.trySaveBlock(org.apache.spark.TaskContext.getPartitionId(), blk))
+      Iterator.single(blk)
     }.persist(StorageLevel.MEMORY_AND_DISK)
   }
 }

@@ -363,14 +363,21 @@ class VectorDB private (
     * against the live arrays.
     */
   private def sweepStaleNavDirs(current: String): Unit = {
-    val root = new Path(s"$folder/_nav")
-    if (!fs.exists(root)) return
-    fs.listStatus(root).map(_.getPath).foreach { d =>
-      if (d.getName != current) fs.delete(d, true)
+    Seq(s"$folder/_nav", s"$folder/_blocks").foreach { rootDir =>
+      val root = new Path(rootDir)
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath).foreach { d =>
+          if (d.getName != current) fs.delete(d, true)
+        }
     }
   }
 
   private def navDir(version: String): String = s"$folder/_nav/$version"
+
+  /** Per-block packed serving arrays ([[BlockStore]]) — swept with
+    * `_nav` above, same staleness rule.
+    */
+  private def blocksDir(version: String): String = s"$folder/_blocks/$version"
 
   /** Writer-side orphan GC for persisted selector manifests: a
     * building JVM that died leaves `_selectors/sel-*` dirs no catalog
@@ -1473,19 +1480,36 @@ class VectorDB private (
     // full serve-builds reload each block's persisted adjacency when
     // fresh instead of paying the graph build again (the NSW strategy's
     // whole price — ~66 s/1M-row block), and persist what they build.
+    lazy val confProps = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = scala.collection.mutable.ArrayBuilder.make[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
     val navStore = nav.map { nb =>
-      val confProps = {
-        val it = spark.sparkContext.hadoopConfiguration.iterator()
-        val b = scala.collection.mutable.ArrayBuilder.make[(String, String)]
-        while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
-        b.result()
-      }
       fs.mkdirs(new Path(navDir(lastSeenVersion)))
       new NavStore(navDir(lastSeenVersion), confProps, nb)
     }
-    val scan = PreparedScan.build(fused, nWords, isFlat, isIvf,
-      withBytes = true, withDoc = true,
-      navBuilder = nav, chain = chain, navStore = navStore)
+    // Packed-block persistence rides the same trigger (a nav strategy —
+    // the expensive-rebuild regime): with both stores fresh, a warm
+    // serve-build at an unchanged snapshot skips the codes⋈docs join
+    // AND the per-block graph construction — pure IO
+    // ([[PreparedScan.loadPersisted]]; the r13 47–74 s warm wall).
+    val blockStore = nav.map { _ =>
+      fs.mkdirs(new Path(blocksDir(lastSeenVersion)))
+      new BlockStore(blocksDir(lastSeenVersion), confProps, nWords,
+        isIvf, withBytes = true, withDoc = true,
+        requestedBlocks = servingBlocks)
+    }
+    val scan = blockStore.flatMap { st =>
+      PreparedScan.loadPersisted(spark.sparkContext, st, nWords,
+        navBuilder = nav, navStore = navStore, chain = chain)
+    }.getOrElse {
+      PreparedScan.build(fused, nWords, isFlat, isIvf,
+        withBytes = true, withDoc = true,
+        navBuilder = nav, chain = chain, navStore = navStore,
+        blockStore = blockStore)
+    }
     // Loud sizing guard (GRAPHBENCH crossover): below ~1M rows per
     // block the linear scan's early-exited popcount walk already sits
     // on the job floor, so a graph strategy pays its build cost
@@ -1735,6 +1759,20 @@ class VectorDB private (
     * id allowlist rides the prepared scan's heap-insert check (the faiss
     * `IDSelectorBatch` shape — zero extra jobs, zero Catalyst); without
     * serving it falls back to the predicate path.
+    *
+    * Staleness contract for a handle HELD across commits: the allowlist
+    * is the predicate's match set AT COMPILE TIME. Probed against an
+    * incremental-serving chain whose head is newer, it composes with
+    * the shadowing map correctly for every id it knows — tombstoned ids
+    * vanish, rewritten ids serve their NEWEST payload (which may no
+    * longer satisfy the predicate) — but ids ADDED after compile are
+    * outside the allowlist and never returned (FilteredSearchSpec pins
+    * all three). For predicate-as-of-now semantics re-acquire via
+    * [[selectorCached]] (version-keyed — a commit makes re-acquisition
+    * compile fresh) or use the predicate overload. Note the no-serving
+    * fallback re-evaluates `sel.pred` against the CURRENT snapshot —
+    * as-of-now, not as-of-compile; don't hold one handle across commits
+    * while also toggling serving if the distinction matters.
     */
   def searchVectorWhere(q: Seq[Double], sel: DocSelector, k: Int,
                         binaryOversample: Int, int8Oversample: Int,

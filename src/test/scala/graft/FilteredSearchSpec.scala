@@ -135,6 +135,60 @@ class FilteredSearchSpec extends AnyFunSuite {
     db.disableServing()
   }
 
+  test("a held selector across commits keeps compile-time semantics on a served chain; re-acquire recompiles") {
+    // The staleness contract (VERDICT r13 #7): a DocSelector is an id
+    // allowlist compiled against ONE snapshot. Held across commits and
+    // probed against an incremental-serving CHAIN whose head is k
+    // commits later, it composes with the shadowing map correctly for
+    // everything it knew about — tombstones and upserts mask, payloads
+    // serve from the newest layer — but ids ADDED after compile are not
+    // in the allowlist, so the handle answers "the predicate as of
+    // compile time". selectorCached is keyed by snapshot version, so
+    // RE-ACQUIRING after a commit compiles fresh and sees the window.
+    val db = VectorDB.openOrCreate(spark, freshDir(),
+      storage = VectorDB.StorageMor).incrementalServing(absorbDepth = 0)
+    db.addDocuments(fixture(300))
+    db.enableServing()
+    val matching0 = db.docs.filter(pred).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val held = db.selectorCached(pred)
+    try {
+      // window: one NEW matching id, one existing match REWRITTEN to
+      // non-matching (its embedding moves too — exhaustive k absorbs)
+      val rewritten = matching0.min
+      db.addDocuments(Seq(
+        (9001L, "document number 9001 about topic 5 tail y"),
+        (rewritten, "document number rewritten about topic 11 tail")
+      ).toDF("doc_id", "text"))
+      val hitsHeld = db.searchVectorWhere(qv, held, 400, 400, 400,
+        Int.MaxValue).collect()
+      assert(db.servingChainForTest.exists(_.depth == 1),
+        "the commit must serve through a chain, not a rebuild")
+      val heldIds = hitsHeld.map(_.getLong(0)).toSet
+      assert(!heldIds.contains(9001L),
+        "an id added AFTER compile is outside the held allowlist")
+      assert(heldIds.contains(rewritten),
+        "a rewritten id stays in the held allowlist (compile-time set)")
+      // ...but its PAYLOAD serves from the chain's newest layer
+      val doc = hitsHeld.find(_.getLong(0) == rewritten).get.getString(4)
+      assert(doc.contains("topic 11"), s"stale payload served: $doc")
+      assert(heldIds - rewritten == matching0 - rewritten)
+
+      // re-acquire: version moved, the catalog compiles fresh
+      val fresh = db.selectorCached(pred)
+      try {
+        val freshIds = db.searchVectorWhere(qv, fresh, 400, 400, 400,
+          Int.MaxValue).collect().map(_.getLong(0)).toSet
+        assert(freshIds.contains(9001L))
+        assert(!freshIds.contains(rewritten))
+        assert(freshIds == matching0 - rewritten + 9001L)
+      } finally fresh.release()
+    } finally {
+      held.release()
+      db.disableServing()
+    }
+  }
+
   test("empty match set yields empty results, not an error") {
     val db = VectorDB.openOrCreate(spark, freshDir())
     db.addDocuments(fixture(60))

@@ -363,6 +363,30 @@ class NswIndexSpec extends AnyFunSuite {
     } finally IndexStrategies.register(new IndexStrategies.IvfNsw())
   }
 
+  test("auto buildThreads policy: bounded, fair-shared, entitlement-capped on declared executors") {
+    import graft.db.NswNavBuilder
+    spark.sparkContext // ensure a live SparkEnv (local master, no declared cores)
+    // local / undeclared mode: bounded by [1, MaxAutoThreads], and the
+    // per-build slice never grows as more builds share the JVM
+    val slices = (1 to 64).map(NswNavBuilder.autoThreads)
+    assert(slices.forall(t => t >= 1 && t <= NswNavBuilder.MaxAutoThreads))
+    assert(slices.zip(slices.tail).forall { case (a, b) => a >= b },
+      s"slice must be non-increasing in active builds: $slices")
+    // enough concurrent builds always degenerate to 1 thread each
+    assert(NswNavBuilder.autoThreads(1024) == 1)
+    // the explicit knob still wins: a 1-thread builder never registers
+    // as an auto build
+    val before = NswNavBuilder.autoActiveForTest
+    val n = 3000 // above the 2048 single-thread floor
+    val words = Array.tabulate(n)(i => i.toLong * 0x9e3779b97f4a7c15L)
+    val ids = Array.tabulate(n)(_.toLong)
+    new NswNavBuilder(4, 8, 16, buildThreads = 1).build(ids, words, 1)
+    assert(NswNavBuilder.autoActiveForTest == before)
+    // and an auto builder unregisters when its insert phase ends
+    new NswNavBuilder(4, 8, 16).build(ids, words, 1)
+    assert(NswNavBuilder.autoActiveForTest == before)
+  }
+
   private def qVec(text: String): Seq[Double] = {
     val emb = new HashingEmbedder()
     spark.range(1).select(
