@@ -16,11 +16,13 @@ BATCH="${6:-2000}"
 OUT="INCBENCH_r${ROUND}.json"
 # True-geometry serving blocks (enableServing(blocks) pin, r12) are
 # 250k rows each at the defaults: the NSW graph build inside them needs
-# the same intra-block parallelism the GraphBench runs use, or every
-# serve build/flatten is a single-threaded ~75 s wall (INCBENCH_r13's
-# first draw) instead of ~15 s.
+# intra-block parallelism, or every serve build/flatten is a
+# single-threaded ~75 s wall (INCBENCH_r13_1thread) instead of ~15 s.
+# Since r14 the builder auto-sizes (buildThreads = 0 divides the JVM's
+# core budget among in-flight builds); the default run exercises that
+# auto path — export SPARK_GRAFT_GRAPH_BUILD_THREADS to pin a width.
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
-SPARK_GRAFT_GRAPH_BUILD_THREADS="${SPARK_GRAFT_GRAPH_BUILD_THREADS:-8}" \
+SPARK_GRAFT_GRAPH_BUILD_THREADS="${SPARK_GRAFT_GRAPH_BUILD_THREADS:-0}" \
   scripts/run.sh graft.IncBench "$N" "$DIM" "$NB" "$COMMITS" "$BATCH" \
   | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

@@ -157,7 +157,8 @@ private[graft] object BlockCache {
     * instance over the folder adopts the flattened tier instead of
     * keeping its own chain.
     */
-  private[db] def absorbedVersion(v: String): String = v + "#absorbed"
+  private[db] val AbsorbedSuffix = "#absorbed"
+  private[db] def absorbedVersion(v: String): String = v + AbsorbedSuffix
 
   /** Take a reference on (key, version) ONLY if a live entry already
     * exists — never builds. The absorbed-twin lookup on the serving
@@ -197,6 +198,24 @@ private[graft] object BlockCache {
         if (e.scan.isAlive) e.scan.unpersist()
       }
     }
+  }
+
+  /** Snapshot versions with a live referenced entry for `folder` in
+    * this JVM — the commit-time `_nav`/`_blocks` sweep keeps these dirs
+    * so a pinned scan's partition lost to storage failure can stream
+    * its block file back instead of dying on a deleted path. Absorbed
+    * twins report their underlying version (the dir name on disk).
+    */
+  private[db] def liveVersionsFor(folder: String): Set[String] = synchronized {
+    val b = Set.newBuilder[String]
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val ((k, v), entry) = (e.getKey, e.getValue)
+      if (k.folder == folder && entry.refs > 0 && entry.scan.isAlive)
+        b += v.stripSuffix(AbsorbedSuffix)
+    }
+    b.result()
   }
 
   /** Test hook: live entry count for a folder (any version). */

@@ -361,14 +361,61 @@ class VectorDB private (
     * still writing into a swept dir costs that build a persist warning
     * (and a rebuild next open), never correctness — loads validate ids
     * against the live arrays.
+    *
+    * Versions still pinned by a live [[BlockCache]] entry in this JVM
+    * are KEPT: a warm-loaded scan's partitions recompute from their
+    * `_blocks` files ([[PreparedScan.loadPersisted]]), so deleting the
+    * dir under a pinned scan would turn a storage-loss recompute into a
+    * permanent [[PreparedScan.BlockLoadFailed]] — unlike the cold
+    * path, whose lineage reads the retained versioned parquet. Kept
+    * names are remembered and re-swept by THIS writer once the serving
+    * refresh releases the old reference ([[retryDeferredNavSweep]]) —
+    * only the committer deletes, so a lagging reader can never sweep a
+    * version newer than the one it has seen. (Another APPLICATION
+    * pinning the old version is outside this registry — same cross-JVM
+    * snapshot contract as the marker cache itself; its recompute falls
+    * back to a full rebuild at its next serve-enable.)
     */
   private def sweepStaleNavDirs(current: String): Unit = {
+    val live = BlockCache.liveVersionsFor(cacheKey.folder)
+    val kept = Set.newBuilder[String]
     Seq(s"$folder/_nav", s"$folder/_blocks").foreach { rootDir =>
       val root = new Path(rootDir)
       if (fs.exists(root))
         fs.listStatus(root).map(_.getPath).foreach { d =>
-          if (d.getName != current) fs.delete(d, true)
+          if (d.getName != current) {
+            if (live.contains(d.getName)) kept += d.getName
+            else fs.delete(d, true)
+          }
         }
+    }
+    deferredNavSweep = deferredNavSweep ++ kept.result() - current
+  }
+
+  /** Stale `_nav`/`_blocks` version dirs the commit-time sweep kept
+    * because a live scan still pinned them — deleted once the holder
+    * releases. Writer-instance state: only the JVM that committed past
+    * these versions ever re-sweeps them.
+    */
+  @volatile private var deferredNavSweep: Set[String] = Set.empty
+
+  /** Delete deferred stale dirs whose version is no longer pinned —
+    * called after the serving refresh / disable releases a reference.
+    * Never touches the current version or anything still live.
+    */
+  private def retryDeferredNavSweep(): Unit = {
+    if (deferredNavSweep.isEmpty) return
+    val live = BlockCache.liveVersionsFor(cacheKey.folder)
+    val (stillLive, dead) = deferredNavSweep.partition(v =>
+      live.contains(v) || v == lastSeenVersion)
+    if (dead.nonEmpty) {
+      deferredNavSweep = stillLive
+      dead.foreach { v =>
+        Seq(s"$folder/_nav/$v", s"$folder/_blocks/$v").foreach { dir =>
+          try fs.delete(new Path(dir), true)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+      }
     }
   }
 
@@ -1226,6 +1273,7 @@ class VectorDB private (
     pendingPrevServing.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
     pendingPrevServing = None
     discardAbsorbed()
+    retryDeferredNavSweep()
   }
 
   /** Drop an unadopted background-absorbed tier (caller holds `this`). */
@@ -1293,6 +1341,7 @@ class VectorDB private (
                 // release the held-back reference.
                 if (!stashAdopted)
                   stash.foreach { case (v, _) => BlockCache.release(cacheKey, v) }
+                retryDeferredNavSweep()
               }
             case None => None
           }

@@ -145,6 +145,43 @@ class BlockPersistSpec extends AnyFunSuite {
     } finally db.disableServing()
   }
 
+  test("the commit-time sweep defers dirs a live scan still pins; the writer re-sweeps on release") {
+    // A warm-loaded scan's partitions recompute from their _blocks
+    // files, so the commit must NOT delete a version's dirs while some
+    // holder still serves it — a storage-loss recompute would die on
+    // the deleted path (BlockLoadFailed) with no fallback. A second
+    // instance over the same folder shares the v1 blocks through
+    // BlockCache and keeps serving its snapshot across the writer's
+    // commit; only after it releases may the writer finish the sweep.
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, index = VectorDB.IndexNsw)
+    db.addDocuments(corpus.toDF("doc_id", "text"))
+    db.enableServing()
+    val db2 = VectorDB.openOrCreate(spark, dir, index = VectorDB.IndexNsw)
+    db2.enableServing()
+    assert(db2.search("tok1 tok5", 5).collect().nonEmpty) // pin v1 on db2
+    val v1Dirs = new java.io.File(dir, "_blocks").listFiles.map(_.getName).toSet
+    assert(v1Dirs.size == 1)
+
+    db.addDocuments(Seq((9001L, "tok1 tok5 tok9")).toDF("doc_id", "text"))
+    // After the commit, db2 still pins the v1 scan, so its dirs must
+    // survive the sweep (the writer's own ref was dropped at commit).
+    val postCommit = new java.io.File(dir, "_blocks").listFiles.map(_.getName).toSet
+    assert(postCommit == v1Dirs,
+      s"a pinned version's _blocks dir must be deferred, not swept: $postCommit")
+
+    db2.disableServing() // last holder of v1 releases
+    // The writer's next serving refresh finishes the deferred sweep.
+    assert(hits(db, "tok1 tok5").nonEmpty)
+    try {
+      val afterRefresh = new java.io.File(dir, "_blocks").listFiles.map(_.getName).toSet
+      assert(afterRefresh.size == 1 && afterRefresh != v1Dirs,
+        s"the deferred dir must be swept once released, got $afterRefresh")
+      val navAfter = new java.io.File(dir, "_nav").listFiles.map(_.getName).toSet
+      assert(navAfter == afterRefresh, s"_nav must track _blocks: $navAfter")
+    } finally db.disableServing()
+  }
+
   test("a commit sweeps stale _blocks version dirs; the next build persists under the new version") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, index = VectorDB.IndexNsw)
