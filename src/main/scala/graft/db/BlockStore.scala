@@ -48,7 +48,17 @@ private[graft] final class BlockStore(
       * (0 = follow the join width). A manifest built under a different
       * pin is rejected — the caller's layout decision wins over reuse.
       */
-    requestedBlocks: Int) extends Serializable {
+    requestedBlocks: Int,
+    /** Merge-on-read folder (geometry-checked like the rest — a
+      * folder's storage mode never changes, so a mismatch only means a
+      * foreign/corrupt manifest). MOR manifests additionally carry the
+      * committed ceilings + fold ceilings the build snapshotted, which
+      * is what makes a RETAINED stale dir a warm-RESTART seed: a
+      * restarted process chain-extends from it with just the missed
+      * commit windows instead of paying the full cold build
+      * ([[VectorDB]] warm chain restart).
+      */
+    isMor: Boolean) extends Serializable {
 
   import BlockStore._
 
@@ -192,7 +202,9 @@ private[graft] final class BlockStore(
     * dir then stays manifest-less and the next open builds cold).
     * Atomic swap like every marker.
     */
-  def writeManifestIfComplete(nBlocks: Int, totalRows: Long): Unit =
+  def writeManifestIfComplete(nBlocks: Int, totalRows: Long,
+                              morCeilings: (Int, Int),
+                              morFolds: (Int, Int)): Unit =
     try {
       val fs = manifestPath.getFileSystem(conf)
       val present = (0 until nBlocks).forall(pid => fs.exists(blockPath(pid)))
@@ -201,12 +213,14 @@ private[graft] final class BlockStore(
         s"._manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = new java.io.DataOutputStream(fs.create(tmp, true))
       try {
-        out.writeInt(ManifestMagic); out.writeInt(FormatVersion)
+        out.writeInt(ManifestMagic); out.writeInt(ManifestVersion)
         out.writeInt(nWords)
         out.writeBoolean(isIvf); out.writeBoolean(withBytes)
-        out.writeBoolean(withDoc)
+        out.writeBoolean(withDoc); out.writeBoolean(isMor)
         out.writeInt(requestedBlocks); out.writeInt(nBlocks)
         out.writeLong(totalRows)
+        out.writeInt(morCeilings._1); out.writeInt(morCeilings._2)
+        out.writeInt(morFolds._1); out.writeInt(morFolds._2)
       } finally out.close()
       AtomicFiles.replacingRename(fs, conf, tmp, manifestPath)
     } catch {
@@ -215,11 +229,11 @@ private[graft] final class BlockStore(
           s"(the next open builds cold): $e")
     }
 
-  /** DRIVER: the persisted block count, iff a manifest exists and its
-    * geometry (words, layout flags, block-count pin) matches THIS
+  /** DRIVER: the persisted manifest, iff one exists and its geometry
+    * (words, layout flags, storage mode, block-count pin) matches THIS
     * store's. None gates the warm path off — the caller builds cold.
     */
-  def readManifest(): Option[Int] =
+  def readManifest(): Option[Manifest] =
     try {
       val fs = manifestPath.getFileSystem(conf)
       if (!fs.exists(manifestPath)) None
@@ -227,16 +241,20 @@ private[graft] final class BlockStore(
         val in = new java.io.DataInputStream(fs.open(manifestPath))
         try {
           if (in.readInt() != ManifestMagic) None
-          else if (in.readInt() != FormatVersion) None
+          else if (in.readInt() != ManifestVersion) None
           else if (in.readInt() != nWords) None
           else if (in.readBoolean() != isIvf) None
           else if (in.readBoolean() != withBytes) None
           else if (in.readBoolean() != withDoc) None
+          else if (in.readBoolean() != isMor) None
           else if (in.readInt() != requestedBlocks) None
           else {
             val nBlocks = in.readInt()
             in.readLong() // totalRows: informational
-            if (nBlocks > 0) Some(nBlocks) else None
+            val ceilings = (in.readInt(), in.readInt())
+            val folds = (in.readInt(), in.readInt())
+            if (nBlocks > 0) Some(Manifest(nBlocks, ceilings, folds))
+            else None
           }
         } finally in.close()
       }
@@ -249,6 +267,54 @@ object BlockStore {
   private val BlockMagic = 0x47424c4b    // "GBLK"
   private val ManifestMagic = 0x47424d46 // "GBMF"
   private val FormatVersion = 1
+  /** Manifest format: 2 added the storage mode + the MOR committed
+    * ceilings and fold ceilings the build snapshotted (the warm-restart
+    * window floor). Readers reject other versions — one cold rebuild
+    * after an upgrade, never a misread.
+    */
+  private val ManifestVersion = 2
+
+  /** A geometry-validated manifest: the persisted block count plus the
+    * MOR ceilings/folds recorded at build time ((0,0)s under COW).
+    */
+  final case class Manifest(nBlocks: Int, morCeilings: (Int, Int),
+                            morFolds: (Int, Int))
+
+  /** Manifest fields read WITHOUT the instance geometry checks — the
+    * commit-time sweep's retention probe (which dir is the newest
+    * complete MOR build = the warm-restart seed). `isMor=false` or a
+    * foreign/old-format manifest reads as None: COW dirs are never
+    * retention seeds (a COW version change rewrites tier files — there
+    * is no delta window to extend with).
+    */
+  private[db] def peekManifest(dirUri: String, conf: Configuration)
+      : Option[Manifest] =
+    try {
+      val p = new Path(dirUri, "_manifest")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = new java.io.DataInputStream(fs.open(p))
+        try {
+          if (in.readInt() != ManifestMagic) None
+          else if (in.readInt() != ManifestVersion) None
+          else {
+            in.readInt() // nWords
+            in.readBoolean(); in.readBoolean(); in.readBoolean() // layout
+            val isMor = in.readBoolean()
+            in.readInt() // requestedBlocks
+            val nBlocks = in.readInt()
+            in.readLong() // totalRows
+            val ceilings = (in.readInt(), in.readInt())
+            val folds = (in.readInt(), in.readInt())
+            if (isMor && nBlocks > 0) Some(Manifest(nBlocks, ceilings, folds))
+            else None
+          }
+        } finally in.close()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[BlockStore])
 

@@ -522,8 +522,11 @@ object PreparedScan {
     // AND counts the rows; a chain's churn policy reads the count too.
     val rows = materializedRows(blocks)
     // Manifest LAST, driver-side, only once every block file landed —
-    // its presence is the warm path's all-or-nothing gate.
-    blockStore.foreach(_.writeManifestIfComplete(blocks.getNumPartitions, rows))
+    // its presence is the warm path's all-or-nothing gate. It records
+    // the chain's MOR ceilings/folds: the snapshot window floor a warm
+    // RESTART extends from ((0,0)s under COW — never a seed).
+    blockStore.foreach(_.writeManifestIfComplete(blocks.getNumPartitions,
+      rows, chain.morCeilings, chain.morFolds))
     new PreparedScan(blocks, nWords, null, chain.copy(baseRows = rows),
       rows, () => blocks.unpersist())
   }
@@ -544,7 +547,8 @@ object PreparedScan {
                     navBuilder: Option[NavBuilder],
                     navStore: Option[NavStore],
                     chain: ChainInfo): Option[PreparedScan] =
-    store.readManifest().flatMap { nBlocks =>
+    store.readManifest().flatMap { manifest =>
+      val nBlocks = manifest.nBlocks
       val blocks = sc.parallelize(0 until nBlocks, nBlocks).mapPartitions { it =>
         val pid = it.next()
         val blk = store.tryLoadBlock(pid).getOrElse(

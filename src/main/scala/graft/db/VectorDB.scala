@@ -375,21 +375,59 @@ class VectorDB private (
     * pinning the old version is outside this registry — same cross-JVM
     * snapshot contract as the marker cache itself; its recompute falls
     * back to a full rebuild at its next serve-enable.)
+    *
+    * Under MOR + incremental serving ONE additional non-current dir is
+    * RETAINED — the newest complete build ([[warmRestartSeed]]): it is
+    * the warm-RESTART seed a fresh process chain-extends from
+    * ([[tryWarmChainRestart]]), and without retention the restarted
+    * writer's first commit would delete it before `enableServing` ever
+    * ran. Bounded by construction: one version's dirs, superseded (and
+    * then swept here) as soon as a newer build persists.
     */
   private def sweepStaleNavDirs(current: String): Unit = {
     val live = BlockCache.liveVersionsFor(cacheKey.folder)
+    val seed = warmRestartSeed(current)
     val kept = Set.newBuilder[String]
     Seq(s"$folder/_nav", s"$folder/_blocks").foreach { rootDir =>
       val root = new Path(rootDir)
       if (fs.exists(root))
         fs.listStatus(root).map(_.getPath).foreach { d =>
-          if (d.getName != current) {
+          if (d.getName != current && !seed.contains(d.getName)) {
             if (live.contains(d.getName)) kept += d.getName
             else fs.delete(d, true)
           }
         }
     }
     deferredNavSweep = deferredNavSweep ++ kept.result() - current
+  }
+
+  /** The warm-restart seed: among the NON-current persisted `_blocks`
+    * builds, the one whose manifest records the highest MOR commit
+    * ceilings at the CURRENT fold ceilings — the build a restarted
+    * process can chain-extend with the fewest missed windows. None
+    * under COW or with incremental serving off (no chain to extend —
+    * the sweeps then behave exactly as before), and None for any dir
+    * whose folds mismatch (a compaction folded the windows a chain
+    * would read; such seeds are dead weight and get swept). Reads one
+    * small `_manifest` per candidate dir — there are at most a couple,
+    * the sweeps themselves keep it that way.
+    */
+  private def warmRestartSeed(current: String): Option[String] = {
+    if (!isMor || incServingChurnFrac <= 0) return None
+    val root = new Path(s"$folder/_blocks")
+    if (!fs.exists(root)) return None
+    val foldsNow = (codesMor.foldCeiling(), docsMor.foldCeiling())
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_ != current)
+      .flatMap { u =>
+        BlockStore.peekManifest(blocksDir(u), conf).collect {
+          case m if m.morFolds == foldsNow => (m.morCeilings, u)
+        }
+      }
+      .sortBy(_._1)
+      .lastOption
+      .map(_._2)
   }
 
   /** Stale `_nav`/`_blocks` version dirs the commit-time sweep kept
@@ -401,13 +439,16 @@ class VectorDB private (
 
   /** Delete deferred stale dirs whose version is no longer pinned —
     * called after the serving refresh / disable releases a reference.
-    * Never touches the current version or anything still live.
+    * Never touches the current version, anything still live, or the
+    * warm-restart seed ([[warmRestartSeed]] — typically the released
+    * chain base itself, which is exactly the dir a restart needs).
     */
   private def retryDeferredNavSweep(): Unit = {
     if (deferredNavSweep.isEmpty) return
     val live = BlockCache.liveVersionsFor(cacheKey.folder)
+    val seed = warmRestartSeed(lastSeenVersion)
     val (stillLive, dead) = deferredNavSweep.partition(v =>
-      live.contains(v) || v == lastSeenVersion)
+      live.contains(v) || v == lastSeenVersion || seed.contains(v))
     if (dead.nonEmpty) {
       deferredNavSweep = stillLive
       dead.foreach { v =>
@@ -1328,7 +1369,7 @@ class VectorDB private (
                       }
                       extended match {
                         case Some(e) => stashAdopted = true; e
-                        case None => buildFullServing()
+                        case None => buildFullServing(allowWarmChain = true)
                       }
                     }
                     prepared = Some((cur, ps))
@@ -1506,7 +1547,17 @@ class VectorDB private (
     t.start()
   }
 
-  private def buildFullServing(): PreparedScan = {
+  /** Build the full serving tier at the current snapshot. Resolution
+    * order: (1) warm-load this version's persisted `_blocks`/`_nav`
+    * (pure IO — unchanged snapshot); (2) with `allowWarmChain`, warm-
+    * load the RETAINED previous build's blocks and chain-extend them
+    * with the missed MOR commit windows (restart latency = block IO +
+    * O(missed batches) instead of the full cold build); (3) the cold
+    * codes⋈docs build. The absorb daemon passes `allowWarmChain=false`:
+    * its whole purpose is a depth-0 flatten — handing it a chain back
+    * would re-trigger itself forever.
+    */
+  private def buildFullServing(allowWarmChain: Boolean = false): PreparedScan = {
     val joined = codes.join(
       docs.select(col("doc_id"), col("doc"), col("emb_int8")),
       Seq("doc_id"))
@@ -1548,11 +1599,13 @@ class VectorDB private (
       fs.mkdirs(new Path(blocksDir(lastSeenVersion)))
       new BlockStore(blocksDir(lastSeenVersion), confProps, nWords,
         isIvf, withBytes = true, withDoc = true,
-        requestedBlocks = servingBlocks)
+        requestedBlocks = servingBlocks, isMor = isMor)
     }
     val scan = blockStore.flatMap { st =>
       PreparedScan.loadPersisted(spark.sparkContext, st, nWords,
         navBuilder = nav, navStore = navStore, chain = chain)
+    }.orElse {
+      if (allowWarmChain) tryWarmChainRestart(nav, confProps) else None
     }.getOrElse {
       PreparedScan.build(fused, nWords, isFlat, isIvf,
         withBytes = true, withDoc = true,
@@ -1580,6 +1633,79 @@ class VectorDB private (
     }
     sizingWarning.foreach(w => VectorDB.log.warn(w))
     scan
+  }
+
+  /** WARM RESTART across commits (MOR + incremental serving): when the
+    * current version has no persisted blocks (commits since the last
+    * full build were chain-extended in a process that is gone), warm-
+    * load the RETAINED previous build's `_blocks`/`_nav` — the seed the
+    * commit-time sweep keeps, [[sweepStaleNavDirs]] — and chain-extend
+    * it with the missed commit windows through the SAME machinery a
+    * live refresh uses ([[tryExtendServing]]): restart latency becomes
+    * sequential block IO + O(missed batches) instead of the full
+    * codes⋈docs build (+ per-block graph construction, the nav
+    * strategies' dominant cost). Every eligibility rule of a live
+    * extension applies unchanged — fold ceilings must match (a
+    * compaction folds the windows a chain would read), the window's
+    * touched set and cumulative churn stay bounded — and any
+    * ineligibility falls back to the cold build, so the path is never
+    * wrong, only absent. The loaded base registers in [[BlockCache]]
+    * under ITS version (the chain's partitions recompute from those
+    * block files — the sweep must keep pinning them), and the chain
+    * holds that reference exactly like a live refresh's stash.
+    */
+  private def tryWarmChainRestart(nav: Option[NavBuilder],
+                                  confProps: Array[(String, String)])
+      : Option[PreparedScan] = {
+    if (!isMor || incServingChurnFrac <= 0 || nav.isEmpty) return None
+    val root = new Path(s"$folder/_blocks")
+    if (!fs.exists(root)) return None
+    val cur = lastSeenVersion
+    val (ccNow, dcNow) = committedCeilings()
+    val foldsNow = (codesMor.foldCeiling(), docsMor.foldCeiling())
+    // Newest eligible seed = max recorded ceilings. tryExtendServing
+    // needs BOTH tiers strictly ahead of the base's floor, so filter
+    // that here and skip doomed loads.
+    val best = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_ != cur)
+      .flatMap { u =>
+        val st = new BlockStore(blocksDir(u), confProps, nWords,
+          isIvf, withBytes = true, withDoc = true,
+          requestedBlocks = servingBlocks, isMor = isMor)
+        st.readManifest().collect {
+          case m if m.morFolds == foldsNow &&
+            m.morCeilings._1 < ccNow && m.morCeilings._2 < dcNow =>
+            (u, st, m)
+        }
+      }
+      .sortBy { case (_, _, m) => (m.morCeilings._1, m.morCeilings._2) }
+      .lastOption
+    best.flatMap { case (u, st, m) =>
+      val navStoreU = nav.map(nb => new NavStore(navDir(u), confProps, nb))
+      val baseChain = PreparedScan.ChainInfo(0, -1L, 0L,
+        m.morCeilings, m.morFolds)
+      // Get-or-load under the base's version: another instance may hold
+      // these blocks resident already; otherwise the load streams them
+      // back (CRC-gated; a corrupt file fails the whole attempt).
+      var loaded = false
+      val base =
+        try Some(BlockCache.acquire(cacheKey, u) {
+          loaded = true
+          PreparedScan.loadPersisted(spark.sparkContext, st, nWords,
+            navBuilder = nav, navStore = navStoreU, chain = baseChain)
+            .getOrElse(throw new PreparedScan.BlockLoadFailed(-1))
+        })
+        catch { case scala.util.control.NonFatal(_) => None }
+      base.flatMap { b =>
+        val ext = tryExtendServing(u, b)
+        if (ext.isEmpty) BlockCache.release(cacheKey, u)
+        else VectorDB.log.info(
+          s"warm chain restart: loaded persisted blocks of $u " +
+            s"(${if (loaded) "from disk" else "resident"}) and adopted " +
+            s"the missed commit window up to ceilings ($ccNow, $dcNow)")
+        ext
+      }
+    }
   }
 
   /** Set by the serving-tier build when a graph (NavBuilder) strategy
