@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions.col
   *                            `PROBE: WATCH ok=<bool> distinct=<k> last=<n>`
   *                            (ok = counts stayed monotonic, ≤ maxN,
   *                            and no read ever threw)
+  *  - warmserve <query>     → enable incremental serving in THIS fresh
+  *                            JVM (the restarted process) and report
+  *                            how the tier came up:
+  *                            `PROBE: WARMSERVE loads=<l> saves=<s>
+  *                            depth=<d> ids=<csv>` (loads>0 + saves=0 +
+  *                            depth=1 = a warm chain restart from the
+  *                            retained seed, no cold rebuild)
   */
 object CrossJvmProbe {
   def main(args: Array[String]): Unit = {
@@ -97,6 +104,28 @@ object CrossJvmProbe {
         }
         if (err != null) System.err.println(s"[watch] $err")
         println(s"PROBE: WATCH ok=$ok distinct=$distinct last=$last")
+      case "warmserve" =>
+        // The REAL restarted process of the warm-restart story
+        // (WarmRestartSpec simulates it with same-JVM fresh instances;
+        // this closes the gap): enable serving in a JVM whose
+        // BlockCache is genuinely empty and report how the tier came
+        // up — block loads (seed streamed from disk), block saves
+        // (0 = no cold rebuild persisted), the chain depth (1 = the
+        // missed windows landed as one extension layer), and the
+        // top-k ids for the caller's exactness check.
+        val query = args(2)
+        db.incrementalServing(absorbDepth = 0)
+        val loads0 = graft.db.BlockStore.loadsForTest.get()
+        val saves0 = graft.db.BlockStore.savesForTest.get()
+        db.enableServing()
+        val info = db.servingInfo()
+        val ids = db.search(query, 10).collect()
+          .map(_.getAs[Long]("doc_id")).mkString(",")
+        val loads = graft.db.BlockStore.loadsForTest.get() - loads0
+        val saves = graft.db.BlockStore.savesForTest.get() - saves0
+        db.disableServing()
+        println(s"PROBE: WARMSERVE loads=$loads saves=$saves " +
+          s"depth=${info.chainDepth} ids=$ids")
       case other =>
         throw new IllegalArgumentException(s"unknown probe command: $other")
     }

@@ -156,4 +156,42 @@ class CrossJvmSpec extends AnyFunSuite {
       "the second JVM must adopt the manifest, not recompile")
     db.clearSelectorCache()
   }
+
+  test("a REAL restarted process warm-restarts from the retained seed and serves the missed window") {
+    // WarmRestartSpec simulates the restart with same-JVM fresh
+    // instances; here the restarted process is an actual second JVM
+    // whose BlockCache is genuinely empty: it must come up by streaming
+    // the retained seed's packed blocks (loads > 0) and chain-extending
+    // the commits it missed (depth = 1) — never by the cold rebuild
+    // (saves = 0) — and serve exactly what this JVM's Catalyst path
+    // computes at the same snapshot, tombstone included.
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir,
+      storage = VectorDB.StorageMor, index = VectorDB.IndexNsw)
+      .incrementalServing(absorbDepth = 0)
+    db.addDocuments(fixture(0 until 60))
+    db.enableServing()
+    assert(db.search("document number 3", 5).collect().nonEmpty)
+    db.disableServing() // seed persisted at v1, nothing pins it
+
+    // the missed window: an add, an upsert, and a tombstone
+    db.addDocuments(Seq((1000L, "document number 1000 topic 3")).toDF("doc_id", "text"))
+    db.addDocuments(Seq((3L, "document number 3 rewritten topic 5")).toDF("doc_id", "text"))
+    db.removeDocs(Seq(4L))
+
+    val query = "document number 3"
+    val want = db.search(query, 10).collect()
+      .map(_.getAs[Long]("doc_id")).mkString(",") // Catalyst path: exact
+
+    val line = probe("warmserve", dir, query)
+    val m = ("PROBE: WARMSERVE loads=(\\d+) saves=(\\d+) depth=(\\d+) " +
+      "ids=(.*)").r.findFirstMatchIn(line).getOrElse(
+      fail(s"unparseable probe line: $line"))
+    assert(m.group(1).toInt > 0, s"the restart must stream the seed: $line")
+    assert(m.group(2).toInt == 0, s"no cold rebuild may persist: $line")
+    assert(m.group(3).toInt == 1, s"missed window must be ONE layer: $line")
+    assert(m.group(4) == want,
+      s"restarted serving diverged from the Catalyst twin: got " +
+        s"${m.group(4)}, want $want")
+  }
 }
