@@ -861,15 +861,17 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
         out.writeInt(NswNavBuilder.FileVersion)
         out.writeInt(m); out.writeInt(efConstruction)
         out.writeInt(ids.length); out.writeInt(nWords); out.writeInt(maxDeg)
-        var i = 0
-        while (i < ids.length) { out.writeLong(ids(i)); i += 1 }
-        i = 0
-        while (i < degree.length) { out.writeInt(degree(i)); i += 1 }
-        i = 0
-        while (i < neighbors.length) { out.writeInt(neighbors(i)); i += 1 }
+        // Slab-coded bulk arrays (byte-identical to element-wise
+        // writeLong/writeInt — big-endian, same order — but the
+        // adjacency alone is rows·2m ints, 512 MB at a 4M-row block,
+        // and per-element DataOutputStream writes push every byte
+        // through a single-byte CRC32 update: measured ~30 s/block of
+        // pure call overhead on the warm path, r14).
+        BlockStore.writeLongs(out, ids)
+        BlockStore.writeInts(out, degree)
+        BlockStore.writeInts(out, neighbors)
         out.writeInt(orphans.length)
-        i = 0
-        while (i < orphans.length) { out.writeInt(orphans(i)); i += 1 }
+        BlockStore.writeInts(out, orphans)
         out.writeInt(stats._1); out.writeInt(stats._2)
         true
       case _ => false
@@ -891,12 +893,14 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
     if (in.readInt() != nWords) return None
     val maxDeg = in.readInt()
     if (maxDeg != 2 * m) return None
-    val savedIds = new Array[Long](n)
-    var i = 0
-    while (i < n) { savedIds(i) = in.readLong(); i += 1 }
+    // Slab-coded bulk reads (mirror of saveNav — the format is
+    // byte-identical to element-wise readLong/readInt, but the bulk
+    // path CRCs and decodes in 8 MB slabs instead of pushing 512 MB of
+    // adjacency through per-byte stream calls).
+    val savedIds = BlockStore.readLongs(in, n)
     // saved row -> this build's row, via the id correspondence
     val newRowOf = new scala.collection.mutable.LongMap[Int](n * 2)
-    i = 0
+    var i = 0
     while (i < n) { newRowOf(ids(i)) = i; i += 1 }
     if (newRowOf.size != n) return None // duplicate ids: never valid
     val savedToNew = new Array[Int](n)
@@ -908,12 +912,8 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
       }
       i += 1
     }
-    val savedDeg = new Array[Int](n)
-    i = 0
-    while (i < n) { savedDeg(i) = in.readInt(); i += 1 }
-    val savedNb = new Array[Int](math.max(n, 1) * maxDeg)
-    i = 0
-    while (i < savedNb.length) { savedNb(i) = in.readInt(); i += 1 }
+    val savedDeg = BlockStore.readInts(in, n)
+    val savedNb = BlockStore.readInts(in, math.max(n, 1) * maxDeg)
     val degree = new Array[Int](n)
     val neighbors = new Array[Int](math.max(n, 1) * maxDeg)
     var s = 0
@@ -933,10 +933,10 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
     }
     val nOrph = in.readInt()
     if (nOrph < 0 || nOrph > n) return None
-    val orphans = new Array[Int](nOrph)
+    val orphans = BlockStore.readInts(in, nOrph)
     i = 0
     while (i < nOrph) {
-      val o = in.readInt()
+      val o = orphans(i)
       if (o < 0 || o >= n) return None
       orphans(i) = savedToNew(o)
       i += 1
