@@ -23,8 +23,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// -Xms = -Xmx mirrors how Spark launches real executors (and is what
+// the serving tier's warm loads assume): with a growable heap, G1
+// interleaves multi-GB first-touch allocation with heap-expansion
+// pauses — BlockCodecProbe measured a 2.4 GB block load at 9.6 s on a
+// default-Xms JVM vs 0.94 s on a fixed heap, all CPU, zero IO delta.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -898,47 +898,79 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
     // path CRCs and decodes in 8 MB slabs instead of pushing 512 MB of
     // adjacency through per-byte stream calls).
     val savedIds = BlockStore.readLongs(in, n)
-    // saved row -> this build's row, via the id correspondence
-    val newRowOf = new scala.collection.mutable.LongMap[Int](n * 2)
-    var i = 0
-    while (i < n) { newRowOf(ids(i)) = i; i += 1 }
-    if (newRowOf.size != n) return None // duplicate ids: never valid
-    val savedToNew = new Array[Int](n)
-    i = 0
-    while (i < n) {
-      newRowOf.get(savedIds(i)) match {
-        case Some(r) => savedToNew(i) = r
-        case None => return None // different id set: stale file
+    // Identity fast path: on the warm serve path the block arrays come
+    // from the SAME persisted build as this nav (BlockStore streams the
+    // save-time row order back verbatim), so the id orders match and
+    // the whole remap — LongMap build + per-edge translation over
+    // rows·2m ints — is skipped; only the bounds validation remains.
+    // The remap below stays for the mixed case (nav file fresh, block
+    // arrays re-assembled by the join, whose fetch order is
+    // run-dependent).
+    val identityOrder = java.util.Arrays.equals(savedIds, ids)
+    val savedToNew: Array[Int] =
+      if (identityOrder) null
+      else {
+        // saved row -> this build's row, via the id correspondence
+        val newRowOf = new scala.collection.mutable.LongMap[Int](n * 2)
+        var i = 0
+        while (i < n) { newRowOf(ids(i)) = i; i += 1 }
+        if (newRowOf.size != n) return None // duplicate ids: never valid
+        val s2n = new Array[Int](n)
+        i = 0
+        while (i < n) {
+          newRowOf.get(savedIds(i)) match {
+            case Some(r) => s2n(i) = r
+            case None => return None // different id set: stale file
+          }
+          i += 1
+        }
+        s2n
       }
-      i += 1
-    }
     val savedDeg = BlockStore.readInts(in, n)
     val savedNb = BlockStore.readInts(in, math.max(n, 1) * maxDeg)
-    val degree = new Array[Int](n)
-    val neighbors = new Array[Int](math.max(n, 1) * maxDeg)
-    var s = 0
-    while (s < n) {
-      val r = savedToNew(s)
-      val d = savedDeg(s)
-      if (d < 0 || d > maxDeg) return None
-      degree(r) = d
-      var j = 0
-      while (j < d) {
-        val nb = savedNb(s * maxDeg + j)
-        if (nb < 0 || nb >= n) return None
-        neighbors(r * maxDeg + j) = savedToNew(nb)
-        j += 1
+    val (degree, neighbors) =
+      if (identityOrder) {
+        var s = 0
+        while (s < n) {
+          val d = savedDeg(s)
+          if (d < 0 || d > maxDeg) return None
+          var j = 0
+          while (j < d) {
+            val nb = savedNb(s * maxDeg + j)
+            if (nb < 0 || nb >= n) return None
+            j += 1
+          }
+          s += 1
+        }
+        (savedDeg, savedNb)
+      } else {
+        val deg = new Array[Int](n)
+        val nbs = new Array[Int](math.max(n, 1) * maxDeg)
+        var s = 0
+        while (s < n) {
+          val r = savedToNew(s)
+          val d = savedDeg(s)
+          if (d < 0 || d > maxDeg) return None
+          deg(r) = d
+          var j = 0
+          while (j < d) {
+            val nb = savedNb(s * maxDeg + j)
+            if (nb < 0 || nb >= n) return None
+            nbs(r * maxDeg + j) = savedToNew(nb)
+            j += 1
+          }
+          s += 1
+        }
+        (deg, nbs)
       }
-      s += 1
-    }
     val nOrph = in.readInt()
     if (nOrph < 0 || nOrph > n) return None
     val orphans = BlockStore.readInts(in, nOrph)
-    i = 0
+    var i = 0
     while (i < nOrph) {
       val o = orphans(i)
       if (o < 0 || o >= n) return None
-      orphans(i) = savedToNew(o)
+      if (!identityOrder) orphans(i) = savedToNew(o)
       i += 1
     }
     val stats = (in.readInt(), in.readInt())

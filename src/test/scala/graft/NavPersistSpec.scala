@@ -1,6 +1,6 @@
 package graft
 
-import graft.db.{NavStore, VectorDB}
+import graft.db.{NavStore, NswNav, NswNavBuilder, VectorDB}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Snapshot-versioned persistence of per-block NSW graphs
@@ -112,5 +112,55 @@ class NavPersistSpec extends AnyFunSuite {
       assert(v2Dirs != v1Dirs, "the new build must key by the new snapshot")
       assert(navFiles(dir).nonEmpty)
     } finally db.disableServing()
+  }
+
+  test("nav codec: identity-order fast path and permuted-order remap both restore the topology") {
+    // The codec has two load branches: the identity fast path (warm
+    // serve-builds — the block arrays come from the same persisted
+    // build, so the save-time row order matches and the remap is
+    // skipped) and the remap (nav file fresh, block arrays re-assembled
+    // by the join in run-dependent order). Both must restore the SAME
+    // logical graph: each id keeps exactly its saved neighbor-id list.
+    val n = 3000
+    val nWords = 4
+    val rnd = new scala.util.Random(7)
+    val ids = Array.tabulate(n)(i => (i * 37 + 11).toLong)
+    val words = Array.fill(n * nWords)(rnd.nextLong())
+    val builder = new NswNavBuilder(8, 32, 64, buildThreads = 1)
+    val nav = builder.build(ids, words, nWords).asInstanceOf[NswNav]
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(builder.saveNav(nav, new java.io.DataOutputStream(bos)))
+    val bytes = bos.toByteArray
+
+    def load(withIds: Array[Long], withWords: Array[Long]): Option[NswNav] =
+      builder.loadNav(withIds, withWords, nWords,
+        new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)))
+        .map(_.asInstanceOf[NswNav])
+
+    def topology(nv: NswNav, navIds: Array[Long]): Map[Long, Seq[Long]] = {
+      val (nbs, deg, maxDeg) = nv.adjacencyView
+      navIds.indices.map { r =>
+        navIds(r) -> (0 until deg(r)).map(j => navIds(nbs(r * maxDeg + j)))
+          .sorted.toSeq
+      }.toMap
+    }
+    val want = topology(nav, ids)
+
+    val same = load(ids, words)
+    assert(same.isDefined, "identity order must load")
+    assert(topology(same.get, ids) == want)
+
+    val perm = rnd.shuffle((0 until n).toVector).toArray
+    val pIds = Array.tabulate(n)(i => ids(perm(i)))
+    val pWords = new Array[Long](n * nWords)
+    perm.indices.foreach(i =>
+      System.arraycopy(words, perm(i) * nWords, pWords, i * nWords, nWords))
+    val moved = load(pIds, pWords)
+    assert(moved.isDefined, "permuted order must load via the remap")
+    assert(topology(moved.get, pIds) == want,
+      "the remap must preserve every id's neighbor-id list")
+
+    val alien = ids.clone(); alien(0) += 1
+    assert(load(alien, words).isEmpty, "a foreign id set must reject")
   }
 }
