@@ -81,6 +81,25 @@ object RestartBench {
       median(qids.map(q => time(db.searchHits(queries(q), k = 10))))
     }
 
+    // SPARK_GRAFT_DROP_CACHES=1: drop the OS page cache before each
+    // restart row (needs root; fails soft). Turns the stated
+    // "favorable IO bound" caveat into a measured true-cold-host row:
+    // block/nav reads then hit the device (~350 MB/s on this box's
+    // virtio disk — dd-measured), not memory.
+    val dropCaches = sys.env.get("SPARK_GRAFT_DROP_CACHES").contains("1")
+    var cachesDropped = true
+    def maybeDropCaches(): Unit = if (dropCaches) {
+      try {
+        val p = java.nio.file.Paths.get("/proc/sys/vm/drop_caches")
+        java.nio.file.Files.write(p, "3\n".getBytes)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          cachesDropped = false
+          System.err.println(s"[restartbench] drop_caches failed " +
+            s"(rows stay page-cache-warm): $e")
+      }
+    }
+
     val dir = Graft.scratchDir("restart") + "/db"
     IndexStrategies.register(new IndexStrategies.Nsw()) // defaults, auto pool
     def open(): VectorDB = VectorDB.openOrCreate(spark, dir,
@@ -107,6 +126,7 @@ object RestartBench {
     println(rows.last)
 
     // ---- warm_same_version: restart, nothing committed while down ----
+    maybeDropCaches()
     val db2 = open()
     val warmMs = time(db2.enableServing(blocks = nBlocks))
     val warmHits = hitsMs(db2)
@@ -125,6 +145,7 @@ object RestartBench {
     }
 
     // ---- warm_chain_restart: fresh instance over the moved folder ----
+    maybeDropCaches()
     val db3 = open()
     val restartMs = time(db3.enableServing(blocks = nBlocks))
     val restartHits = hitsMs(db3)
@@ -140,6 +161,7 @@ object RestartBench {
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     Seq("_blocks", "_nav").foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true))
+    maybeDropCaches()
     val db4 = open()
     val coldRestartMs = time(db4.enableServing(blocks = nBlocks))
     val coldRestartHits = hitsMs(db4)
@@ -151,6 +173,7 @@ object RestartBench {
     println(
       f"""{"metric":"serving_restart","n":$n,"dim":$dim,"n_blocks":$nBlocks,""" +
         f""""n_queries":$nQueries,"ingest_s":$ingestS%.1f,""" +
+        s""""page_cache_dropped":${dropCaches && cachesDropped},""" +
         s""""rows":[${rows.mkString(",")}],""" +
         """"note":"restart walls of the MOR+incremental+NSW serving tier. """ +
         """cold_build = first serve-enable (join + assembly + graph build + persist); """ +
@@ -158,8 +181,9 @@ object RestartBench {
         """warm_chain_restart = seed reload + ONE chain layer holding the missed """ +
         """commit windows (chain_depth must read 1); cold_restart_no_seed = the """ +
         """same state without the retained seed, i.e. the pre-r14 wall. Fresh """ +
-        """same-JVM instances stand in for the restarted process; the OS page """ +
-        """cache makes the warm rows a favorable IO bound vs a true cold host."}""")
+        """same-JVM instances stand in for the restarted process; unless """ +
+        """page_cache_dropped is true (SPARK_GRAFT_DROP_CACHES=1, root), the OS """ +
+        """page cache makes the warm rows a favorable IO bound vs a true cold host."}""")
 
     spark.stop()
   }
