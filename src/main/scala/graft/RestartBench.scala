@@ -76,9 +76,18 @@ object RestartBench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
     }
-    def hitsMs(db: VectorDB): Double = {
+    /** (median hits wall, median Phase-I scan-job wall) — the delta is
+      * the job floor + phases II/III + anything pathological (GC,
+      * recompute), which is what separates a slow scan from a slow
+      * everything-else when a restart row's queries read high.
+      */
+    def hitsMs(db: VectorDB): (Double, Double) = {
       db.searchHits(queries(qids.head), k = 10) // warm
-      median(qids.map(q => time(db.searchHits(queries(q), k = 10))))
+      val (ts, p1s) = qids.map { q =>
+        val ms = time(db.searchHits(queries(q), k = 10))
+        (ms, db.lastSearchTimings.map(_.phase1Ms).getOrElse(-1.0))
+      }.unzip
+      (median(ts), median(p1s))
     }
 
     // SPARK_GRAFT_DROP_CACHES=1: drop the OS page cache before each
@@ -120,20 +129,20 @@ object RestartBench {
 
     // ---- cold_build: the first serve-enable (includes persist) ----
     val coldMs = time(db1.enableServing(blocks = nBlocks))
-    val coldHits = hitsMs(db1)
+    val (coldHits, coldP1) = hitsMs(db1)
     db1.disableServing()
-    rows += f"""{"config":"cold_build","serve_ms":$coldMs%.0f,"hits_ms":$coldHits%.1f}"""
+    rows += f"""{"config":"cold_build","serve_ms":$coldMs%.0f,"hits_ms":$coldHits%.1f,"phase1_ms":$coldP1%.1f}"""
     println(rows.last)
 
     // ---- warm_same_version: restart, nothing committed while down ----
     maybeDropCaches()
     val db2 = open()
     val warmMs = time(db2.enableServing(blocks = nBlocks))
-    val warmHits = hitsMs(db2)
+    val (warmHits, warmP1) = hitsMs(db2)
     val warmDepth = db2.servingInfo().chainDepth
     db2.disableServing()
     rows += f"""{"config":"warm_same_version","serve_ms":$warmMs%.0f,""" +
-      f""""hits_ms":$warmHits%.1f,"chain_depth":$warmDepth}"""
+      f""""hits_ms":$warmHits%.1f,"phase1_ms":$warmP1%.1f,"chain_depth":$warmDepth}"""
     println(rows.last)
 
     // ---- the missed window: commits with nothing resident ----
@@ -148,11 +157,14 @@ object RestartBench {
     maybeDropCaches()
     val db3 = open()
     val restartMs = time(db3.enableServing(blocks = nBlocks))
-    val restartHits = hitsMs(db3)
+    val (restartHits, restartP1) = hitsMs(db3)
     val info = db3.servingInfo()
+    val (seedMs, extendMs) = db3.lastWarmRestartTimings.getOrElse((-1.0, -1.0))
     db3.disableServing()
     rows += f"""{"config":"warm_chain_restart","serve_ms":$restartMs%.0f,""" +
-      f""""hits_ms":$restartHits%.1f,"chain_depth":${info.chainDepth},""" +
+      f""""hits_ms":$restartHits%.1f,"phase1_ms":$restartP1%.1f,""" +
+      f""""seed_load_ms":$seedMs%.0f,"extend_ms":$extendMs%.0f,""" +
+      f""""chain_depth":${info.chainDepth},""" +
       f""""missed_batches":$missedBatches,"missed_rows":${missedBatches * batchRows}}"""
     println(rows.last)
 
@@ -164,10 +176,10 @@ object RestartBench {
     maybeDropCaches()
     val db4 = open()
     val coldRestartMs = time(db4.enableServing(blocks = nBlocks))
-    val coldRestartHits = hitsMs(db4)
+    val (coldRestartHits, coldRestartP1) = hitsMs(db4)
     db4.disableServing()
     rows += f"""{"config":"cold_restart_no_seed","serve_ms":$coldRestartMs%.0f,""" +
-      f""""hits_ms":$coldRestartHits%.1f}"""
+      f""""hits_ms":$coldRestartHits%.1f,"phase1_ms":$coldRestartP1%.1f}"""
     println(rows.last)
 
     println(

@@ -1688,6 +1688,7 @@ class VectorDB private (
       // these blocks resident already; otherwise the load streams them
       // back (CRC-gated; a corrupt file fails the whole attempt).
       var loaded = false
+      val tSeed0 = System.nanoTime()
       val base =
         try Some(BlockCache.acquire(cacheKey, u) {
           loaded = true
@@ -1696,8 +1697,11 @@ class VectorDB private (
             .getOrElse(throw new PreparedScan.BlockLoadFailed(-1))
         })
         catch { case scala.util.control.NonFatal(_) => None }
+      val tSeed1 = System.nanoTime()
       base.flatMap { b =>
         val ext = tryExtendServing(u, b)
+        lastWarmRestartTimings = Some(
+          ((tSeed1 - tSeed0) / 1e6, (System.nanoTime() - tSeed1) / 1e6))
         if (ext.isEmpty) BlockCache.release(cacheKey, u)
         else VectorDB.log.info(
           s"warm chain restart: loaded persisted blocks of $u " +
@@ -1707,6 +1711,13 @@ class VectorDB private (
       }
     }
   }
+
+  /** Diagnostic for the last [[tryWarmChainRestart]] attempt that got
+    * as far as a seed load: (seed block-load ms, chain-extension ms).
+    * Bench-facing (RestartBench) — locates a slow restart between the
+    * IO-bound seed reload and the window extension.
+    */
+  @volatile private[graft] var lastWarmRestartTimings: Option[(Double, Double)] = None
 
   /** Set by the serving-tier build when a graph (NavBuilder) strategy
     * is configured on a tier whose blocks are below the recorded
