@@ -1632,6 +1632,14 @@ class VectorDB private (
       else None
     }
     sizingWarning.foreach(w => VectorDB.log.warn(w))
+    // Heap-pressure guardrail (local mode only — on a cluster each
+    // executor holds tier/executors and declares its own memory): the
+    // r14 24-vs-48 GB A/B measured the warm serving paths collapsing
+    // under GC (chain restart 91 s / 106 ms hits vs 8.3 s / 27 ms)
+    // when the shared JVM's heap sat ~5× the packed tier bytes.
+    VectorDB.heapPressureWarning(scan.rowsLowerBound, dim, nWords,
+        Runtime.getRuntime.maxMemory(), spark.sparkContext.isLocal)
+      .foreach(w => VectorDB.log.warn(w))
     scan
   }
 
@@ -3095,6 +3103,40 @@ object VectorDB {
     */
   val NavCrossoverRows = 1000000L
   val IncServingRowsPerBlock = 262144L
+
+  /** Heap budget multiple under which the serve-build logs the GC
+    * hazard: the r14 restart A/B measured the warm serving paths
+    * collapsing (chain restart 91 s / 106 ms query medians vs
+    * 8.3 s / 27 ms, same code, same dropped page cache) on a shared
+    * local JVM whose heap sat ~5× the packed tier bytes — transient
+    * double-residency (seed + extension, absorb's documented 2×) plus
+    * G1's humongous-allocation behavior want real headroom. 6× warns
+    * a little before the measured cliff; a fresh single-purpose
+    * process may tolerate less, which the message says.
+    */
+  val HeapTierMultiple = 6L
+
+  /** The warning itself (pure — unit-specced at the boundary): rows ×
+    * packed bytes/row (id + code words + int8 payload + array
+    * overhead; doc strings EXCLUDED, so the estimate is a floor)
+    * against this JVM's max heap. None on a cluster (executors declare
+    * their own memory and hold tier/executors each).
+    */
+  private[graft] def heapPressureWarning(rows: Long, dim: Int, nWords: Int,
+                                         maxHeapBytes: Long,
+                                         localMode: Boolean): Option[String] = {
+    if (!localMode || rows <= 0) return None
+    val estBytes = rows * (8L + nWords * 8L + dim + 16L)
+    if (maxHeapBytes >= HeapTierMultiple * estBytes) None
+    else Some(
+      f"serving tier holds ≥${estBytes / 1e9}%.1f GB packed (docs excluded) " +
+        f"against a ${maxHeapBytes / 1e9}%.1f GB heap — under the " +
+        s"${HeapTierMultiple}× headroom where the r14 restart A/B measured " +
+        "GC collapse on a shared local JVM (ARCHITECTURE 'Packed-block " +
+        "persistence'). Size -Xmx (run.sh SPARK_DRIVER_MEM) up, or shard " +
+        "the tier across executors; a fresh single-purpose process may " +
+        "tolerate less headroom than this shared-JVM bound.")
+  }
   /** Windows whose delta files total at most this many bytes resolve
     * driver-side (one collect per tier, local last-writer-wins) instead
     * of through the distributed window plan — saves two Spark actions'

@@ -117,4 +117,23 @@ class VectorDBSpec extends AnyFunSuite {
     assert(re.model == "my-model")
     assert(re.dim == 64)
   }
+
+  test("heap-pressure warning fires exactly under the measured headroom bound") {
+    // The r14 restart A/B's shape: 4M × 1024-dim × 16 words packs
+    // ~4.7 GB — a 24 GB heap (the measured GC collapse) sits under the
+    // 6× bound and must warn; 48 GB (the measured recovery) must not.
+    def warn(heapGb: Long, local: Boolean = true) =
+      VectorDB.heapPressureWarning(4000000L, 1024, 16, heapGb << 30, local)
+    assert(warn(24).isDefined, "24 GB at the 4M geometry must warn")
+    assert(warn(48).isEmpty, "48 GB at the 4M geometry must not warn")
+    assert(warn(24, local = false).isEmpty, "cluster mode never warns")
+    assert(VectorDB.heapPressureWarning(600L, 1024, 16, 8L << 30,
+      localMode = true).isEmpty, "toy tiers never warn")
+    val est = 4000000L * (8L + 16 * 8L + 1024 + 16)
+    assert(VectorDB.heapPressureWarning(4000000L, 1024, 16,
+      VectorDB.HeapTierMultiple * est, localMode = true).isEmpty &&
+      VectorDB.heapPressureWarning(4000000L, 1024, 16,
+        VectorDB.HeapTierMultiple * est - 1, localMode = true).isDefined,
+      "the bound is exact at HeapTierMultiple x estimated tier bytes")
+  }
 }
