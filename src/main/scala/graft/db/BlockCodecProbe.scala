@@ -91,7 +91,28 @@ object BlockCodecProbe {
     i = 0
     while (i < neighbors.length) { neighbors(i) = rnd.nextInt(rows); i += 1 }
     val degree = Array.fill(rows)(maxDeg)
-    val nav = new NswNav(ids, words, nWords, neighbors, degree, maxDeg, 96)
+    // Attach a synthetic upper layer shaped like a real build's (1/256
+    // stride sample, full degree): without it the loader falls into
+    // the buildUpper REBUILD branch and the probe measures graph
+    // construction, not the v2 codec's persisted-hierarchy path.
+    val upper =
+      if (rows < NswNavBuilder.UpperMinRows) null
+      else {
+        val upN = rows / NswNavBuilder.UpperFraction
+        val stride = rows / upN
+        val upMap = Array.tabulate(upN)(j => j * stride)
+        val upIds = upMap.map(ids)
+        val upWords = new Array[Long](upN * nWords)
+        upMap.indices.foreach(j =>
+          System.arraycopy(words, upMap(j) * nWords, upWords, j * nWords, nWords))
+        val upNb = Array.fill(upN * maxDeg)(rnd.nextInt(upN))
+        (new NswNav(upIds, upWords, nWords, upNb, Array.fill(upN)(maxDeg),
+          maxDeg, NswNavBuilder.UpperEfSearch), upMap)
+      }
+    val nav =
+      if (upper == null) new NswNav(ids, words, nWords, neighbors, degree, maxDeg, 96)
+      else new NswNav(ids, words, nWords, neighbors, degree, maxDeg, 96,
+        upper._1, upper._2)
     val navBuilder = new NswNavBuilder(m, 128, 96)
     val navStore = new NavStore(dir.toUri.toString, Array.empty, navBuilder)
     val navSaveS = sec(navStore.trySave(0, nav))

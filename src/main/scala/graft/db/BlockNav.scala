@@ -290,6 +290,12 @@ final class NswNav(
   private[graft] def identityView: (Array[Long], Int, Array[Int], (Int, Int)) =
     (ids, nWords, orphans, repairStats)
 
+  /** Persistence/diagnostic view of the sampled hierarchy layer:
+    * (upper nav, this-block row of each upper row), null fields when
+    * the block is below the size threshold (or hierarchy off).
+    */
+  private[graft] def upperView: (NswNav, Array[Int]) = (upper, upperMap)
+
   /** Diagnostic (OrphanProbe, specs): rows with NO directed path from
     * the stride entries — the structural-unreachability residue a
     * best-first search can never visit regardless of `ef < n`. With the
@@ -849,8 +855,13 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
   /** Persist the graph's derived state: builder params (a graph built
     * under different m/efConstruction has different quality — never
     * silently adopted), geometry, the SAVE-TIME id order, adjacency,
-    * and the orphan sweep list. Words are NOT written (the block
-    * carries them; ids at a fixed snapshot version determine them).
+    * the orphan sweep list, and (v2) the sampled hierarchy layers.
+    * Words are NOT written (the block carries them; ids at a fixed
+    * snapshot version determine them) — the upper layers' sampled word
+    * copies are likewise rebuilt from the block arrays at load, only
+    * their ADJACENCY (the expensive part: the r14 identity-fast-path
+    * profile left the deterministic upper REBUILD as the dominant
+    * ~1–1.5 s of a warm nav load) rides the file.
     */
   override def saveNav(nav: BlockNav, out: java.io.DataOutputStream): Boolean =
     nav match {
@@ -873,9 +884,98 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
         out.writeInt(orphans.length)
         BlockStore.writeInts(out, orphans)
         out.writeInt(stats._1); out.writeInt(stats._2)
+        writeUpper(nsw, out)
         true
       case _ => false
     }
+
+  /** Recursive upper-layer section: each level writes its sample map
+    * (rows of the level BELOW it), adjacency, orphans, stats, then its
+    * own upper. Sampled ids/words are derivable from the level below —
+    * never written.
+    */
+  private def writeUpper(nav: NswNav, out: java.io.DataOutputStream): Unit = {
+    val (up, upMap) = nav.upperView
+    if (up == null) out.writeBoolean(false)
+    else {
+      out.writeBoolean(true)
+      out.writeInt(upMap.length)
+      BlockStore.writeInts(out, upMap)
+      val (nbs, deg, maxDegU) = up.adjacencyView
+      out.writeInt(maxDegU)
+      BlockStore.writeInts(out, deg)
+      BlockStore.writeInts(out, nbs)
+      val (_, _, orphans, stats) = up.identityView
+      out.writeInt(orphans.length)
+      BlockStore.writeInts(out, orphans)
+      out.writeInt(stats._1); out.writeInt(stats._2)
+      writeUpper(up, out)
+    }
+  }
+
+  /** Mirror of [[writeUpper]]: restore one hierarchy level against the
+    * (possibly remapped) level below it. `savedToNew` translates the
+    * LEVEL-1 sample map through the base remap; deeper maps reference
+    * their parent level's rows, which are internally consistent, so
+    * recursion passes null. None = structurally invalid (caller
+    * rejects the file); Some((null, null)) = no upper at this level.
+    */
+  private def readUpper(in: java.io.DataInputStream,
+                        baseIds: Array[Long], baseWords: Array[Long],
+                        nWords: Int, savedToNew: Array[Int],
+                        baseN: Int): Option[(NswNav, Array[Int])] = {
+    if (!in.readBoolean()) return Some((null, null))
+    val nUp = in.readInt()
+    if (nUp <= 0 || nUp > baseN) return None
+    val upMapSaved = BlockStore.readInts(in, nUp)
+    val upMap = new Array[Int](nUp)
+    var i = 0
+    while (i < nUp) {
+      val s = upMapSaved(i)
+      if (s < 0 || s >= baseN) return None
+      upMap(i) = if (savedToNew == null) s else savedToNew(s)
+      i += 1
+    }
+    val maxDegU = in.readInt()
+    if (maxDegU != 2 * m) return None
+    val deg = BlockStore.readInts(in, nUp)
+    val nbs = BlockStore.readInts(in, math.max(nUp, 1) * maxDegU)
+    var s = 0
+    while (s < nUp) {
+      val d = deg(s)
+      if (d < 0 || d > maxDegU) return None
+      var j = 0
+      while (j < d) {
+        val nb = nbs(s * maxDegU + j)
+        if (nb < 0 || nb >= nUp) return None
+        j += 1
+      }
+      s += 1
+    }
+    val nOrph = in.readInt()
+    if (nOrph < 0 || nOrph > nUp) return None
+    val orphans = BlockStore.readInts(in, nOrph)
+    i = 0
+    while (i < nOrph) {
+      if (orphans(i) < 0 || orphans(i) >= nUp) return None
+      i += 1
+    }
+    val stats = (in.readInt(), in.readInt())
+    val upIds = new Array[Long](nUp)
+    val upWords = new Array[Long](nUp * nWords)
+    i = 0
+    while (i < nUp) {
+      upIds(i) = baseIds(upMap(i))
+      System.arraycopy(baseWords, upMap(i) * nWords, upWords, i * nWords, nWords)
+      i += 1
+    }
+    readUpper(in, upIds, upWords, nWords, null, nUp).map {
+      case (deeper, deeperMap) =>
+        (new NswNav(upIds, upWords, nWords, nbs, deg, maxDegU,
+          NswNavBuilder.UpperEfSearch, deeper, deeperMap, orphans, stats),
+          upMap)
+    }
+  }
 
   /** Restore against this build's arrays. Row order may differ from
     * save time (shuffle fetch order is run-dependent), so adjacency is
@@ -974,16 +1074,34 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
       i += 1
     }
     val stats = (in.readInt(), in.readInt())
-    val (upperNav, upperMap) = buildUpper(ids, words, nWords)
-    Some(new NswNav(ids, words, nWords, neighbors, degree, maxDeg, efSearch,
-      upperNav, upperMap, orphans, stats))
+    // v2: the sampled hierarchy rides the file — adopt it (remapped
+    // through the id correspondence at level 1) instead of paying the
+    // deterministic rebuild, the dominant CPU of a warm nav load after
+    // the identity fast path. A file saved without one (sub-threshold
+    // block, or a hierarchy-off builder) falls back to the rebuild,
+    // which also handles hierarchy-config drift between save and load.
+    readUpper(in, ids, words, nWords,
+        if (identityOrder) null else savedToNew, n).flatMap {
+      case (persistedUpper, persistedMap) =>
+        val (upperNav, upperMap) =
+          if (!hierarchy) (null, null)
+          else if (persistedUpper != null) (persistedUpper, persistedMap)
+          else buildUpper(ids, words, nWords)
+        Some(new NswNav(ids, words, nWords, neighbors, degree, maxDeg,
+          efSearch, upperNav, upperMap, orphans, stats))
+    }
   }
 }
 
 object NswNavBuilder {
-  /** Nav-file header magic ("GNAV") and format version. */
+  /** Nav-file header magic ("GNAV") and format version. v2 appended
+    * the recursive upper-hierarchy section (sample maps + adjacency;
+    * sampled ids/words stay derivable) so a warm load adopts the
+    * persisted layers instead of rebuilding them. Readers reject other
+    * versions — one cold rebuild after an upgrade, never a misread.
+    */
   val FileMagic = 0x474e4156
-  val FileVersion = 1
+  val FileVersion = 2
 
   /** Blocks below this row count skip the upper layer (stride entries
     * reach everywhere fast enough).

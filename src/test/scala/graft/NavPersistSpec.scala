@@ -163,4 +163,60 @@ class NavPersistSpec extends AnyFunSuite {
     val alien = ids.clone(); alien(0) += 1
     assert(load(alien, words).isEmpty, "a foreign id set must reject")
   }
+
+  test("nav codec v2 persists the sampled hierarchy; loads adopt it, identity and remapped") {
+    // Above UpperMinRows the builder attaches a sampled upper layer;
+    // v2 rides it in the file so a warm load skips the deterministic
+    // rebuild (the dominant CPU of a nav load after the identity fast
+    // path). Both load branches must carry an upper whose entry
+    // selection reproduces the saved graph's search results id-for-id.
+    val n = 10000
+    val nWords = 4
+    assert(n >= graft.db.NswNavBuilder.UpperMinRows)
+    val rnd = new scala.util.Random(11)
+    val ids = Array.tabulate(n)(i => (i * 13 + 5).toLong)
+    val words = Array.fill(n * nWords)(rnd.nextLong())
+    val builder = new NswNavBuilder(8, 32, 64, buildThreads = 1)
+    val nav = builder.build(ids, words, nWords).asInstanceOf[NswNav]
+    assert(nav.upperView._1 != null, "the build must attach an upper at this size")
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(builder.saveNav(nav, new java.io.DataOutputStream(bos)))
+    val bytes = bos.toByteArray
+
+    def load(withIds: Array[Long], withWords: Array[Long]): NswNav =
+      builder.loadNav(withIds, withWords, nWords,
+        new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)))
+        .map(_.asInstanceOf[NswNav])
+        .getOrElse(fail("v2 file must load"))
+
+    def topIds(nv: NswNav, navIds: Array[Long], q: Array[Long]): Seq[Long] =
+      nv.topPacked(q, 10, _ => true).map(p => navIds((p & 0xffffffffL).toInt)).toSeq
+
+    val queries = (0 until 5).map(_ => Array.fill(nWords)(rnd.nextLong()))
+
+    val same = load(ids, words)
+    assert(same.upperView._1 != null, "identity load must adopt the persisted upper")
+    queries.foreach(q => assert(topIds(same, ids, q) == topIds(nav, ids, q),
+      "identity load must reproduce the saved graph's results exactly"))
+
+    val perm = rnd.shuffle((0 until n).toVector).toArray
+    val pIds = Array.tabulate(n)(i => ids(perm(i)))
+    val pWords = new Array[Long](n * nWords)
+    perm.indices.foreach(i =>
+      System.arraycopy(words, perm(i) * nWords, pWords, i * nWords, nWords))
+    val moved = load(pIds, pWords)
+    assert(moved.upperView._1 != null, "remapped load must adopt the persisted upper")
+    // Partial-width results are entry-dependent and the STRIDE entries
+    // are row-index-based, so a permuted block legitimately starts
+    // elsewhere; the invariant that survives any row order is the
+    // EXACTNESS contract — at b >= n the remapped graph must reproduce
+    // brute force, which the saved graph's full-width results also are.
+    queries.foreach { q =>
+      assert(moved.topPacked(q, n, _ => true)
+          .map(p => pIds((p & 0xffffffffL).toInt)).toSeq ==
+        nav.topPacked(q, n, _ => true)
+          .map(p => ids((p & 0xffffffffL).toInt)).toSeq,
+        "the remapped load must stay exact at full width")
+    }
+  }
 }
