@@ -99,6 +99,12 @@ object RestartBench {
     var cachesDropped = true
     def maybeDropCaches(): Unit = if (dropCaches) {
       try {
+        // sync FIRST: drop_caches only evicts CLEAN pages, and the
+        // block/nav/manifest files a restart row is about to re-read
+        // were written moments ago — without the sync their dirty pages
+        // survive the drop and the row stamps page_cache_dropped:true
+        // while actually reading from memory (ADVICE r14).
+        new ProcessBuilder("sync").start().waitFor()
         val p = java.nio.file.Paths.get("/proc/sys/vm/drop_caches")
         java.nio.file.Files.write(p, "3\n".getBytes)
       } catch {

@@ -827,10 +827,14 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
     * time to pick entry points near the query. Cost: ~n/256 extra
     * inserts + words/256 bytes; below the threshold the four stride
     * entries already cover the block. Deterministic (single-threaded,
-    * stride sample) regardless of `buildThreads`. Shared by [[build]]
-    * and [[loadNav]] — the upper layer is NOT persisted: rebuilding it
-    * is ~0.4% of the base build, cheaper than versioning a recursive
-    * on-disk structure.
+    * stride sample) regardless of `buildThreads`. Since nav format v2
+    * the hierarchy IS persisted ([[writeUpper]]/[[readUpper]]) and a
+    * warm [[loadNav]] adopts the saved layers — the r14 profile put
+    * the deterministic upper REBUILD at ~1–1.5 s of a warm 4M-block
+    * nav load, dominating it once the identity fast path landed. This
+    * builder remains the fallback: fresh [[build]]s, sub-threshold
+    * blocks, `hierarchy = false`, and legacy/damaged files whose upper
+    * section is absent or rejected.
     */
   private def buildUpper(ids: Array[Long], words: Array[Long],
                          nWords: Int): (NswNav, Array[Int]) = {
@@ -929,10 +933,16 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
     if (nUp <= 0 || nUp > baseN) return None
     val upMapSaved = BlockStore.readInts(in, nUp)
     val upMap = new Array[Int](nUp)
+    // Duplicate sample rows would be recall-harmless (CRC-gated
+    // upstream, and the level only picks entry points) but are never
+    // produced by writeUpper — reject them like any other structural
+    // corruption instead of silently adopting a degenerate level.
+    val seen = new java.util.BitSet(baseN)
     var i = 0
     while (i < nUp) {
       val s = upMapSaved(i)
-      if (s < 0 || s >= baseN) return None
+      if (s < 0 || s >= baseN || seen.get(s)) return None
+      seen.set(s)
       upMap(i) = if (savedToNew == null) s else savedToNew(s)
       i += 1
     }
@@ -981,7 +991,10 @@ final class NswNavBuilder(m: Int, efConstruction: Int, efSearch: Int,
     * save time (shuffle fetch order is run-dependent), so adjacency is
     * REMAPPED through the id correspondence; any id absent either way,
     * or any geometry/param mismatch, rejects the file (caller
-    * rebuilds). The upper hierarchy layer is rebuilt, not read.
+    * rebuilds). The sampled upper hierarchy (v2) is READ and adopted
+    * when the file carries one — level 1 remapped through the same id
+    * correspondence — with [[buildUpper]] as the rebuild fallback for
+    * files saved without it.
     */
   override def loadNav(ids: Array[Long], words: Array[Long], nWords: Int,
                        in: java.io.DataInputStream): Option[BlockNav] = {
