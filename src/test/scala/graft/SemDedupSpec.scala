@@ -95,6 +95,53 @@ class SemDedupSpec extends AnyFunSuite {
     assert(dflt == exact)
   }
 
+  test("bounded rank: a bucket larger than every partition sorts multi-task with window-identical ranks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ONE bucket with a CONSTANT secondary sort key — the near-identical
+    // flood shape: the range partitioner must spread it on the unique
+    // vec_id tiebreaker, and the rank carry must chain across every
+    // partition boundary the bucket straddles.
+    val n = 5000
+    val flood = (0 until n).map(i => (i.toLong * 7 % 100000, 0))
+      .toDF("vec_id", "cluster")
+      .withColumn("s16", lit(0L)).withColumn("sk", lit(0L))
+    val ranked = graft.operators.Dedup.rankWithinBuckets(flood)
+    val sizes = ranked.rdd
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.count(_ > 0) > 1,
+      s"the single giant bucket must sort across >1 task, got ${sizes.toSeq}")
+    assert(sizes.forall(_ < n),
+      "no task may hold the whole bucket (the r13 single-task sort bound)")
+    val got = ranked.select("vec_id", "rnk").as[(Long, Long)].collect().toMap
+    val expected = flood.select("vec_id").as[Long].collect()
+      .sorted.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got == expected, "ranks must be the dense (sk, vec_id)-order position")
+
+    // interleaved multi-bucket case: bit-identical to the window form
+    // the distributed rank replaced
+    val mixed = (0 until 2000).map { i =>
+      (i.toLong, i % 3, (i % 5).toLong, (i % 7).toLong)
+    }.toDF("vec_id", "cluster", "s16", "sk")
+    val gotMixed = graft.operators.Dedup.rankWithinBuckets(mixed)
+      .select("vec_id", "rnk").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster", "s16").orderBy("sk", "vec_id")
+    val ref = mixed.withColumn("rnk", row_number().over(w).cast("long"))
+      .select("vec_id", "rnk").as[(Long, Long)].collect().toMap
+    assert(gotMixed == ref, "distributed rank must equal the window rank")
+
+    // and the public bounded path no longer plans a row-relation Window
+    val dim = 64
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, 0, (0 until dim).map(d => 1.0 + 0.0001 * ((i + d) % 7)).toArray)
+    }.toDF("vec_id", "cluster", "v")
+    val bounded = graft.operators.Dedup.semDedupOver(rows, 0.97, maxNeighbors = 32)
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the bounded variant must not gather buckets into window tasks:\n$plan")
+  }
+
   test("applying the decision: anti-join returns the corpus to its pre-clone size") {
     import spark.implicits._
     val removed = graft.operators.Dedup.semDedup(spark, dir).select("vec_id")
