@@ -1234,6 +1234,43 @@ class VectorDB private (
   /** Serving-block count pin (0 = follow the join's shuffle width). */
   @volatile private var servingBlocks: Int = 0
 
+  /** Minimum estimated tier file bytes before a full serve-build also
+    * WRITES its packed blocks ([[BlockStore]]); loads are never gated.
+    */
+  @volatile private var blockPersistMinBytes: Long = VectorDB.BlockPersistMinBytes
+
+  /** Gate packed-block persistence on tier size. A full serve-build
+    * writes its block arrays to `_blocks/<version>/` so the next
+    * serve-enable (or a restarted process) is pure IO instead of the
+    * codes⋈docs rebuild — but the write itself costs roughly one pass
+    * over the tier, and below tens of MB the cold rebuild is CHEAPER
+    * than the write it would save (measured: the r14 x2 fixture drift).
+    * Builds whose codes+docs file footprint is under `minTierBytes`
+    * therefore skip the write (reads of already-persisted blocks are
+    * always attempted). `0` forces persistence on at any size (the
+    * persistence/restart specs); `Long.MaxValue` disables writes.
+    */
+  def blockPersistence(minTierBytes: Long): this.type = {
+    require(minTierBytes >= 0, s"minTierBytes must be >= 0, got $minTierBytes")
+    blockPersistMinBytes = minTierBytes
+    this
+  }
+
+  /** Cheap tier-size proxy for the persistence gate: recursive file
+    * bytes of the hot + cold tier directories (one FS content summary
+    * each — no Spark job). MOR dirs include superseded delta files, so
+    * the estimate only ever errs toward persisting.
+    */
+  private def estimatedTierFileBytes(): Long = {
+    def sz(p: String): Long =
+      try {
+        val pp = new Path(p)
+        if (fs.exists(pp)) fs.getContentSummary(pp).getLength else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    if (isMor) sz(s"$folder/codes.mor") + sz(s"$folder/docs.mor")
+    else sz(codesPath) + sz(docsPath)
+  }
+
   /** Opt into INCREMENTAL serving refresh (MOR storage only): after a
     * commit, instead of rebuilding the whole serving tier — block
     * arrays, payloads, AND per-block index-strategy navigators, O(table)
@@ -1595,12 +1632,27 @@ class VectorDB private (
     // serve-build at an unchanged snapshot skips the codes⋈docs join
     // AND the per-block graph construction — pure IO
     // ([[PreparedScan.loadPersisted]]; the r13 47–74 s warm wall).
+    // READS are always attempted (a manifest another config wrote is
+    // still a valid warm load); WRITES are gated on estimated tier
+    // bytes ([[blockPersistence]]) — at fixture-scale tiers the block
+    // write costs more than the cold rebuild it would save (the r14 x2
+    // 1.13–1.26× drift), while the tiers warm restart exists for sit
+    // orders of magnitude past the gate.
     val blockStore = nav.map { _ =>
-      fs.mkdirs(new Path(blocksDir(lastSeenVersion)))
       new BlockStore(blocksDir(lastSeenVersion), confProps, nWords,
         isIvf, withBytes = true, withDoc = true,
         requestedBlocks = servingBlocks, isMor = isMor)
     }
+    val blockStoreW = blockStore.filter { _ =>
+      val est = estimatedTierFileBytes()
+      val on = est >= blockPersistMinBytes
+      if (!on) VectorDB.log.info(
+        s"packed-block persistence skipped: tier files ~$est B under the " +
+          s"$blockPersistMinBytes B gate (blockPersistence(0) forces it on) " +
+          "— cold rebuilds at this size are cheaper than the block writes")
+      on
+    }
+    blockStoreW.foreach(_ => fs.mkdirs(new Path(blocksDir(lastSeenVersion))))
     val scan = blockStore.flatMap { st =>
       PreparedScan.loadPersisted(spark.sparkContext, st, nWords,
         navBuilder = nav, navStore = navStore, chain = chain)
@@ -1610,7 +1662,7 @@ class VectorDB private (
       PreparedScan.build(fused, nWords, isFlat, isIvf,
         withBytes = true, withDoc = true,
         navBuilder = nav, chain = chain, navStore = navStore,
-        blockStore = blockStore)
+        blockStore = blockStoreW)
     }
     // Loud sizing guard (GRAPHBENCH crossover): below ~1M rows per
     // block the linear scan's early-exited popcount walk already sits
@@ -3103,6 +3155,18 @@ object VectorDB {
     */
   val NavCrossoverRows = 1000000L
   val IncServingRowsPerBlock = 262144L
+
+  /** Default [[VectorDB.blockPersistence]] gate: packed-block writes
+    * happen only when the tier's codes+docs file footprint reaches this
+    * (64 MB). Below it a cold serve-build is sub-second and the write
+    * is pure overhead (r15 A/B); the 1M×1024 reference geometry
+    * (~1.3 GB of tier files) and every warm-restart regime sit far
+    * above it. `SPARK_GRAFT_BLOCK_PERSIST_MIN` overrides the default
+    * process-wide (bench A/Bs: 0 forces writes on, a huge value off).
+    */
+  val BlockPersistMinBytes: Long =
+    sys.env.get("SPARK_GRAFT_BLOCK_PERSIST_MIN").flatMap(_.toLongOption)
+      .getOrElse(64L << 20)
 
   /** Heap budget multiple under which the serve-build logs the GC
     * hazard: the r14 restart A/B measured the warm serving paths

@@ -61,6 +61,7 @@ class BlockPersistSpec extends AnyFunSuite {
   test("serve-build persists blocks + manifest; re-enable loads them, identical results, no join") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, index = VectorDB.IndexNsw)
+      .blockPersistence(0L)
     db.addDocuments(corpus.toDF("doc_id", "text"))
 
     val saves0 = BlockStore.savesForTest.get()
@@ -93,6 +94,7 @@ class BlockPersistSpec extends AnyFunSuite {
   test("a corrupt block file fails its CRC; the warm path falls back to a cold build, still correct") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, index = VectorDB.IndexNsw)
+      .blockPersistence(0L)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing()
     val before = hits(db, "tok1 tok5")
@@ -120,6 +122,7 @@ class BlockPersistSpec extends AnyFunSuite {
   test("no manifest (or a different block-count pin) gates the warm path off") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, index = VectorDB.IndexNsw)
+      .blockPersistence(0L)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing(blocks = 2)
     val before = hits(db, "tok1 tok5")
@@ -155,9 +158,11 @@ class BlockPersistSpec extends AnyFunSuite {
     // commit; only after it releases may the writer finish the sweep.
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, index = VectorDB.IndexNsw)
+      .blockPersistence(0L)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing()
     val db2 = VectorDB.openOrCreate(spark, dir, index = VectorDB.IndexNsw)
+      .blockPersistence(0L)
     db2.enableServing()
     assert(db2.search("tok1 tok5", 5).collect().nonEmpty) // pin v1 on db2
     val v1Dirs = new java.io.File(dir, "_blocks").listFiles.map(_.getName).toSet
@@ -185,6 +190,7 @@ class BlockPersistSpec extends AnyFunSuite {
   test("a commit sweeps stale _blocks version dirs; the next build persists under the new version") {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir, index = VectorDB.IndexNsw)
+      .blockPersistence(0L)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing()
     val v1Dirs = new java.io.File(dir, "_blocks").listFiles.map(_.getName).toSet

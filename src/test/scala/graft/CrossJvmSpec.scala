@@ -168,7 +168,7 @@ class CrossJvmSpec extends AnyFunSuite {
     val dir = freshDir()
     val db = VectorDB.openOrCreate(spark, dir,
       storage = VectorDB.StorageMor, index = VectorDB.IndexNsw)
-      .incrementalServing(absorbDepth = 0)
+      .blockPersistence(0L).incrementalServing(absorbDepth = 0)
     db.addDocuments(fixture(0 until 60))
     db.enableServing()
     assert(db.search("document number 3", 5).collect().nonEmpty)

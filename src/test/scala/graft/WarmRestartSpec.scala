@@ -56,7 +56,7 @@ class WarmRestartSpec extends AnyFunSuite {
   private def seededDb(dir: String): VectorDB = {
     val db = VectorDB.openOrCreate(spark, dir,
       storage = VectorDB.StorageMor, index = VectorDB.IndexNsw)
-      .incrementalServing(absorbDepth = 0)
+      .blockPersistence(0L).incrementalServing(absorbDepth = 0)
     db.addDocuments(corpus.toDF("doc_id", "text"))
     db.enableServing()
     assert(hits(db, "tok1 tok5").nonEmpty)
@@ -96,7 +96,7 @@ class WarmRestartSpec extends AnyFunSuite {
     // reference), and the current version has no persisted dir.
     val db2 = VectorDB.openOrCreate(spark, dir,
       storage = VectorDB.StorageMor, index = VectorDB.IndexNsw)
-      .incrementalServing(absorbDepth = 0)
+      .blockPersistence(0L).incrementalServing(absorbDepth = 0)
     val loads0 = BlockStore.loadsForTest.get()
     val saves0 = BlockStore.savesForTest.get()
     db2.enableServing()
