@@ -9,6 +9,7 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?usage: scripts/buildbench.sh <round> [nDocs]}"
 N="${2:-1000000}"
 OUT="BUILDBENCH_r${ROUND}.json"
+scripts/settle.sh
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.BuildBench "$N" \
   | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

@@ -15,6 +15,7 @@ DIM="${3:-1024}"
 NQ="${4:-20}"
 NB="${5:-4}"
 OUT="GRAPHBENCH_r${ROUND}.json"
+scripts/settle.sh
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
   scripts/run.sh graft.GraphBench "$N" "$DIM" "$NQ" "$NB" \
   | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"

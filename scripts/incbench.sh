@@ -21,6 +21,7 @@ OUT="INCBENCH_r${ROUND}.json"
 # Since r14 the builder auto-sizes (buildThreads = 0 divides the JVM's
 # core budget among in-flight builds); the default run exercises that
 # auto path — export SPARK_GRAFT_GRAPH_BUILD_THREADS to pin a width.
+scripts/settle.sh
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
 SPARK_GRAFT_GRAPH_BUILD_THREADS="${SPARK_GRAFT_GRAPH_BUILD_THREADS:-0}" \
   scripts/run.sh graft.IncBench "$N" "$DIM" "$NB" "$COMMITS" "$BATCH" \

@@ -12,6 +12,7 @@ N="${2:-200000}"
 DIM="${3:-1024}"
 NQ="${4:-20}"
 OUT="IVFBENCH_r${ROUND}.json"
+scripts/settle.sh
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
   scripts/run.sh graft.IvfBench "$N" "$DIM" "$NQ" \
   | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"

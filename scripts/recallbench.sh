@@ -20,6 +20,7 @@ if [ -n "$SYNTH" ]; then
   # item 5 — retention regressions must be caught at the geometry that
   # mirrors the ~99.99% claim, not only at 100k).
   OUT="RECALL_r${ROUND}_synth${SUFFIX}.json"
+  scripts/settle.sh
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
     scripts/run.sh graft.RecallBench synth "$@" \
     | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
@@ -27,6 +28,7 @@ else
   SF="${1:-/root/testdata/sf0.01}"
   NQ="${2:-20}"
   OUT="RECALL_r${ROUND}.json"
+  scripts/settle.sh
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.RecallBench "$SF" "$NQ" \
     | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"
 fi

@@ -14,6 +14,7 @@ DIM="${3:-1024}"
 NQ="${4:-20}"
 NB="${5:-4}"
 OUT="RESTARTBENCH_r${ROUND}.json"
+scripts/settle.sh
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-26g}" \
   scripts/run.sh graft.RestartBench "$N" "$DIM" "$NQ" "$NB" \
   | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"

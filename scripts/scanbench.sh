@@ -12,6 +12,7 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?usage: scripts/scanbench.sh <round> [nVectors]}"
 N="${2:-1000000}"
 OUT="SCANBENCH_r${ROUND}.json"
+scripts/settle.sh
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.ScanBench "$N" \
   | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2
@@ -22,6 +23,7 @@ if [ -z "${SKIP_4M:-}" ]; then
   # whole machine) and a 24g heap — the funnel tiers keep ~1.4 KB/row
   # resident (~6 GB at 4M), and a 48g G1 heap measured multi-second
   # full-GC pauses that a 24g heap does not.
+  scripts/settle.sh
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM_4M:-24g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS_4M:-32}" \
     scripts/run.sh graft.ScanBench 4000000 \
     | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT4"
@@ -32,6 +34,7 @@ fi
 # 48g/4M case measured). Opt-in: it quadruples the artifact runtime.
 if [ -n "${RUN_16M:-}" ]; then
   OUT16="SCANBENCH_r${ROUND}_16m.json"
+  scripts/settle.sh
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM_16M:-40g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS_16M:-32}" \
     scripts/run.sh graft.ScanBench 16000000 \
     | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT16"

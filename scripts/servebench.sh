@@ -18,6 +18,7 @@ if [ "$N" = 100000 ] && [ "$DIM" = 64 ]; then
 else
   OUT="SERVEBENCH_r${ROUND}_${N}x${DIM}.json"
 fi
+scripts/settle.sh
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
   scripts/run.sh graft.ServeBench "$N" "$DIM" \
   | tee -a /dev/stderr | grep '^{"metric"' | tail -1 > "$OUT"

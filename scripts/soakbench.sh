@@ -10,6 +10,7 @@ ROUND="${1:?usage: scripts/soakbench.sh <round> [nBatches] [batchSize]}"
 N="${2:-100}"
 B="${3:-200}"
 OUT="SOAKBENCH_r${ROUND}.json"
+scripts/settle.sh
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.SoakBench "$N" "$B" \
   | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

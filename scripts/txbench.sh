@@ -11,6 +11,7 @@ ROUND="${1:?usage: scripts/txbench.sh <round> [reps] [batchSize]}"
 REPS="${2:-40}"
 B="${3:-2000}"
 OUT="TXBENCH_r${ROUND}.json"
+scripts/settle.sh
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" scripts/run.sh graft.TxBench "$REPS" "$B" \
   | tee -a /dev/stderr | grep '^{' | tail -1 > "$OUT"
 echo "wrote $OUT" >&2

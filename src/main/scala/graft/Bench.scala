@@ -84,12 +84,41 @@ object Bench {
     * doesn't. Empty when the file is missing or was recorded at a
     * different scale factor.
     */
+  private[graft] def resolveBaselineFile(): Option[java.io.File] = {
+    // Resolution order (r14 verdict item 1: the driver gate ran with
+    // reruns=[] while v9 sat at 8× its baseline because the bare
+    // relative path below never resolved from the driver's cwd):
+    //  1. explicit SPARK_GRAFT_BENCH_BASELINE;
+    //  2. the cwd file (local iteration from the repo root);
+    //  3. the repo root derived from the compiled-classes classpath
+    //    entry (target/scala-2.13/classes → three parents up) — the
+    //    anchor that holds from ANY cwd the driver launches with.
+    val candidates =
+      sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(new java.io.File(_)).toSeq ++
+        Seq(new java.io.File("BENCH_baseline_local.json")) ++
+        System.getProperty("java.class.path", "")
+          .split(java.io.File.pathSeparatorChar).toSeq
+          .filter(_.replace('\\', '/').endsWith("target/scala-2.13/classes"))
+          .flatMap { p =>
+            Option(new java.io.File(p).getParentFile)
+              .flatMap(d => Option(d.getParentFile))
+              .flatMap(d => Option(d.getParentFile))
+              .map(root => new java.io.File(root, "BENCH_baseline_local.json"))
+          }
+    candidates.find(_.isFile)
+  }
+
   private def baselineMins(sfDir: String): Map[String, Double] = {
-    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      "BENCH_baseline_local.json")
-    val f = new java.io.File(path)
-    if (!f.isFile) Map.empty
-    else try {
+    val fOpt = resolveBaselineFile()
+    if (fOpt.isEmpty) {
+      // Loud, not silent: an unresolved baseline disables the second
+      // contamination guard entirely — exactly the r14 failure mode.
+      System.err.println("[bench] no BENCH_baseline_local.json found " +
+        "(env/cwd/repo root) — the baseline contamination guard is OFF")
+      return Map.empty
+    }
+    val f = fOpt.get
+    try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
       val baseSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
       // the baseline only means anything at the same scale factor
@@ -112,6 +141,18 @@ object Bench {
   private def baselineSlack(): Double =
     sys.env.get("SPARK_GRAFT_BASELINE_SLACK").flatMap(_.toDoubleOption)
       .getOrElse(1.5)
+
+  /** The baseline guard's decision, extracted for direct testing
+    * (BenchGuardSpec pins that a poisoned draw FIRES it — r14 shipped
+    * a driver gate where it was silently inert): queries whose median
+    * exceeds their quiet-machine baseline min by more than `slack`×.
+    */
+  private[graft] def slowVsBaseline(med: Seq[(String, Double)],
+                                    baseline: Map[String, Double],
+                                    slack: Double): Seq[String] =
+    med.collect {
+      case (q, v) if baseline.get(q).exists(b => v > b * slack) => q
+    }
 
   /** Deterministic single-thread CPU probe, stamped into the JSON line
     * as `cpu_probe_ms`: a fixed xorshift+popcount loop whose wall time
@@ -184,6 +225,34 @@ object Bench {
     }
   }
 
+  /** Writeback-settle (r14 verdict item 2): sync, then wait (bounded)
+    * for the page cache's Dirty pool to drain under ~64 MB. A bench
+    * family recorded behind another family's unflushed gigabytes reads
+    * 1.2–2× slow with nothing wrong in the plan (SCANBENCH_r14b's
+    * 49 ms bare scan under its own 22 ms funnel row — internally
+    * impossible except as writeback contention). Returns the Dirty kB
+    * it settled at (-1 when /proc/meminfo is unreadable).
+    */
+  private[graft] def settleWriteback(maxWaitMs: Long = 15000): Long = {
+    def dirtyKb(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("Dirty:") => l.split("\\s+")(1).toLong
+        }.getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Exception => -1L }
+    try new ProcessBuilder("sync").start().waitFor()
+    catch { case _: Exception => () }
+    val t0 = System.nanoTime()
+    var d = dirtyKb()
+    while (d > 65536 && (System.nanoTime() - t0) < maxWaitMs * 1000000L) {
+      Thread.sleep(500)
+      d = dirtyKb()
+    }
+    d
+  }
+
   /** `loadStart`/`loadEnd` are point samples at run start/end;
     * `famMax` is the max load any family's timing observed (forked
     * path: max over child-reported samples; in-process: max of the two
@@ -212,7 +281,7 @@ object Bench {
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
       s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,""" +
       s""""cpu_probe_ms":${r2(cpuProbe())},"io_probe_ms":${r2(ioProbe())},""" +
-      s""""sf":"$sfDir"}"""
+      s""""dirty_kb":${settleWriteback(maxWaitMs = 0)},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -267,7 +336,13 @@ object Bench {
     var errors = 0
     var famMax = loadStart
     val baseline = baselineMins(sfDir)
+    if (baseline.isEmpty)
+      System.err.println("[bench] WARNING: baseline guard running EMPTY " +
+        s"(file missing or recorded at a different sf than $sfDir)")
     families.foreach { case (fam, names) =>
+      // Writeback settle between children: the previous family's
+      // unflushed writes otherwise bill the next family's IO.
+      settleWriteback()
       // Two contamination guards, each re-running the family ONCE:
       //  - load (round-9 finding): the family's child saw loadavg above
       //    the ceiling — keep the attempt that saw the quieter machine;
@@ -275,10 +350,8 @@ object Bench {
       //    last quiet-machine min by the slack factor — ambient load
       //    under the ceiling still inflates timings; keep the FASTER
       //    attempt (a real plan regression is slow in both).
-      def slowVsBaseline(med: Seq[(String, Double)]): Seq[String] =
-        med.collect {
-          case (q, v) if baseline.get(q).exists(b => v > b * baselineSlack()) => q
-        }
+      def slow(med: Seq[(String, Double)]): Seq[String] =
+        slowVsBaseline(med, baseline, baselineSlack())
       val first = runFamily(names)
       val attempt = first match {
         case Some(r) if r._5 > loadMax() =>
@@ -289,9 +362,9 @@ object Bench {
             case Some(r2) if r2._5 < r._5 => Some(r2)
             case _ => Some(r)
           }
-        case Some(r) if slowVsBaseline(r._1).nonEmpty =>
+        case Some(r) if slow(r._1).nonEmpty =>
           System.err.println(s"[bench] family '$fam' queries " +
-            s"${slowVsBaseline(r._1).mkString(",")} exceed the local baseline " +
+            s"${slow(r._1).mkString(",")} exceed the local baseline " +
             s"min by >${baselineSlack()}x — re-running once")
           reruns += fam.toString
           runFamily(names) match {
