@@ -93,9 +93,16 @@ object Bench {
     //  3. the repo root derived from the compiled-classes classpath
     //    entry (target/scala-2.13/classes → three parents up) — the
     //    anchor that holds from ANY cwd the driver launches with.
+    // An EXPLICIT env path is authoritative: set-but-missing means the
+    // caller wants the guard OFF (paired A/B drills) — falling through
+    // to the cwd file would silently re-enable it against a baseline
+    // the caller specifically rejected.
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE") match {
+      case Some(p) => return Some(new java.io.File(p)).filter(_.isFile)
+      case None => ()
+    }
     val candidates =
-      sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(new java.io.File(_)).toSeq ++
-        Seq(new java.io.File("BENCH_baseline_local.json")) ++
+      Seq(new java.io.File("BENCH_baseline_local.json")) ++
         System.getProperty("java.class.path", "")
           .split(java.io.File.pathSeparatorChar).toSeq
           .filter(_.replace('\\', '/').endsWith("target/scala-2.13/classes"))
