@@ -465,6 +465,10 @@ object Bench {
       // Bound the persisted footprint to one family's working set (only
       // reachable with >1 family: the fallback / NOFORK path).
       Graft.clearAllCaches(spark)
+      // Same writeback settle as the forked parent applies between
+      // children — the NOFORK path otherwise times the next family
+      // against this one's unflushed writes.
+      if (selected.size > qs.size) settleWriteback()
       // Warm pass: builds this family's session-lifetime indexes and
       // caches and JITs its codegen — the same warm-index regime the
       // reference's published numbers use (index resident in RAM).

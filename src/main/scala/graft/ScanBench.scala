@@ -28,6 +28,18 @@ object ScanBench {
     // 460 ms row. Default all; skipped sections print -1.
     val sections = sys.env.getOrElse("SPARK_GRAFT_SCAN_SECTIONS", "bare,funnel,float")
       .split(",").map(_.trim).toSet
+    // In-RUN writeback settle (r14 verdict item 2): this bench's OWN
+    // ingest/cache phases write gigabytes, and a timing loop that starts
+    // while the kernel is still flushing them reads 1.2-5x slow with
+    // nothing wrong in the scan (r14b's 49.1 ms bare scan under its own
+    // 22.1 ms funnel; the r15 first draws reproduced it at will on a
+    // degraded device). Settle before EVERY timed loop, not just at
+    // process start - the script-level settle cannot see mid-run dirt.
+    def settle(): Unit = {
+      val d = Bench.settleWriteback()
+      System.err.println(s"[scanbench] settled Dirty=${d}kB loadavg=" +
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     // Ambient-load stamps (round-11 root-cause of the 16M variance:
     // slow runs are UNIFORMLY slow across every section with tight
@@ -97,6 +109,7 @@ object ScanBench {
         (System.nanoTime() - t0) / 1e6
       }
 
+      settle()
       val times = (1 to 7).map(_ => scanOnce())
       median = times.sorted.apply(times.size / 2)
       println(f"array_layout_runs_ms=${times.map(t => f"$t%.1f").mkString(",")}")
@@ -119,6 +132,7 @@ object ScanBench {
           .collect()
         (System.nanoTime() - t0) / 1e6
       }
+      settle()
       val ftimes = (1 to 7).map(_ => scanFlat())
       fmedian = ftimes.sorted.apply(ftimes.size / 2)
       println(f"flat_layout_runs_ms=${ftimes.map(t => f"$t%.1f").mkString(",")}")
@@ -140,6 +154,7 @@ object ScanBench {
         (System.nanoTime() - t0) / 1e6
       }
       scanPrepared() // warm the block cache path once, outside the window
+      settle()
       val ptimes = (1 to 7).map(_ => scanPrepared())
       pmedian = ptimes.sorted.apply(ptimes.size / 2)
       println(f"prepared_flat_runs_ms=${ptimes.map(t => f"$t%.1f").mkString(",")}")
@@ -156,6 +171,7 @@ object ScanBench {
         Array.tabulate(16)(i => qRow.getLong(i + 1))
       }
       scanSlots.foreach(q => psFlat.topB(q, 100)) // warm outside the window
+      settle()
       val concRounds = (1 to 3).map(_ =>
         concurrentRound(scanSlots.map(q => () => psFlat.topB(q, 100))))
       concPerQuery = concRounds.sorted.apply(concRounds.size / 2)
@@ -313,6 +329,7 @@ object ScanBench {
         .orderBy(col("h").asc, col("doc_id").asc).limit(100)
         .collect())
 
+    settle()
     val funTimes = (1 to 7).map(_ => funnelFresh())
     funMedian = funTimes.sorted.apply(funTimes.size / 2)
     println(f"funnel_runs_ms=${funTimes.map(t => f"$t%.1f").mkString(",")}")
@@ -364,11 +381,13 @@ object ScanBench {
       (qv, graft.operators.Search.packQuery(qv).toArray)
     }
     funnelSlots.foreach { case (qv, qw) => funnelServed(qv, qw) } // warm
+    settle()
     val fpTimes = (1 to 7).map(_ =>
       funnelServed(funnelSlots.head._1, funnelSlots.head._2))
     fpMedian = fpTimes.sorted.apply(fpTimes.size / 2)
     println(f"funnel_prepared_runs_ms=${fpTimes.map(t => f"$t%.1f").mkString(",")}")
 
+    settle()
     val funConcRounds = (1 to 3).map(_ => concurrentRound(
       funnelSlots.map { case (qv, qw) => () => funnelServed(qv, qw) }))
     funConc = funConcRounds.sorted.apply(funConcRounds.size / 2)
@@ -429,6 +448,7 @@ object ScanBench {
             .collect()
           (System.nanoTime() - t0) / 1e6
         }
+        settle()
         val fl = (1 to 7).map(_ => scanFloat())
         println(f"float_scan_runs_ms=${fl.map(t => f"$t%.1f").mkString(",")}")
         fvec.unpersist()
