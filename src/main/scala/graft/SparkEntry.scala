@@ -65,6 +65,9 @@ object SparkEntry {
     "d4_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardDedup(s, d)),
     // E2d: incremental batch-vs-corpus dedup (continuous-ingest shape).
     "d5_incremental_simhash" -> ((s, d) => Dedup.incrementalSimhashDedup(s, d)),
+    // D7: corpus-level repeated-chunk (boilerplate) profile — the
+    // CCNet/RefinedWeb repeated-paragraph pass over 8-token chunks.
+    "d7_boilerplate" -> ((s, d) => Dedup.boilerplateChunks(s, d)),
     "d6_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
     // The bounded-work (sorted-neighborhood) variant, driver-gated at a
     // window that covers every fixture bucket: the |b|·T equi-join path

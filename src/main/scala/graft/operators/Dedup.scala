@@ -710,6 +710,66 @@ object Dedup {
     spark.createDataFrame(rankedRdd, schema.add("rnk", LongType, nullable = false))
   }
 
+  /** D7: corpus-level repeated-chunk (boilerplate) profile — the
+    * CCNet/RefinedWeb repeated-paragraph removal pass, re-expressed
+    * over a paragraph-free corpus: each document's token stream splits
+    * into consecutive non-overlapping `window`-token chunks (the
+    * paragraph proxy; real corpora would split on newlines first),
+    * chunks hash with the shared 60-bit scheme, and a chunk is
+    * BOILERPLATE when it occurs in ≥ `dfMin` distinct documents. Only
+    * FULL window-sized chunks count — the sub-window remainder is
+    * dropped, the min-paragraph-length filter of the real pass (the
+    * first fixture run proved why: a trailing one-word fragment like
+    * "table" hash-collides across the corpus and reads as boilerplate).
+    * Documents shorter than one window profile no row.
+    * Output: per document, total chunks and boilerplate chunks — the
+    * profile a pipeline applies by dropping the flagged chunks (or the
+    * document, above a boilerplate ratio).
+    *
+    * Scale (100 TB): chunking is a per-row map (no shuffle); the
+    * chunk-DF relation is one hash-agg (map-side combined) over
+    * |tokens|/window rows; the flagged set (df ≥ dfMin) is then SMALL
+    * by construction — true boilerplate is a tiny fraction of distinct
+    * chunks — so the big side takes a BROADCAST left join against it
+    * and never shuffles on the chunk hash. That sidesteps the hot-key
+    * skew a chunk appearing in 100M documents would cause in an
+    * h-partitioned join: the hot chunk's rows stay where they are and
+    * only carry a broadcast flag. One final per-doc hash-agg.
+    */
+  def boilerplateChunks(spark: SparkSession, dir: String,
+                        window: Int = 8, dfMin: Int = 3): DataFrame = {
+    Kernels.install(spark)
+    boilerplateOver(docs(spark, dir).select(col("doc_id"), col("text")),
+      window, dfMin)
+  }
+
+  /** [[boilerplateChunks]] over any (doc_id, text) relation — the
+    * fixture corpus carries NATURAL repeated chunks (its near-duplicate
+    * documents share whole segments), which is exactly the population
+    * the pass exists to flag; the spec pins exact semantics on a
+    * synthetic corpus with a known boilerplate plant.
+    */
+  private[graft] def boilerplateOver(relation: DataFrame,
+                                     window: Int, dfMin: Int): DataFrame = {
+    val toks = relation.select(col("doc_id"),
+        Kernels.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= window)
+    val chunks = toks.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), (floor(size(col("w")) / window) - 1).cast("int")),
+        i => array_join(slice(col("w"), i * window + lit(1), lit(window)), " "))).as("c"))
+      .withColumn("h", Kernels.h60(col("c")))
+    val flagged = chunks.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= dfMin)
+      .select(col("h"), lit(1L).as("is_b"))
+    chunks.join(broadcast(flagged), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+      .orderBy("doc_id")
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   /** Shared oracle CTE prefix: tokens, distinct 3-gram shingles, 60-bit
@@ -774,6 +834,23 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d6_semdedup" -> semDedupOracleSql,
     "d6b_semdedup_bounded" -> semDedupOracleSql,
+
+    "d7_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |cl AS (SELECT doc_id,
+        |  [array_to_string(w[(i*8+1):(i*8+8)], ' ')
+        |   for i in range(0, len(w) // 8)] cs
+        |  FROM tok WHERE len(w) >= 8),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    cast(concat('0x', substr(md5(u.c), 1, 15)) as bigint) h
+        |  FROM cl, unnest(cs) u(c)),
+        |dfreq AS (SELECT h, count(DISTINCT doc_id) df FROM chunks GROUP BY h)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  cast(sum(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END) as bigint) AS n_boiler
+        |FROM chunks c JOIN dfreq USING (h)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs,
