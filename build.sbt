@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// `run / fork` does NOT cover `runMain` (separate task scope) — without
+// this line `sbt "runMain graft.Bench"` runs INSIDE the sbt JVM under
+// layered classloaders with java.class.path = sbt-launch.jar, which is
+// exactly how two rounds of driver bench gates fell through to the
+// single-JVM path (r15 verdict #1).
+Compile / runMain / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,11 +24,17 @@ import org.apache.spark.sql.SparkSession
   *    for improvement.
   *
   * Forking reconstructs the child from this JVM's own binary, input
-  * arguments, and classpath; when that's not viable (e.g. launched from
-  * an sbt layered classloader whose java.class.path lacks the classes)
-  * it falls back to the single-JVM path. `SPARK_GRAFT_NOFORK=1` forces
+  * arguments, and a classpath taken from java.class.path or — when that
+  * lacks the classes (sbt's in-process `runMain` under layered
+  * classloaders, the driver's launch shape) — rebuilt from the
+  * classloader chain's URLs. When neither yields a viable child it
+  * falls back to the single-JVM path, WHICH CARRIES THE BASELINE GUARD
+  * TOO (r15 verdict #1: the guard lived only on the forked path, so
+  * two consecutive driver gates shipped contaminated with `reruns:[]`).
+  * Every line stamps `mode`/`baseline_guard`/`fallback_reason` so an
+  * unprotected draw is self-identifying. `SPARK_GRAFT_NOFORK=1` forces
   * the fallback; `SPARK_GRAFT_ONLY=a,b` (local iteration) also runs
-  * in-process, which is exactly the isolated regime already.
+  * in-process.
   */
 object Bench {
 
@@ -113,6 +119,26 @@ object Bench {
               .map(root => new java.io.File(root, "BENCH_baseline_local.json"))
           }
     candidates.find(_.isFile)
+  }
+
+  /** Baseline mins plus the guard's ARMING STATE, stamped verbatim into
+    * the JSON line as `baseline_guard` (r15 verdict item 1: two rounds
+    * of driver gates shipped with the guard silently inert, and the
+    * only way to tell was forensic inference from famMax==loadavg_start
+    * — an unprotected draw must be SELF-identifying):
+    *  - `armed`  — mins loaded, the guard compares and can re-run;
+    *  - `off`    — the caller explicitly disabled it
+    *               (SPARK_GRAFT_BENCH_BASELINE set to a missing path,
+    *               the paired-A/B drill convention);
+    *  - `empty`  — no baseline resolved, or it was recorded at a
+    *               different sf, or it parsed to nothing: the guard
+    *               CANNOT protect this draw.
+    */
+  private def baselineMinsWithStatus(sfDir: String): (Map[String, Double], String) = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").exists(p => !new java.io.File(p).isFile))
+      return (Map.empty, "off")
+    val m = baselineMins(sfDir)
+    (m, if (m.nonEmpty) "armed" else "empty")
   }
 
   private def baselineMins(sfDir: String): Map[String, Double] = {
@@ -240,15 +266,23 @@ object Bench {
     * impossible except as writeback contention). Returns the Dirty kB
     * it settled at (-1 when /proc/meminfo is unreadable).
     */
+  /** Read-only Dirty-pool sample from /proc/meminfo (-1 when
+    * unreadable). The `dirty_kb` stamp uses THIS, not a settle call:
+    * r15 stamped via `settleWriteback(0)`, which issued a sync(2) as a
+    * hidden side effect of building the JSON string and reported the
+    * post-sync value rather than the state the timings ran under
+    * (ADVICE r15).
+    */
+  private[graft] def dirtyKb(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("Dirty:") => l.split("\\s+")(1).toLong
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Exception => -1L }
+
   private[graft] def settleWriteback(maxWaitMs: Long = 15000): Long = {
-    def dirtyKb(): Long =
-      try {
-        val src = scala.io.Source.fromFile("/proc/meminfo")
-        try src.getLines().collectFirst {
-          case l if l.startsWith("Dirty:") => l.split("\\s+")(1).toLong
-        }.getOrElse(-1L)
-        finally src.close()
-      } catch { case _: Exception => -1L }
     try new ProcessBuilder("sync").start().waitFor()
     catch { case _: Exception => () }
     val t0 = System.nanoTime()
@@ -270,7 +304,10 @@ object Bench {
                        qMin: collection.Map[String, Double],
                        errors: Int, failed: Seq[String], sfDir: String,
                        loadStart: Double, loadEnd: Double, famMax: Double,
-                       reruns: Seq[String] = Nil): String = {
+                       reruns: Seq[String] = Nil,
+                       mode: String = "forked",
+                       guard: String = "armed",
+                       fallbackReason: String = ""): String = {
     def obj(m: collection.Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // any failure invalidates the headline total: a crashed family or
@@ -283,38 +320,162 @@ object Bench {
     // locale-dependent (comma decimals under e.g. de_DE would corrupt
     // the parent-child JSON protocol).
     def r2(x: Double): String = (math.round(x * 100) / 100.0).toString
+    // mode/baseline_guard/fallback_reason make an unprotected draw
+    // SELF-identifying (r15 verdict #1: two rounds of driver gates ran
+    // the unguarded in-process path and the artifact didn't say so).
+    val fb = if (fallbackReason.isEmpty) ""
+      else s""""fallback_reason":"$fallbackReason","""
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(qMed)},""" +
       s""""queries_min":${obj(qMin)},"errors":$errors,"failed":$failedArr,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
       s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,""" +
+      s""""mode":"$mode","baseline_guard":"$guard",$fb""" +
       s""""cpu_probe_ms":${r2(cpuProbe())},"io_probe_ms":${r2(ioProbe())},""" +
-      s""""dirty_kb":${settleWriteback(maxWaitMs = 0)},"sf":"$sfDir"}"""
+      s""""dirty_kb":${dirtyKb()},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
-    val isChild = sys.env.contains("SPARK_GRAFT_CHILD")
-    val noFork = sys.env.contains("SPARK_GRAFT_NOFORK") || sys.env.contains("SPARK_GRAFT_ONLY")
-    if (!isChild && !noFork && runForked()) return
-    runInProcess()
+    if (sys.env.contains("SPARK_GRAFT_CHILD")) { runInProcess("child"); return }
+    if (sys.env.contains("SPARK_GRAFT_NOFORK")) { runInProcess("nofork-env"); return }
+    if (sys.env.contains("SPARK_GRAFT_ONLY")) { runInProcess("only-env"); return }
+    childClasspath() match {
+      case Some(cp) => if (!runForked(cp)) runInProcess("first-child-failed")
+      case None => runInProcess("no-child-classpath")
+    }
   }
 
   // ---- forked (top-level) path ---------------------------------------------
 
-  /** One child JVM per family, same binary/flags/classpath/env as this
-    * JVM; merges the children's JSON lines. Returns false when the child
-    * invocation can't be reconstructed — caller falls back in-process.
+  /** Classpath a child JVM can be launched with, or None when no viable
+    * one can be reconstructed. `java.class.path` is authoritative when
+    * it already carries the graft classes (plain `java -cp` launches,
+    * scripts/run.sh, spark-submit). When it does NOT — sbt's in-process
+    * `runMain` runs the app under LAYERED CLASSLOADERS with
+    * java.class.path = sbt-launch.jar only, which is exactly how the
+    * r14 AND r15 driver gates silently fell through to the unguarded
+    * single-JVM path — the classpath is rebuilt by walking the
+    * classloader chain's URLs (sbt's layers are URLClassLoaders: one
+    * for the compiled classes, one for the dependency jars). The merge
+    * only counts as viable when BOTH the graft classes and the Spark
+    * jars are present, so a child launched with it can actually run.
     */
-  private def runForked(): Boolean = {
+  private[graft] def childClasspath(): Option[String] = {
+    val loaderEntries = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(cl: ClassLoader): Unit = if (cl != null) {
+      cl match {
+        case u: java.net.URLClassLoader =>
+          u.getURLs.foreach { url =>
+            if (url.getProtocol == "file")
+              try loaderEntries += new java.io.File(url.toURI).getAbsolutePath
+              catch { case _: Exception => () }
+          }
+        case _ => ()
+      }
+      walk(cl.getParent)
+    }
+    walk(getClass.getClassLoader)
+    walk(Thread.currentThread().getContextClassLoader)
+    // code-source anchors: resolve the graft classes dir AND the Spark
+    // jars dir even when no loader in the chain is a URLClassLoader
+    // (sbt ≥1.3's layered ClassLoaderCache loaders are not — verified
+    // against a real `sbt runMain` launch, where the URL walk finds
+    // nothing). SparkSession's code source is one jar inside the Spark
+    // distribution's jars dir; its SIBLINGS are the rest of it.
+    def codeSource(c: Class[_]): Option[java.io.File] =
+      try Option(c.getProtectionDomain.getCodeSource)
+        .flatMap(cs => Option(cs.getLocation))
+        .filter(_.getProtocol == "file")
+        .map(l => new java.io.File(l.toURI))
+      catch { case _: Exception => None }
+    val selfAnchor = codeSource(getClass).map(_.getAbsolutePath)
+    selfAnchor.foreach(loaderEntries += _)
+    codeSource(classOf[org.apache.spark.sql.SparkSession]).foreach { jar =>
+      loaderEntries += jar.getAbsolutePath
+      Option(jar.getParentFile).flatMap(d => Option(d.listFiles())).toSeq.flatten
+        .filter(_.getName.endsWith(".jar"))
+        .foreach(j => loaderEntries += j.getAbsolutePath)
+    }
+    childClasspathFrom(System.getProperty("java.class.path", ""),
+      loaderEntries.toSeq, selfAnchor)
+  }
+
+  private[graft] def codeSource(c: Class[_]): Option[java.io.File] =
+    try Option(c.getProtectionDomain.getCodeSource)
+      .flatMap(cs => Option(cs.getLocation))
+      .filter(_.getProtocol == "file")
+      .map(l => new java.io.File(l.toURI))
+    catch { case _: Exception => None }
+
+  /** Pure core of [[childClasspath]], unit-pinned against the real
+    * launch shapes (BenchGuardSpec): `javaClassPath` wins when it has
+    * the graft classes — either a classes dir containing
+    * graft/Bench.class, or THE JAR/DIR THAT LOADED Bench ITSELF
+    * (`selfAnchor`: sbt's forked runMain packages the app as
+    * binaryvectordbspark_*.jar, which no name pattern can know) —
+    * otherwise the merged loader entries must carry the graft classes
+    * AND a spark jar to be viable.
+    */
+  private[graft] def childClasspathFrom(javaClassPath: String,
+                                        loaderEntries: Seq[String],
+                                        selfAnchor: Option[String]): Option[String] = {
+    val sep = java.io.File.pathSeparatorChar
+    def hasGraft(entries: Seq[String]): Boolean = entries.exists(p =>
+      new java.io.File(p, "graft/Bench.class").isFile ||
+        selfAnchor.contains(new java.io.File(p).getAbsolutePath))
+    def hasSpark(entries: Seq[String]): Boolean = entries.exists(p =>
+      new java.io.File(p).getName.matches("spark-(sql|core).*\\.jar"))
+    val sysEntries = javaClassPath.split(sep).toSeq.filter(_.nonEmpty)
+    if (hasGraft(sysEntries)) Some(javaClassPath)
+    else {
+      val merged = (sysEntries ++ loaderEntries).distinct
+      if (hasGraft(merged) && hasSpark(merged)) Some(merged.mkString(sep.toString))
+      else None
+    }
+  }
+
+  /** JVM flags for a child: this JVM's own flags, plus the JDK-17
+    * module opens Spark needs and an -Xms=-Xmx heap pin when absent.
+    * A child forked from an sbt-server JVM inherits SBT's flags, which
+    * carry neither — without the opens the child dies at SparkSession
+    * construction and the whole family would read as errors.
+    */
+  private[graft] def childJvmArgs(inherited: Seq[String]): Seq[String] = {
+    val opens =
+      if (inherited.exists(_.startsWith("--add-opens"))) Nil
+      else Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val heap =
+      if (inherited.exists(_.startsWith("-Xmx"))) Nil
+      else {
+        val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+        Seq(s"-Xms$m", s"-Xmx$m")
+      }
+    // -agentlib/-javaagent flags are dropped: a child re-attaching
+    // sbt's JMX/debug agents on the same port fails to start
+    inherited.filterNot(a =>
+      a.startsWith("-agentlib") || a.startsWith("-javaagent")) ++ opens ++ heap
+  }
+
+  /** One child JVM per family, same binary/flags/env as this JVM on the
+    * given classpath; merges the children's JSON lines. Returns false
+    * when the FIRST family's child fails outright (bad reconstruction,
+    * crash-at-startup) — the caller then runs the whole suite on the
+    * guarded in-process path rather than shipping an all-errors line.
+    */
+  private def runForked(cp: String): Boolean = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java")
-    val cp = System.getProperty("java.class.path", "")
-    val haveClasses = cp.split(java.io.File.pathSeparatorChar).exists(p =>
-      new java.io.File(p, "graft/Bench.class").isFile ||
-        (p.endsWith(".jar") && new java.io.File(p).getName.startsWith("graft")))
-    if (!javaBin.isFile || !haveClasses) return false
-    val jvmArgs = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    if (!javaBin.isFile) return false
+    val jvmArgs = childJvmArgs(java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq)
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val families = SparkEntry.queries.keys.toSeq.sorted.groupBy(_.head).toSeq.sortBy(_._1)
@@ -342,10 +503,11 @@ object Bench {
     val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
     var errors = 0
     var famMax = loadStart
-    val baseline = baselineMins(sfDir)
+    val (baseline, guardStatus) = baselineMinsWithStatus(sfDir)
     if (baseline.isEmpty)
       System.err.println("[bench] WARNING: baseline guard running EMPTY " +
         s"(file missing or recorded at a different sf than $sfDir)")
+    var firstFamily = true
     families.foreach { case (fam, names) =>
       // Writeback settle between children: the previous family's
       // unflushed writes otherwise bill the next family's IO.
@@ -384,15 +546,24 @@ object Bench {
         case Some((med, min, errs, fld, famLoad)) =>
           qMed ++= med; qMin ++= min; errors += errs; failed ++= fld
           famMax = math.max(famMax, famLoad)
+        case None if firstFamily =>
+          // The very first child failing at JVM level means the
+          // reconstructed launch doesn't work in this environment
+          // (classpath/flags) — bail to the guarded in-process path
+          // instead of shipping a line where every family is an error.
+          System.err.println(s"[bench] first family '$fam' child failed " +
+            "outright — abandoning the forked path, falling back in-process")
+          return false
         case None =>
           System.err.println(s"[bench] family '$fam' child failed — " +
             s"counting its ${names.size} queries as errors")
           errors += names.size
           failed ++= names
       }
+      firstFamily = false
     }
     println(jsonLine(qMed, qMin, errors, failed.toSeq, sfDir, loadStart, loadAvg(),
-      famMax, reruns.toSeq))
+      famMax, reruns.toSeq, mode = "forked", guard = guardStatus))
     true
   }
 
@@ -434,7 +605,64 @@ object Bench {
 
   // ---- in-process (child / fallback) path ----------------------------------
 
-  private def runInProcess(): Unit = {
+  /** One family's timed attempt: (per-query median, per-query min,
+    * failed names). A query that threw records NO timing — its
+    * fast-failure reps would otherwise read as a speedup.
+    */
+  private def timeFamily(spark: SparkSession, sfDir: String, reps: Int,
+                         qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : (Seq[(String, Double)], Seq[(String, Double)], Seq[String]) = {
+    val med = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val min = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Warm pass: builds this family's session-lifetime indexes and
+    // caches and JITs its codegen — the same warm-index regime the
+    // reference's published numbers use (index resident in RAM).
+    qs.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          failedNames += name
+          System.err.println(s"[bench] warm pass of $name failed: $t")
+      }
+    }
+    qs.foreach { case (name, fn) =>
+      // Transactional gates: reps pinned to 1 (explicit names, not a
+      // prefix — a future query merely NAMED x* must not silently get
+      // a noisier 1-rep median). Each rep is 4s of deliberate
+      // commit/fence/re-read semantics at Spark's per-job floor
+      // (TxPhaseProbe-adjudicated irreducible), its regression signal
+      // lives in TxBench/IncBench, and 3 reps made x1+x2 31% of the
+      // whole driver gate for a median nobody reads.
+      val qReps = if (Bench.SingleRepQueries.contains(name)) 1 else reps
+      val samples = (1 to qReps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            failedNames += name
+            System.err.println(s"[bench] $name failed: $t")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (!failedNames.contains(name)) {
+        med += name -> median(samples)
+        min += name -> samples.min
+      }
+    }
+    (med.toSeq, min.toSeq, failedNames.toSeq)
+  }
+
+  /** Single-JVM path: every child runs here, and so does the whole
+    * suite when forking isn't viable. The BASELINE GUARD runs here too
+    * when this JVM is the top level (r15 verdict #1: both guards lived
+    * only on the forked path, so the driver's sbt-launched gate — which
+    * fell through to this path two rounds running — shipped queries at
+    * 7-9× baseline with `reruns:[]`). A flagged family gets its caches
+    * dropped, a writeback settle, and ONE re-timing; the faster attempt
+    * is kept (a real plan regression is slow in both). Children skip
+    * the guard — their forked parent already re-runs whole children.
+    */
+  private def runInProcess(fallbackReason: String): Unit = {
+    val isChild = fallbackReason == "child"
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -457,11 +685,18 @@ object Bench {
       only.forall(_.contains(name)) }
     // Family = leading letter of the query name (d1/e3/q_rollup/v10 → d/e/q/v).
     val families = selected.toSeq.sortBy(_._1).groupBy(_._1.head).toSeq.sortBy(_._1)
+    val (baseline, guardStatus) =
+      if (isChild) (Map.empty[String, Double], "parent")
+      else baselineMinsWithStatus(sfDir)
+    if (!isChild && baseline.isEmpty)
+      System.err.println("[bench] WARNING: in-process baseline guard " +
+        s"is $guardStatus — this draw is unprotected against contamination")
 
     val qMed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val qMin = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
-    families.foreach { case (_, qs) =>
+    val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
+    families.foreach { case (fam, qs) =>
       // Bound the persisted footprint to one family's working set (only
       // reachable with >1 family: the fallback / NOFORK path).
       Graft.clearAllCaches(spark)
@@ -469,45 +704,31 @@ object Bench {
       // children — the NOFORK path otherwise times the next family
       // against this one's unflushed writes.
       if (selected.size > qs.size) settleWriteback()
-      // Warm pass: builds this family's session-lifetime indexes and
-      // caches and JITs its codegen — the same warm-index regime the
-      // reference's published numbers use (index resident in RAM).
-      qs.foreach { case (name, fn) =>
-        try { fn(spark, sfDir).count() } catch {
-          case t: Throwable =>
-            failedNames += name
-            System.err.println(s"[bench] warm pass of $name failed: $t")
+      val first = timeFamily(spark, sfDir, reps, qs)
+      val flagged = slowVsBaseline(first._1, baseline, baselineSlack())
+      val kept =
+        if (flagged.isEmpty) first
+        else {
+          System.err.println(s"[bench] family '$fam' queries " +
+            s"${flagged.mkString(",")} exceed the local baseline min by " +
+            s">${baselineSlack()}x — re-running once in-process " +
+            "(caches cleared, writeback settled)")
+          reruns += fam.toString
+          Graft.clearAllCaches(spark)
+          settleWriteback()
+          val second = timeFamily(spark, sfDir, reps, qs)
+          // fewer failures wins; then the faster median sum
+          if (second._3.size < first._3.size) second
+          else if (second._3.size == first._3.size &&
+            second._1.map(_._2).sum < first._1.map(_._2).sum) second
+          else first
         }
-      }
-      qs.foreach { case (name, fn) =>
-        // Transactional gates: reps pinned to 1 (explicit names, not a
-        // prefix — a future query merely NAMED x* must not silently get
-        // a noisier 1-rep median). Each rep is 4s of deliberate
-        // commit/fence/re-read semantics at Spark's per-job floor
-        // (TxPhaseProbe-adjudicated irreducible), its regression signal
-        // lives in TxBench/IncBench, and 3 reps made x1+x2 31% of the
-        // whole driver gate for a median nobody reads.
-        val qReps = if (Bench.SingleRepQueries.contains(name)) 1 else reps
-        val samples = (1 to qReps).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch {
-            case t: Throwable =>
-              failedNames += name
-              System.err.println(s"[bench] $name failed: $t")
-          }
-          (System.nanoTime() - t0) / 1e9
-        }
-        // a query that threw records NO timing — its fast-failure reps
-        // would otherwise read as a speedup in the per-query diff
-        if (!failedNames.contains(name)) {
-          qMed(name) = median(samples)
-          qMin(name) = samples.min
-        }
-      }
+      qMed ++= kept._1; qMin ++= kept._2; failedNames ++= kept._3
     }
     val loadEnd = loadAvg()
     println(jsonLine(qMed, qMin, failedNames.size, failedNames.toSeq, sfDir,
-      loadStart, loadEnd, math.max(loadStart, loadEnd)))
+      loadStart, loadEnd, math.max(loadStart, loadEnd), reruns.toSeq,
+      mode = "inprocess", guard = guardStatus, fallbackReason = fallbackReason))
     spark.stop()
   }
 }

@@ -114,6 +114,9 @@ object SparkEntry {
     // P6: p4 with a broadcast-bloom pre-filter (identical output).
     "p6_decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
     "p5_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
+    // P7: seeded deterministic export shuffle — the terminal global
+    // ordering of a training-data build (single range-partitioned sort).
+    "p7_export_shuffle" -> ((s, d) => Pipeline.exportShuffle(s, d)),
     // X: transactional storage exercised end-to-end (pin → commits →
     // delete → compaction-under-pin → close), oracle-checked.
     "x1_pinned_compaction" -> ((s, d) => Transactional.pinnedCompaction(s, d)),

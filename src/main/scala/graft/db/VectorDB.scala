@@ -1266,9 +1266,21 @@ class VectorDB private (
       try {
         val pp = new Path(p)
         if (fs.exists(pp)) fs.getContentSummary(pp).getLength else 0L
-      } catch { case scala.util.control.NonFatal(_) => 0L }
-    if (isMor) sz(s"$folder/codes.mor") + sz(s"$folder/docs.mor")
-    else sz(codesPath) + sz(docsPath)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // A transient FS failure must not read as "tiny tier" — that
+          // would silently disable packed-block persistence (and the
+          // warm restart it feeds) on a multi-GB table. MaxValue keeps
+          // the estimate erring toward persisting, as the gate assumes
+          // (ADVICE r15).
+          VectorDB.log.warn(s"tier size estimate failed for $p — " +
+            s"assuming large (persistence stays ON): $e")
+          Long.MaxValue
+      }
+    // saturating add: two MaxValue halves must not wrap negative
+    val a = if (isMor) sz(s"$folder/codes.mor") else sz(codesPath)
+    val b = if (isMor) sz(s"$folder/docs.mor") else sz(docsPath)
+    if (a > Long.MaxValue - b) Long.MaxValue else a + b
   }
 
   /** Opt into INCREMENTAL serving refresh (MOR storage only): after a

@@ -77,6 +77,13 @@ object Dedup {
     simhashCache.filterInPlace { case ((s, _), df) =>
       if (s == spark) { df.unpersist(); false } else true }
     docCountCache.filterInPlace { case ((s, _), _) => s != spark }
+    boilerplateFlagPersists.filterInPlace { case ((s, _), df) =>
+      if (s == spark) { df.unpersist(); false } else true }
+    rankedPersists.filterInPlace { case ((s, _), (df, bc)) =>
+      // unpersist, not destroy: a caller still holding the ranked
+      // relation recomputes correctly (the broadcast value re-ships
+      // from the driver); destroy would turn slow into WRONG
+      if (s == spark) { df.unpersist(); bc.unpersist(); false } else true }
   }
 
   /** Fixture-corpus row count, memoized per (session, dir) — the
@@ -652,7 +659,24 @@ object Dedup {
     * sampled once and the shuffle output is reused — the second job
     * cannot see a different row order (and the sort key is a total
     * order, so reduce-side fetch order can't either).
+    *
+    * EAGER, unlike a plain DataFrame transform: constructing the result
+    * runs pass 1 (the O(P) bounds collect) immediately — callers plan
+    * d6b and the rank jobs have already run (ADVICE r15, documented
+    * rather than removed: laziness here would mean re-sampling range
+    * bounds per downstream action, exactly the two-jobs-one-order bug
+    * the materialized design exists to prevent). The ranked relation is
+    * PERSISTED — the caller's a/b self-join reads it twice, and without
+    * the persist pass 2 plus the reduce-side sort re-run per read — and
+    * registered, with its offsets broadcast, for [[clearCaches]] to
+    * release (broadcasts otherwise accumulate per call).
     */
+  private val rankedPersists =
+    scala.collection.concurrent.TrieMap.empty[
+      (SparkSession, Long),
+      (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Long]])]
+  private val rankedSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def rankWithinBuckets(keyed: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
@@ -707,7 +731,11 @@ object Dedup {
         Row.fromSeq(r.toSeq :+ rnk)
       }
     }
-    spark.createDataFrame(rankedRdd, schema.add("rnk", LongType, nullable = false))
+    val ranked = spark
+      .createDataFrame(rankedRdd, schema.add("rnk", LongType, nullable = false))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rankedPersists.put((spark, rankedSeq.incrementAndGet()), (ranked, bc))
+    ranked
   }
 
   /** D7: corpus-level repeated-chunk (boilerplate) profile — the
@@ -728,13 +756,18 @@ object Dedup {
     *
     * Scale (100 TB): chunking is a per-row map (no shuffle); the
     * chunk-DF relation is one hash-agg (map-side combined) over
-    * |tokens|/window rows; the flagged set (df ≥ dfMin) is then SMALL
-    * by construction — true boilerplate is a tiny fraction of distinct
-    * chunks — so the big side takes a BROADCAST left join against it
-    * and never shuffles on the chunk hash. That sidesteps the hot-key
-    * skew a chunk appearing in 100M documents would cause in an
-    * h-partitioned join: the hot chunk's rows stay where they are and
-    * only carry a broadcast flag. One final per-doc hash-agg.
+    * |tokens|/window rows; the flagged set (df ≥ dfMin) is COUNTED and,
+    * while it fits [[BoilerplateBroadcastMaxRows]], the big side takes
+    * a BROADCAST left join against it and never shuffles on the chunk
+    * hash — sidestepping the hot-key skew a chunk appearing in 100M
+    * documents would cause in an h-partitioned join (the hot chunk's
+    * rows stay where they are and only carry a broadcast flag). On a
+    * template-heavy crawl the flagged set is NOT provably tiny
+    * (license boilerplate / nav text can make df ≥ dfMin chunks a
+    * multi-GB relation), so above the ceiling the join falls back to a
+    * plain shuffle join on `h` — correct everywhere, and the skew
+    * guarantee is documented as BROADCAST-REGIME-ONLY (r15 verdict #3).
+    * One final per-doc hash-agg either way.
     */
   def boilerplateChunks(spark: SparkSession, dir: String,
                         window: Int = 8, dfMin: Int = 3): DataFrame = {
@@ -743,14 +776,37 @@ object Dedup {
       window, dfMin)
   }
 
+  /** Flagged-set row ceiling for d7's broadcast join: 4M (h, is_b)
+    * rows ≈ 64 MB of key+value data, a few hundred MB as a
+    * HashedRelation — the same order as
+    * [[Relational.DimBroadcastMaxBytes]]'s allowance and far under
+    * executor OOM territory. Catalyst's own size estimate is useless
+    * here (the relation is an aggregation output), so the gate runs a
+    * real count — one extra job over a persisted, already-small
+    * relation, the price of an honest decision.
+    */
+  private[graft] val BoilerplateBroadcastMaxRows: Long = 4L << 20
+
+  /** Flagged-set relations persisted by [[boilerplateOver]] for its
+    * count-then-join gate, registered per session so
+    * [[clearCaches]] releases them with the other dedup relations.
+    */
+  private val boilerplateFlagPersists =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Long), DataFrame]
+  private val boilerplateFlagSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** [[boilerplateChunks]] over any (doc_id, text) relation — the
     * fixture corpus carries NATURAL repeated chunks (its near-duplicate
     * documents share whole segments), which is exactly the population
     * the pass exists to flag; the spec pins exact semantics on a
-    * synthetic corpus with a known boilerplate plant.
+    * synthetic corpus with a known boilerplate plant, plus the gate's
+    * fallback plan and its output-equivalence. Pass
+    * `broadcastMaxFlagged = 0` to force the shuffle-join fallback
+    * (mirrors d5's explicit-threshold convention).
     */
   private[graft] def boilerplateOver(relation: DataFrame,
-                                     window: Int, dfMin: Int): DataFrame = {
+                                     window: Int, dfMin: Int,
+                                     broadcastMaxFlagged: Long = BoilerplateBroadcastMaxRows): DataFrame = {
     val toks = relation.select(col("doc_id"),
         Kernels.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= window)
@@ -759,11 +815,21 @@ object Dedup {
         sequence(lit(0), (floor(size(col("w")) / window) - 1).cast("int")),
         i => array_join(slice(col("w"), i * window + lit(1), lit(window)), " "))).as("c"))
       .withColumn("h", Kernels.h60(col("c")))
+    // Persist BEFORE the gate count so the chunk agg runs once: the
+    // count consumes the same materialization the join then reuses.
+    // Lifecycle rides the session's dedup-cache registry.
     val flagged = chunks.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= dfMin)
       .select(col("h"), lit(1L).as("is_b"))
-    chunks.join(broadcast(flagged), Seq("h"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    boilerplateFlagPersists.put(
+      (relation.sparkSession, boilerplateFlagSeq.incrementAndGet()), flagged)
+    val nFlagged = flagged.count()
+    val joined =
+      if (nFlagged <= broadcastMaxFlagged) chunks.join(broadcast(flagged), Seq("h"), "left")
+      else chunks.join(flagged, Seq("h"), "left")
+    joined
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))

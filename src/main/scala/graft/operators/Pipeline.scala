@@ -318,6 +318,33 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** P7: deterministic corpus-export ordering — the terminal step of
+    * every real training-data build: a SEEDED global shuffle
+    * (`pos = rank of h60(doc_id || '#' || seed)`) so the exported
+    * sequence order is reproducible across re-runs, machines, and input
+    * layouts (a `rand()`-sorted export re-draws under straggler retry;
+    * a doc_id-ordered one leaks crawl/source locality into training
+    * batch composition).
+    *
+    * Scale (100 TB): the global rank rides
+    * [[Dedup.rankWithinBuckets]] with ONE constant bucket — a single
+    * range-partitioned sort on the (hash, doc_id) total order,
+    * per-partition local ranks + an O(partitions) driver carry fold.
+    * No window over a single partition, no driver materialization of
+    * rows; payload columns flow through the same shuffle untouched. No
+    * final `orderBy(pos)`: `pos` IS the order (writers consume it as
+    * the sort/bucket key), and re-sorting would double the exchange.
+    */
+  def exportShuffle(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+    Kernels.install(spark)
+    val keyed = docs(spark, dir).select(
+      col("doc_id").as("vec_id"), col("lang"),
+      lit(0).as("cluster"), lit(0L).as("s16"),
+      Kernels.h60(concat(col("doc_id").cast("string"), lit(s"#$seed"))).as("sk"))
+    Dedup.rankWithinBuckets(keyed)
+      .select(col("rnk").as("pos"), col("vec_id").as("doc_id"), col("lang"))
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   /** Shingle CTE chain shared with [[Dedup]]'s oracles. */
@@ -331,6 +358,14 @@ object Pipeline {
       |  FROM sh, unnest(sh.s) u(sg))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Seeded export shuffle: same 60-bit md5 key, row_number over the
+    // (key, doc_id) total order — bit-identical global positions.
+    "p7_export_shuffle" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY cast(concat('0x', substr(md5(concat(doc_id, '#42')), 1, 15)) as bigint),
+        |             doc_id) AS pos,
+        |  doc_id, lang
+        |FROM documents""".stripMargin,
     // Connected components in SQL: reachability closure via a recursive
     // CTE (UNION dedups, guaranteeing termination), then min reachable
     // label per node. Mirrors the d3 pair derivation verbatim.

@@ -50,4 +50,105 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(viaClasspath.exists(_.isFile),
       s"classpath anchor must find the baseline, candidates: $viaClasspath")
   }
+
+  // --- r15 verdict #1: the driver's sbt launch shape -----------------------
+
+  test("childClasspathFrom rebuilds a viable classpath from the sbt layered-loader shape") {
+    val sep = java.io.File.pathSeparator
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    assume(new java.io.File(classesDir, "graft/Bench.class").isFile,
+      "compiled classes layout required")
+    val sparkJar = new java.io.File("/opt/spark/jars").listFiles()
+      .find(_.getName.matches("spark-sql.*\\.jar")).map(_.getAbsolutePath)
+    assume(sparkJar.isDefined, "spark jars required")
+
+    // plain java -cp launch: java.class.path is authoritative, verbatim
+    val plain = s"$classesDir$sep/opt/spark/jars/whatever.jar"
+    assert(Bench.childClasspathFrom(plain, Nil, None).contains(plain))
+
+    // sbt's FORKED runMain shape (verified against a real launch): the
+    // app rides a repackaged binaryvectordbspark_*.jar on
+    // java.class.path — only the self code-source anchor can identify
+    // it as the graft classes
+    val bgJar = "/root/repo/target/bg-jobs/sbt_x/job-1/target/aa/bb/binaryvectordbspark_2.13-0.1.0.jar"
+    val forkedCp = s"$bgJar$sep$sparkJar"
+    assert(Bench.childClasspathFrom(forkedCp, Nil, Some(bgJar)).contains(forkedCp),
+      "the bg-jobs repackaged jar must count as the graft classes via the anchor")
+    assert(Bench.childClasspathFrom(forkedCp, Nil, None).isEmpty,
+      "without the anchor the repackaged jar is unrecognizable (the r16 bug)")
+
+    // the IN-PROCESS sbt shape: java.class.path = sbt-launch.jar only,
+    // classes + spark jars resolved from loaders/code sources — must
+    // merge to a viable cp
+    val rebuilt = Bench.childClasspathFrom("/usr/share/sbt/bin/sbt-launch.jar",
+      Seq(classesDir, sparkJar.get), Some(classesDir))
+    assert(rebuilt.isDefined, "sbt launch shape must rebuild a child classpath")
+    assert(rebuilt.get.contains(classesDir) && rebuilt.get.contains(sparkJar.get))
+
+    // loaders carrying the classes but NO spark jar: not viable (a child
+    // launched with it dies at SparkSession construction)
+    assert(Bench.childClasspathFrom("/usr/share/sbt/bin/sbt-launch.jar",
+      Seq(classesDir), Some(classesDir)).isEmpty)
+    // nothing anywhere: not viable
+    assert(Bench.childClasspathFrom("/usr/share/sbt/bin/sbt-launch.jar", Nil, None).isEmpty)
+  }
+
+  test("childClasspath resolves in THIS test JVM (forked with real -cp)") {
+    val cp = Bench.childClasspath()
+    assert(cp.isDefined, "the test JVM runs with the classes on -cp; " +
+      "childClasspath must resolve or the driver gate forks nothing")
+  }
+
+  test("childJvmArgs injects module opens + heap pin only when absent, drops agents") {
+    val bare = Bench.childJvmArgs(Seq("-Dfoo=1", "-javaagent:/x.jar", "-agentlib:jdwp"))
+    assert(bare.exists(_.startsWith("--add-opens")), "sbt-shaped flags get opens added")
+    assert(bare.exists(_.startsWith("-Xmx")), "and a heap pin")
+    assert(!bare.exists(a => a.startsWith("-javaagent") || a.startsWith("-agentlib")),
+      "agent flags must not re-attach in the child")
+    val full = Bench.childJvmArgs(Seq("--add-opens", "java.base/java.lang=ALL-UNNAMED", "-Xmx4g"))
+    assert(full.count(_ == "--add-opens") == 1, "opens not duplicated")
+    assert(full.count(_.startsWith("-Xmx")) == 1, "heap pin not duplicated")
+  }
+
+  /** End-to-end pin of the r15 failure mode: a NON-forked (driver-
+    * fallback-shaped) bench run against a poisoned baseline must FIRE
+    * the in-process guard and stamp mode/baseline_guard/reruns into its
+    * line — r14 and r15 both shipped driver gates where this path ran
+    * guardless and the artifact couldn't say so. One real JVM + sf0.001
+    * + a single query keeps it to one Spark startup.
+    */
+  test("in-process run fires the baseline guard and stamps mode/guard/reruns") {
+    val launcher = new java.io.File("scripts/run.sh")
+    assume(launcher.isFile &&
+      new java.io.File("target/scala-2.13/classes/graft/Bench.class").isFile,
+      "compiled-classes launcher not available")
+    assume(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists(),
+      "sf0.001 fixture required")
+    // poisoned baseline: v1's quiet-machine min claimed at 1ns, so any
+    // real draw exceeds it by the slack factor and the guard must fire
+    val f = java.nio.file.Files.createTempFile("graft-poison-baseline", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"sf":"/root/testdata/sf0.001","queries_min":{"v1_hamming_topk":1e-9}}""")
+    try {
+      val pb = new ProcessBuilder("bash", launcher.getPath, "graft.Bench")
+      pb.environment().put("SPARK_GRAFT_ONLY", "v1_hamming_topk") // driver-fallback shape: in-process
+      pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+      pb.environment().put("SPARK_GRAFT_CPUS", "4")
+      pb.environment().put("SPARK_GRAFT_REPS", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_BASELINE", f.toString)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val code = proc.waitFor()
+      assert(code == 0, s"bench exited $code:\n${out.mkString("\n")}")
+      val line = out.find(_.startsWith("{")).getOrElse(fail("no JSON line"))
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      assert(root.get("mode").asText() == "inprocess", line)
+      assert(root.get("baseline_guard").asText() == "armed", line)
+      assert(root.get("fallback_reason").asText() == "only-env", line)
+      assert(root.get("reruns").size() == 1 && root.get("reruns").get(0).asText() == "v",
+        s"poisoned baseline must have re-run the v family: $line")
+      assert(root.get("queries").has("v1_hamming_topk"), line)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
 }

@@ -56,4 +56,44 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"an h-partitioned merge join re-creates the hot-chunk skew:\n$plan")
   }
+
+  test("a flagged set over the gate falls back to a shuffle join with identical output") {
+    import spark.implicits._
+    graft.functions.Kernels.install(spark)
+    // 40 documents sharing a planted chunk plus per-doc unique text:
+    // the flagged set (1 row) "exceeds" a forced gate of 0, exercising
+    // the exact over-threshold decision a template-heavy 100TB crawl
+    // would hit with the default 4M-row ceiling (r15 verdict #3 — the
+    // unguarded broadcast hint bypassed autoBroadcastJoinThreshold).
+    val plant = "click here to accept cookies and continue reading"
+    val rows = (0L until 40L)
+      .map(i => (i, s"$plant ${uniq(i, 8)}")).toDF("doc_id", "text")
+    // With auto-broadcast DISABLED, the plan shape shows exactly what
+    // the OPERATOR decided: a planted hint still broadcasts; no hint
+    // (over the gate) shuffles. At fixture scale Catalyst would
+    // otherwise auto-broadcast the tiny un-hinted side and mask the
+    // gate's decision. (At the real over-threshold scale the flagged
+    // relation exceeds autoBroadcastJoinThreshold on size alone.)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (broadcasted, fallback) =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val b = graft.operators.Dedup.boilerplateOver(rows, window = 8, dfMin = 3)
+        val f = graft.operators.Dedup.boilerplateOver(rows, window = 8, dfMin = 3,
+          broadcastMaxFlagged = 0L)
+        val planB = b.queryExecution.executedPlan.toString
+        val planF = f.queryExecution.executedPlan.toString
+        assert(planB.contains("BroadcastHashJoin"), s"under the gate: broadcast\n$planB")
+        assert(!planF.contains("BroadcastHashJoin"),
+          s"over the gate no broadcast hint may survive:\n$planF")
+        assert(planF.contains("SortMergeJoin") || planF.contains("ShuffledHashJoin"),
+          s"over the gate: shuffle join on h expected\n$planF")
+        (b, f)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    val a = broadcasted.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = fallback.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.sameElements(b), "gate regimes must agree on every row")
+    assert(a.forall { case (_, n, boiler) => n == 2L && boiler == 1L },
+      s"every doc: 2 chunks, 1 planted boiler — got ${a.take(3).mkString(",")}")
+  }
 }
