@@ -59,7 +59,7 @@ object Bench {
     * sbt work running alongside), and without the load recorded the
     * artifact was indistinguishable from a plan regression.
     */
-  private def loadAvg(): Double =
+  private[graft] def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
@@ -196,7 +196,7 @@ object Bench {
     * and without a stamped probe that offset was indistinguishable from
     * a repo-wide regression. Warm-run median of 3.
     */
-  private def cpuProbe(): Double = {
+  private[graft] def cpuProbe(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L
@@ -225,7 +225,7 @@ object Bench {
     * by rebuilding the pre-session commit); this stamp makes the next
     * such diff attributable without a worktree rebuild. Median of 3.
     */
-  private def ioProbe(): Double = {
+  private[graft] def ioProbe(): Double = {
     val dir = java.nio.file.Files.createTempDirectory("graft-ioprobe")
     try {
       val chunk = new Array[Byte](1 << 20)

@@ -193,9 +193,13 @@ object RecallBench {
       val nQueries = if (args.length > 6) args(6).toInt else 20
       val dir = Graft.scratchDir("recall-synth")
       synthesize(spark, dir, n, dim, clusters, intrinsicDim, sigma)
+      // settle the synthesis writeback out of the sweep's timings, and
+      // stamp the same contamination markers the Bench line carries
+      // (r15 verdict #5: the recall artifact must ride the protocol)
+      Bench.settleWriteback()
       val qids = (0 until nQueries).map(i => i.toLong * (n / nQueries) + i)
       sweep(spark, dir, qids, geometry = "synthetic-clustered-sphere",
-        extraJson = f""","n":$n,"dim":$dim,"clusters":$clusters,"intrinsic_dim":$intrinsicDim,"sigma":$sigma%.2f""")
+        extraJson = f""","n":$n,"dim":$dim,"clusters":$clusters,"intrinsic_dim":$intrinsicDim,"sigma":$sigma%.2f,"loadavg":${Bench.loadAvg()}%.2f,"io_probe_ms":${Bench.ioProbe()}%.2f,"dirty_kb":${Bench.dirtyKb()}""")
     } else {
       val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
       val nQueries = if (args.length > 1) args(1).toInt else 20

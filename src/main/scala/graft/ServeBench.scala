@@ -39,12 +39,19 @@ object ServeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val loadStart = Bench.loadAvg()
     val dir = Graft.scratchDir("servebench")
     val db = VectorDB.openOrCreate(spark, dir, model = s"graft-hash-$dim", dim = dim)
     val docs = spark.range(n).select(col("id").as("doc_id"),
       concat(lit("synthetic document "), col("id"),
         lit(" topic "), col("id") % 97).as("text"))
     db.addDocuments(docs, new graft.db.HashingEmbedder(dim))
+    // Writeback settle between the ingest and every timed section: at
+    // 1M×1024 the ingest leaves ~10 GB of parquet writeback draining
+    // behind the timings, which contends for memory bandwidth exactly
+    // where the phase-1 popcount scan lives (r15 verdict #5 — the
+    // serving artifact must carry the settle protocol + its stamps).
+    Bench.settleWriteback()
 
     val queries = (0 until 16).map { s =>
       (0 until dim).map(i => math.sin(i * 0.37 + s) / 8.0)
@@ -58,6 +65,9 @@ object ServeBench {
     db.searchVector(queries.head, k = 10).collect()
     val plain = queries.map(q => time(db.searchVector(q, k = 10).collect()))
     db.enableServing()
+    // the serving build just materialized the packed tier — settle so
+    // its allocation/GC churn doesn't bill the first served medians
+    Bench.settleWriteback()
     db.searchVector(queries.head, k = 10).collect()
     val served = queries.map(q => time(db.searchVector(q, k = 10).collect()))
     // typed-result serving API: same one-job funnel, no per-query
@@ -137,7 +147,9 @@ object ServeBench {
     val selCacheWarm = time { db.selectorCached(selCachedPred).release() }
     db.clearSelectorCache()
 
-    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"hits_ms":${median(hits)}%.1f,"hits_phase1_ms":$p1%.2f,"hits_phase2_ms":$p2%.2f,"hits_phase3_ms":$p3%.2f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"hits_concurrent_per_query_ms":${median(hitsConcRounds)}%.1f,"sel_matches":$selMatches,"sel_build_bc_ms":$selBuildBc%.1f,"sel_build_fb_ms":$selBuildFb%.1f,"sel_hits_bc_ms":${median(selHitsBc)}%.1f,"sel_hits_fb_ms":${median(selHitsFb)}%.1f,"sel_cache_cold_ms":$selCacheCold%.1f,"sel_cache_warm_ms":$selCacheWarm%.1f,"unit":"ms"}""")
+    // Same contamination stamps as the Bench line (r15 verdict #5): a
+    // degraded-device or loaded-box draw must be self-identifying.
+    println(f"""{"metric":"serve_latency","n":$n,"dim":$dim,"plain_ms":${median(plain)}%.1f,"serving_ms":${median(served)}%.1f,"hits_ms":${median(hits)}%.1f,"hits_phase1_ms":$p1%.2f,"hits_phase2_ms":$p2%.2f,"hits_phase3_ms":$p3%.2f,"batch16_per_query_ms":${batch / 16}%.1f,"concurrent_per_query_ms":${median(concRounds)}%.1f,"hits_concurrent_per_query_ms":${median(hitsConcRounds)}%.1f,"sel_matches":$selMatches,"sel_build_bc_ms":$selBuildBc%.1f,"sel_build_fb_ms":$selBuildFb%.1f,"sel_hits_bc_ms":${median(selHitsBc)}%.1f,"sel_hits_fb_ms":${median(selHitsFb)}%.1f,"sel_cache_cold_ms":$selCacheCold%.1f,"sel_cache_warm_ms":$selCacheWarm%.1f,"loadavg_start":$loadStart%.2f,"loadavg_end":${Bench.loadAvg()}%.2f,"cpu_probe_ms":${Bench.cpuProbe()}%.2f,"io_probe_ms":${Bench.ioProbe()}%.2f,"dirty_kb":${Bench.dirtyKb()},"unit":"ms"}""")
     spark.stop()
   }
 }

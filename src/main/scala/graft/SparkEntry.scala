@@ -117,6 +117,12 @@ object SparkEntry {
     // P7: seeded deterministic export shuffle — the terminal global
     // ordering of a training-data build (single range-partitioned sort).
     "p7_export_shuffle" -> ((s, d) => Pipeline.exportShuffle(s, d)),
+    // P8: source-mixture capping (per-source token shares + the
+    // deterministic downsample rate that caps source dominance).
+    "p8_source_mixture" -> ((s, d) => Pipeline.sourceMixture(s, d)),
+    // T9: unigram-LM NLL scoring (the CCNet-class perplexity filter,
+    // integer micro-nat costs, broadcast-bounded vocabulary).
+    "t9_unigram_nll" -> ((s, d) => TextAnalysis.unigramNll(s, d)),
     // X: transactional storage exercised end-to-end (pin → commits →
     // delete → compaction-under-pin → close), oracle-checked.
     "x1_pinned_compaction" -> ((s, d) => Transactional.pinnedCompaction(s, d)),

@@ -345,6 +345,51 @@ object Pipeline {
       .select(col("rnk").as("pos"), col("vec_id").as("doc_id"), col("lang"))
   }
 
+  /** Per-source token-share ceiling for [[sourceMixture]], in basis
+    * points: no single source may contribute more than 40% of the
+    * training mix (the Pile/LLaMA-recipe style anti-dominance cap).
+    */
+  private[graft] val SourceCapBp = 4000L
+
+  /** P8: source-mixture capping — the data-recipe step between dedup
+    * and packing: compute each source's token share and the
+    * deterministic downsampling rate that caps any one source at
+    * [[SourceCapBp]] of the total (a crawl dump an order of magnitude
+    * bigger than every curated source would otherwise dominate the
+    * mix). Output per source: docs, tokens, raw share, the keep rate
+    * (min(1, cap·T/tokens)), and the capped token budget — all ratios
+    * in exact-int64 basis points (the [[TextAnalysis.qualityScore]]
+    * discipline), so both engines agree bit-for-bit. A pipeline applies
+    * the rate with the same content-hash trick as [[hashSplit]]
+    * (keep iff h60(text) mod 10000 < keep_rate_bp — deterministic,
+    * leakage-safe, no stored state).
+    *
+    * Scale: one explode-free per-row token count + one hash-agg to a
+    * |sources|-row relation; the total is a second tiny agg over THAT
+    * (never a second corpus pass). Everything after the first agg is
+    * driver-negligible.
+    */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(spark, dir)
+      .withColumn("n_tokens", size(Kernels.tokens(col("text"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+    // total tokens via a window over the |sources|-row aggregate: the
+    // relation is a handful of rows, so the unpartitioned window is a
+    // single trivial task over source counts, not documents
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("t", sum("tok_sum").over(w))
+      .withColumn("share_bp", expr("(20000 * tok_sum + t) div (2 * t)"))
+      .withColumn("keep_rate_bp",
+        least(lit(10000L), expr(s"(2 * $SourceCapBp * t + tok_sum) div (2 * tok_sum)")))
+      .withColumn("capped_tokens",
+        least(col("tok_sum"), expr(s"($SourceCapBp * t) div 10000")))
+      .select("source", "n_docs", "tok_sum", "share_bp", "keep_rate_bp",
+        "capped_tokens")
+      .orderBy("source")
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   /** Shingle CTE chain shared with [[Dedup]]'s oracles. */
@@ -358,6 +403,19 @@ object Pipeline {
       |  FROM sh, unnest(sh.s) u(sg))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Source-mixture capping: the same int64 basis-point arithmetic.
+    "p8_source_mixture" ->
+      s"""WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS tok_sum
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT s.*, (SELECT sum(tok_sum) FROM s) AS t FROM s)
+        |SELECT source, n_docs, tok_sum,
+        |  (20000 * tok_sum + t) // (2 * t) AS share_bp,
+        |  least(10000, (2 * $SourceCapBp * t + tok_sum) // (2 * tok_sum)) AS keep_rate_bp,
+        |  least(tok_sum, ($SourceCapBp * t) // 10000) AS capped_tokens
+        |FROM g ORDER BY source""".stripMargin,
+
     // Seeded export shuffle: same 60-bit md5 key, row_number over the
     // (key, doc_id) total order — bit-identical global positions.
     "p7_export_shuffle" ->

@@ -223,7 +223,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary size for the t9 unigram LM — top-V tokens by corpus
+    * frequency (count desc, token asc: a total order, so the cut is
+    * deterministic in both engines). V bounds the broadcast side of the
+    * scoring join BY CONSTRUCTION — unlike a df-threshold, the relation
+    * can never exceed V rows no matter the corpus.
+    */
+  private[graft] val UnigramVocab = 4096
+
+  /** T9: unigram-LM negative-log-likelihood scoring — the CCNet-class
+    * "perplexity filter" (score each document under a language model;
+    * drop the worst tail), with the KenLM stand-in being a corpus-fit
+    * unigram model: p(w) = count(w)/T over the top-[[UnigramVocab]]
+    * vocabulary, OOV floored at 1/T. Per-token cost is quantized to
+    * integer MICRO-NATS (`round(1e6 · ln(T/c))`) before summing, so the
+    * per-document sum is int64 and summation-order-independent — the
+    * same exactness discipline as the basis-point ratios above (a float
+    * Σln would disagree with the oracle in the last ulp depending on
+    * add order). Output per document: token count, total and average
+    * NLL in micro-nats (higher = more surprising = lower quality).
+    *
+    * Scale (100 TB): token counting is one explode + hash-agg with
+    * map-side combine; the vocab cut is a TakeOrdered (top-V per
+    * partition → V·P merge, never a global sort); scoring is a
+    * BROADCAST left join (≤ V rows by construction) + one per-doc
+    * hash-agg. The corpus-total T is one scalar aggregate. Nothing
+    * shuffles on the token key except the bounded count relation.
+    */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame =
+    unigramNllOver(docs(spark, dir), UnigramVocab)
+
+  private[graft] def unigramNllOver(relation: DataFrame, vocab: Int): DataFrame = {
+    val spark = relation.sparkSession
+    val toks = relation.select(col("doc_id"),
+      explode(Kernels.tokens(col("text"))).as("w"))
+    // ONE corpus pass materializes the count relation; the total and
+    // the vocab cut both read the persisted copy (without the persist
+    // each scalar/limit would re-tokenize the corpus), and both are
+    // collected eagerly — the vocab is ≤ V rows BY CONSTRUCTION, the
+    // total is one row — so the persist can be released immediately.
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = math.max(1L,
+      counts.agg(sum("c")).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
+    val vocRows = counts.orderBy(col("c").desc, col("w").asc).limit(vocab).collect()
+    counts.unpersist()
+    val voc = spark.createDataFrame(
+      spark.sparkContext.parallelize(vocRows.toSeq, 1), counts.schema)
+    toks.join(broadcast(voc), Seq("w"), "left")
+      .withColumn("u",
+        round(lit(1000000.0) * log(lit(total.toDouble) / coalesce(col("c"), lit(1L))), 0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("u").as("nll_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
+        expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)").as("avg_nll_micro"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t9_unigram_nll" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tot AS (SELECT count(*)::DOUBLE t FROM tok),
+        |cnt AS (SELECT w, count(*) c FROM tok GROUP BY w),
+        |voc AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT $UnigramVocab),
+        |costed AS (
+        |  SELECT tok.doc_id,
+        |    round(1000000 * ln((SELECT t FROM tot) / coalesce(voc.c, 1)))::BIGINT AS u
+        |  FROM tok LEFT JOIN voc USING (w))
+        |SELECT doc_id, count(*) AS n_tokens, sum(u) AS nll_micro,
+        |  ((2 * sum(u) + count(*)) // (2 * count(*)))::BIGINT AS avg_nll_micro
+        |FROM costed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t5_length_percentiles" ->
       """SELECT lang,
         |  round(quantile_cont(n_chars, 0.5), 4) AS p50,

@@ -191,4 +191,78 @@ class PipelineSpec extends AnyFunSuite {
         driverCollapseEdges = 0L)
     }
   }
+
+  test("exportShuffle: positions are a permutation, seed-dependent, layout-independent") {
+    import spark.implicits._
+    val got = graft.operators.Pipeline.exportShuffle(spark, dir)
+      .select("pos", "doc_id").as[(Long, Long)].collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(got.map(_._1).sorted.sameElements(1L to n),
+      "positions must be exactly 1..N")
+    // deterministic: a second construction agrees bit-for-bit
+    val again = graft.operators.Pipeline.exportShuffle(spark, dir)
+      .select("pos", "doc_id").as[(Long, Long)].collect()
+    assert(got.sortBy(_._2).sameElements(again.sortBy(_._2)))
+    // the seed actually shuffles: a different seed produces a different
+    // permutation (astronomically unlikely to collide on 1000+ docs)
+    val other = graft.operators.Pipeline.exportShuffle(spark, dir, seed = 7L)
+      .select("pos", "doc_id").as[(Long, Long)].collect()
+    assert(got.sortBy(_._2).map(_._1).toSeq != other.sortBy(_._2).map(_._1).toSeq)
+    // and it is NOT the identity order (doc_id order would leak source
+    // locality into batch composition)
+    assert(got.sortBy(_._2).map(_._1).toSeq != (1L to n).toSeq)
+  }
+
+  test("sourceMixture: shares sum to ~100%, dominant source capped, small sources kept whole") {
+    val rows = graft.operators.Pipeline.sourceMixture(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Long]("share_bp")).sum
+    // rounded per-source shares sum to 10000 within rounding slack
+    assert(math.abs(shareSum - 10000L) <= rows.length,
+      s"shares must sum to ~10000 bp, got $shareSum")
+    val t = rows.map(_.getAs[Long]("tok_sum")).sum
+    rows.foreach { r =>
+      val tok = r.getAs[Long]("tok_sum")
+      val keep = r.getAs[Long]("keep_rate_bp")
+      val capped = r.getAs[Long]("capped_tokens")
+      if (r.getAs[Long]("share_bp") <= graft.operators.Pipeline.SourceCapBp) {
+        assert(keep == 10000L, s"under-cap source must keep everything: $r")
+        assert(capped == tok, s"under-cap budget is its own size: $r")
+      } else {
+        assert(keep < 10000L, s"over-cap source must downsample: $r")
+        assert(capped == graft.operators.Pipeline.SourceCapBp * t / 10000,
+          s"over-cap budget is the cap: $r")
+      }
+    }
+  }
+
+  test("unigramNll: exact micro-nat costs, OOV floored at 1/T under a vocab cut") {
+    import spark.implicits._
+    graft.functions.Kernels.install(spark)
+    // corpus: 'aa' x5, 'bb' x2, 'zz' x1 => T=8; vocab=2 keeps {aa,bb},
+    // 'zz' is OOV and costs ln(T/1)
+    val docs = Seq(
+      (1L, "aa aa bb"),   // 2·ln(8/5) + ln(8/2)
+      (2L, "aa bb zz"),   // ln(8/5) + ln(8/2) + ln(8)
+      (3L, "aa aa")       // 2·ln(8/5)
+    ).toDF("doc_id", "text")
+    def u(p: Double): Long = math.round(1e6 * math.log(p))
+    val exp = Map(
+      1L -> (3L, 2 * u(8.0 / 5) + u(8.0 / 2)),
+      2L -> (3L, u(8.0 / 5) + u(8.0 / 2) + u(8.0)),
+      3L -> (2L, 2 * u(8.0 / 5)))
+    val got = graft.operators.TextAnalysis.unigramNllOver(docs, vocab = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp, s"got $got expected $exp")
+    // vocab large enough: no OOV, zz costs ln(7/1) anyway (count 1)
+    val full = graft.operators.TextAnalysis.unigramNllOver(docs, vocab = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(full(1L) == exp(1L)._2 && full(3L) == exp(3L)._2)
+    assert(full(2L) == exp(2L)._2, "count-1 vocab word == OOV floor cost")
+    // the scoring join must broadcast the (bounded) vocabulary
+    val plan = graft.operators.TextAnalysis.unigramNll(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$plan")
+  }
 }
