@@ -154,8 +154,22 @@ object Bench {
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
       val baseSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
-      // the baseline only means anything at the same scale factor
-      if (!baseSf.endsWith(sfDir.split('/').last)) Map.empty
+      // The baseline only means anything at the same scale factor AND
+      // thread count: a 32-thread child reads sub-second queries
+      // 1.7-2.2× a 16-thread one (task-scheduling overhead dominates
+      // tiny sf0.1 partitions at 2× parallelism — measured in the r16
+      // driver-shape dry-run, where a 16-cpu baseline fired the guard
+      // on SEVEN families of a quiet 32-cpu run). A baseline without a
+      // cpus stamp is accepted as-is (pre-r16 files).
+      val baseCpus = Option(root.get("cpus")).map(_.asText())
+      val runCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      if (baseCpus.exists(_ != runCpus)) {
+        System.err.println(s"[bench] baseline recorded at cpus=${baseCpus.get} " +
+          s"but this run uses cpus=$runCpus — guard disabled (refresh the " +
+          "baseline in this thread shape)")
+        Map.empty
+      }
+      else if (!baseSf.endsWith(sfDir.split('/').last)) Map.empty
       else {
         val node = root.get("queries_min")
         if (node == null) Map.empty
@@ -325,11 +339,14 @@ object Bench {
     // the unguarded in-process path and the artifact didn't say so).
     val fb = if (fallbackReason.isEmpty) ""
       else s""""fallback_reason":"$fallbackReason","""
+    // cpus rides the line so a refreshed baseline carries its thread
+    // shape (the guard refuses to compare across different ones)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(qMed)},""" +
       s""""queries_min":${obj(qMin)},"errors":$errors,"failed":$failedArr,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
       s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,""" +
-      s""""mode":"$mode","baseline_guard":"$guard",$fb""" +
+      s""""mode":"$mode","baseline_guard":"$guard",$fb"cpus":$cpus,""" +
       s""""cpu_probe_ms":${r2(cpuProbe())},"io_probe_ms":${r2(ioProbe())},""" +
       s""""dirty_kb":${dirtyKb()},"sf":"$sfDir"}"""
   }

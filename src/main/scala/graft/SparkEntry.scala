@@ -120,6 +120,9 @@ object SparkEntry {
     // P8: source-mixture capping (per-source token shares + the
     // deterministic downsample rate that caps source dominance).
     "p8_source_mixture" -> ((s, d) => Pipeline.sourceMixture(s, d)),
+    // P9: the corpus build END-TO-END as one declarative plan
+    // (dedup → decontaminate → mixture-cap → split → recipe table).
+    "p9_corpus_build" -> ((s, d) => Pipeline.corpusBuild(s, d)),
     // T9: unigram-LM NLL scoring (the CCNet-class perplexity filter,
     // integer micro-nat costs, broadcast-bounded vocabulary).
     "t9_unigram_nll" -> ((s, d) => TextAnalysis.unigramNll(s, d)),

@@ -390,6 +390,67 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** P9: the corpus build END-TO-END as one declarative plan — the
+    * composition every real training-data run executes, here composed
+    * from the same kernels the standalone operators use so Catalyst
+    * optimizes across stage boundaries instead of a pipeline runner
+    * materializing each step:
+    *   1. EXACT DEDUP: keep min(doc_id) per md5(text) (group-agg +
+    *      semi-join on (hash, id) — never a per-hash window task);
+    *   2. DECONTAMINATE: drop surviving train docs sharing ANY 3-gram
+    *      shingle with the eval source (anti-join; p4's semantics);
+    *   3. MIXTURE CAP: per-source keep rates computed over WHAT
+    *      SURVIVED 1-2 ([[sourceMixture]] arithmetic), applied with the
+    *      content-hash trick (h60(text·'#mix') mod 10000 < rate) — the
+    *      rate relation is |sources| rows, broadcast;
+    *   4. SPLIT: [[hashSplit]]'s 80/10/10 content-hash buckets;
+    *   5. the final recipe table: per (lang, split) docs + tokens.
+    *
+    * Scale: stages 1/2 shuffle on content hashes (dedup groups and the
+    * shingle join — both bounded by the dedup/contamination structure),
+    * stage 3+ is per-row maps against broadcast rates, stage 5 one
+    * hash-agg. Nothing materializes between stages; AQE sees the whole
+    * plan.
+    */
+  def corpusBuild(spark: SparkSession, dir: String,
+                  evalSource: String = "src0",
+                  capBp: Long = SourceCapBp): DataFrame = {
+    val d = docs(spark, dir)
+    // 1. exact dedup, keep-lowest-id
+    val keepIds = d.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept = d.join(keepIds, Seq("doc_id"), "left_semi")
+    // 2. decontamination against the eval source, over SURVIVORS
+    val sh = Dedup.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("s")).as("sg"))
+      .join(kept.select("doc_id", "source"), "doc_id")
+    val evalSg = sh.filter(col("source") === evalSource).select("sg").distinct()
+    val contaminated = sh.filter(col("source") =!= evalSource)
+      .join(evalSg, "sg").select("doc_id").distinct()
+    val train = kept.filter(col("source") =!= evalSource)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens", size(Kernels.tokens(col("text"))).cast("long"))
+    // 3. per-source keep rates over what survived (p8 arithmetic), then
+    // the deterministic content-hash downsample
+    val srcTok = train.groupBy("source").agg(sum("n_tokens").as("s"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = srcTok.withColumn("t", sum("s").over(w))
+      .withColumn("keep_rate_bp",
+        least(lit(10000L), expr(s"(2 * $capBp * t + s) div (2 * s)")))
+      .select("source", "keep_rate_bp")
+    val mixed = train.join(broadcast(rates), "source")
+      .filter(Kernels.h60(concat(col("text"), lit("#mix"))) % 10000 < col("keep_rate_bp"))
+    // 4-5. split buckets + the recipe table
+    mixed
+      .withColumn("b", Kernels.h60(col("text")) % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+      .orderBy("lang", "split")
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   /** Shingle CTE chain shared with [[Dedup]]'s oracles. */
@@ -403,6 +464,43 @@ object Pipeline {
       |  FROM sh, unnest(sh.s) u(sg))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The composed corpus build: each CTE mirrors the standalone
+    // operator's oracle verbatim (dedup keep-set, p4 contamination,
+    // p8 rates over survivors, p2 buckets).
+    "p9_corpus_build" ->
+      s"""WITH keepids AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kept AS (SELECT d.* FROM documents d JOIN keepids USING (doc_id)),
+         |tok AS (SELECT doc_id, string_split(text,' ') w FROM kept),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
+         |  FROM tok),
+         |ex AS (SELECT sh.doc_id, u.sg FROM sh, unnest(sh.s) u(sg)),
+         |eval_sh AS (SELECT DISTINCT ex.sg FROM ex JOIN kept USING (doc_id)
+         |            WHERE kept.source = 'src0'),
+         |contaminated AS (
+         |  SELECT DISTINCT ex.doc_id FROM ex JOIN eval_sh USING (sg)
+         |  JOIN kept ON kept.doc_id = ex.doc_id WHERE kept.source <> 'src0'),
+         |train AS (
+         |  SELECT kept.*, len(string_split(text,' '))::BIGINT AS n_tokens
+         |  FROM kept WHERE source <> 'src0'
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |srctok AS (SELECT source, sum(n_tokens) AS s FROM train GROUP BY source),
+         |rates AS (SELECT source,
+         |    least(10000, (2 * $SourceCapBp * (SELECT sum(s) FROM srctok) + s) // (2 * s))
+         |      AS keep_rate_bp
+         |  FROM srctok),
+         |mixed AS (SELECT train.* FROM train JOIN rates USING (source)
+         |  WHERE cast(concat('0x', substr(md5(concat(text, '#mix')), 1, 15)) as bigint)
+         |          % 10000 < keep_rate_bp),
+         |bucketed AS (SELECT lang, n_tokens,
+         |    cast(concat('0x', substr(md5(text), 1, 15)) as bigint) % 100 AS b
+         |  FROM mixed)
+         |SELECT lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS tok_sum
+         |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Source-mixture capping: the same int64 basis-point arithmetic.
     "p8_source_mixture" ->
       s"""WITH s AS (

@@ -236,6 +236,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusBuild: composed result obeys each stage's invariants") {
+    import spark.implicits._
+    val got = graft.operators.Pipeline.corpusBuild(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    // stage bound: never more docs than the p4 train survivors (the
+    // composed pipeline only ever removes further)
+    val p4 = graft.operators.Pipeline.decontaminate(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    got.groupBy(_._1._1).foreach { case (lang, bySplit) =>
+      val total = bySplit.values.map(_._1).sum
+      assert(total <= p4(lang),
+        s"$lang: composed docs $total must not exceed decontaminated survivors ${p4(lang)}")
+    }
+    // every (lang, split) combination that appears is a real split name
+    assert(got.keySet.map(_._2).subsetOf(Set("train", "val", "test")))
+    // deterministic: re-planning agrees bit-for-bit
+    val again = graft.operators.Pipeline.corpusBuild(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == again)
+    // with the cap wide open (100%), capping removes nothing: result
+    // equals dedup+decontam+split exactly; with it, counts only shrink
+    val uncapped = graft.operators.Pipeline
+      .corpusBuild(spark, dir, capBp = 10000L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.foreach { case (k, (n, _)) =>
+      assert(n <= uncapped(k), s"capping must only shrink: $k $n vs ${uncapped(k)}")
+    }
+  }
+
   test("unigramNll: exact micro-nat costs, OOV floored at 1/T under a vocab cut") {
     import spark.implicits._
     graft.functions.Kernels.install(spark)
