@@ -414,17 +414,25 @@ object Pipeline {
     */
   def corpusBuild(spark: SparkSession, dir: String,
                   evalSource: String = "src0",
-                  capBp: Long = SourceCapBp): DataFrame = {
-    val d = docs(spark, dir)
+                  capBp: Long = SourceCapBp): DataFrame =
+    corpusBuildOver(docs(spark, dir), evalSource, capBp)
+
+  /** [[corpusBuild]] over any (doc_id, text, lang, source) relation —
+    * one code path for the fixture gate and the differential fuzz
+    * (CorpusBuildProperties re-derives all five stages independently).
+    */
+  private[graft] def corpusBuildOver(d: DataFrame, evalSource: String,
+                                     capBp: Long): DataFrame = {
+    Kernels.install(d.sparkSession)
     // 1. exact dedup, keep-lowest-id
     val keepIds = d.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val kept = d.join(keepIds, Seq("doc_id"), "left_semi")
     // 2. decontamination against the eval source, over SURVIVORS
-    val sh = Dedup.shingled(spark, dir)
-      .select(col("doc_id"), explode(col("s")).as("sg"))
-      .join(kept.select("doc_id", "source"), "doc_id")
+    val sh = kept
+      .select(col("doc_id"), col("source"),
+        explode(Kernels.shingles3(col("text"))).as("sg"))
     val evalSg = sh.filter(col("source") === evalSource).select("sg").distinct()
     val contaminated = sh.filter(col("source") =!= evalSource)
       .join(evalSg, "sg").select("doc_id").distinct()
