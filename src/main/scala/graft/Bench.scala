@@ -75,9 +75,24 @@ object Bench {
     */
   private def loadMax(): Double =
     sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse {
-      val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(4)
-      math.max(12.0, 1.5 * cpus)
+      math.max(12.0, 1.5 * benchCpus().toInt)
     }
+
+  /** Thread count for every bench Spark session and for the baseline
+    * cpus-match: SPARK_GRAFT_CPUS, defaulting to THE BOX'S core count —
+    * NOT a fixed small constant. The r15 driver gate's bidirectional
+    * drift (q1_agg 9.4× SLOWER than baseline while v9 read FASTER) is
+    * the local[4] signature: scan-bound families starve at 4 threads
+    * while tiny per-query jobs shed scheduling overhead — the old
+    * default silently benchmarked a 4-thread engine whenever the
+    * launcher didn't export the env var, and no guard could tell that
+    * apart from contamination. A benchmark's sane default is the
+    * machine it runs on; the resolved value is stamped into the JSON
+    * line and must match the baseline's stamp for the guard to arm.
+    */
+  private[graft] def benchCpus(): String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
 
   /** Per-query baseline minima from the last quiet-machine local bench
     * (`BENCH_baseline_local.json`, refreshed each round) — the second
@@ -162,7 +177,7 @@ object Bench {
       // on SEVEN families of a quiet 32-cpu run). A baseline without a
       // cpus stamp is accepted as-is (pre-r16 files).
       val baseCpus = Option(root.get("cpus")).map(_.asText())
-      val runCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val runCpus = benchCpus()
       if (baseCpus.exists(_ != runCpus)) {
         System.err.println(s"[bench] baseline recorded at cpus=${baseCpus.get} " +
           s"but this run uses cpus=$runCpus — guard disabled (refresh the " +
@@ -341,7 +356,7 @@ object Bench {
       else s""""fallback_reason":"$fallbackReason","""
     // cpus rides the line so a refreshed baseline carries its thread
     // shape (the guard refuses to compare across different ones)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = benchCpus()
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(qMed)},""" +
       s""""queries_min":${obj(qMin)},"errors":$errors,"failed":$failedArr,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
@@ -507,6 +522,10 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+      // pin the parent's RESOLVED thread count so parent-side stamps,
+      // the guard's cpus-match, and the child's local[N] agree even
+      // when the launcher never set the env var
+      pb.environment().put("SPARK_GRAFT_CPUS", benchCpus())
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
@@ -682,7 +701,7 @@ object Bench {
     val isChild = fallbackReason == "child"
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = benchCpus()
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
