@@ -95,4 +95,26 @@ object CorpusBuildProperties extends Properties("graft.corpusBuild") {
         "src0", capBp)
       got == expected
     }
+
+  /** d7's size gate swaps the physical join (broadcast vs shuffle on
+    * the chunk hash) — the two regimes must agree on EVERY corpus, not
+    * just the spec's planted fixture (r15 verdict #3's fix, fuzzed).
+    */
+  property("boilerplate gate regimes agree: broadcast == shuffle fallback, any corpus") =
+    forAll(Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n,
+      for {
+        len <- Gen.frequency(1 -> Gen.chooseNum(1, 7), 4 -> Gen.chooseNum(8, 24))
+        ws <- Gen.listOfN(len, Gen.oneOf(words))
+      } yield ws.mkString(" ")))) { texts =>
+      import spark.implicits._
+      graft.functions.Kernels.install(spark)
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def run(gate: Long) = graft.operators.Dedup
+        .boilerplateOver(df, window = 8, dfMin = 2, broadcastMaxFlagged = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val out = run(Long.MaxValue) == run(0L)
+      graft.operators.Dedup.clearCaches(spark) // release the flagged persists
+      out
+    }
 }
