@@ -126,6 +126,9 @@ object SparkEntry {
     // T9: unigram-LM NLL scoring (the CCNet-class perplexity filter,
     // integer micro-nat costs, broadcast-bounded vocabulary).
     "t9_unigram_nll" -> ((s, d) => TextAnalysis.unigramNll(s, d)),
+    // T10: bigram-LM NLL with unigram backoff (the conditional costs
+    // precomputed into the bounded bigram vocabulary).
+    "t10_bigram_nll" -> ((s, d) => TextAnalysis.bigramNll(s, d)),
     // X: transactional storage exercised end-to-end (pin → commits →
     // delete → compaction-under-pin → close), oracle-checked.
     "x1_pinned_compaction" -> ((s, d) => Transactional.pinnedCompaction(s, d)),

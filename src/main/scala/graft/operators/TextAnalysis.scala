@@ -282,7 +282,123 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** T10: bigram-LM NLL with unigram backoff — the CCNet filter's
+    * actual shape one order up from [[unigramNll]]: position 1 costs
+    * the unigram −ln(c(w₁)/T); positions i ≥ 2 cost the conditional
+    * −ln(c(wᵢ₋₁wᵢ)/c(wᵢ₋₁)) when the bigram is in the top-V bigram
+    * vocabulary, else BACK OFF to the unigram cost of wᵢ. Same integer
+    * micro-nat quantization as t9 (order-independent exact sums); the
+    * bigram rows carry their conditional cost PRECOMPUTED at vocab
+    * construction (a join of the two count AGGREGATES, never of corpus
+    * rows), so scoring is two bounded broadcast joins — ≤V bigram rows
+    * and ≤V unigram rows BY CONSTRUCTION — against the per-position
+    * relation. OOV unigrams floor at 1/T, exactly as t9.
+    */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame =
+    bigramNllOver(docs(spark, dir), UnigramVocab)
+
+  private[graft] def bigramNllOver(relation: DataFrame, vocab: Int): DataFrame = {
+    val spark = relation.sparkSession
+    val toks = relation.select(col("doc_id"), Kernels.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+    // one position row per token: (doc_id, i, w1, w2?) with w2 the
+    // successor (null at the last position)
+    val pos = toks.select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")))).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("i"),
+        element_at(col("w"), col("i")).as("w1"),
+        when(col("i") < size(col("w")), element_at(col("w"), col("i") + 1))
+          .as("w2"))
+    val uniCounts = pos.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = math.max(1L,
+      uniCounts.agg(sum("c")).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
+    val uniVoc = uniCounts.orderBy(col("c").desc, col("w").asc).limit(vocab).collect()
+    // bigram vocab rows carry the PRECOMPUTED conditional cost — the
+    // join against full unigram counts happens aggregate-vs-aggregate
+    val biVoc = pos.filter(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .join(uniCounts.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+      .withColumn("bu",
+        round(lit(1000000.0) * log(col("c1").cast("double") / col("c2")), 0).cast("long"))
+      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc).limit(vocab)
+      .select("w1", "w2", "bu").collect()
+    uniCounts.unpersist()
+    import org.apache.spark.sql.types._
+    val uniDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(uniVoc.toSeq, 1),
+      StructType(Seq(StructField("w", StringType), StructField("c", LongType))))
+    val biDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(biVoc.toSeq, 1),
+      StructType(Seq(StructField("w1", StringType), StructField("w2", StringType),
+        StructField("bu", LongType))))
+    def uniCost(cCol: org.apache.spark.sql.Column) =
+      round(lit(1000000.0) * log(lit(total.toDouble) / coalesce(cCol, lit(1L))), 0)
+        .cast("long")
+    // Each position row carries its own cost contribution: the i=1 row
+    // emits the head token's unigram cost; every row with a successor
+    // emits that successor's bigram (or backoff-unigram) cost. Summing
+    // per doc therefore covers position 1 once and positions 2..n once.
+    val costed = pos
+      .join(broadcast(biDf), Seq("w1", "w2"), "left")
+      .join(broadcast(uniDf.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_w2")),
+        Seq("w2"), "left")
+      .join(broadcast(uniDf.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_w1")),
+        Seq("w1"), "left")
+      .withColumn("u_head", when(col("i") === 1, uniCost(col("c_w1"))).otherwise(lit(0L)))
+      .withColumn("u_next",
+        when(col("w2").isNull, lit(0L))
+          .when(col("bu").isNotNull, col("bu"))
+          .otherwise(uniCost(col("c_w2"))))
+    costed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("u_head") + col("u_next")).as("nll_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
+        expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)").as("avg_nll_micro"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t10_bigram_nll" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos0 AS (
+        |  SELECT doc_id,
+        |    [{'i': i, 'w1': w[i], 'w2': CASE WHEN i < len(w) THEN w[i+1] END}
+        |     for i in range(1, len(w) + 1)] AS ps
+        |  FROM tok),
+        |pos AS (
+        |  SELECT doc_id, u.p.i AS i, u.p.w1 AS w1, u.p.w2 AS w2
+        |  FROM pos0, unnest(pos0.ps) u(p)),
+        |tot AS (SELECT count(*)::DOUBLE t FROM pos),
+        |uni AS (SELECT w1 AS w, count(*) c FROM pos GROUP BY w1),
+        |univoc AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT $UnigramVocab),
+        |bivoc AS (
+        |  SELECT b.w1, b.w2,
+        |    round(1000000 * ln(u.c::DOUBLE / b.c2))::BIGINT AS bu
+        |  FROM (SELECT w1, w2, count(*) c2 FROM pos WHERE w2 IS NOT NULL
+        |        GROUP BY w1, w2) b
+        |  JOIN uni u ON u.w = b.w1
+        |  ORDER BY b.c2 DESC, b.w1, b.w2 LIMIT $UnigramVocab),
+        |costed AS (
+        |  SELECT pos.doc_id,
+        |    CASE WHEN pos.i = 1 THEN
+        |      round(1000000 * ln((SELECT t FROM tot) / coalesce(u1.c, 1)))::BIGINT
+        |    ELSE 0 END AS u_head,
+        |    CASE WHEN pos.w2 IS NULL THEN 0
+        |         WHEN bv.bu IS NOT NULL THEN bv.bu
+        |         ELSE round(1000000 * ln((SELECT t FROM tot) / coalesce(u2.c, 1)))::BIGINT
+        |    END AS u_next
+        |  FROM pos
+        |  LEFT JOIN bivoc bv ON bv.w1 = pos.w1 AND bv.w2 = pos.w2
+        |  LEFT JOIN univoc u2 ON u2.w = pos.w2
+        |  LEFT JOIN univoc u1 ON u1.w = pos.w1)
+        |SELECT doc_id, count(*) AS n_tokens, sum(u_head + u_next) AS nll_micro,
+        |  ((2 * sum(u_head + u_next) + count(*)) // (2 * count(*)))::BIGINT AS avg_nll_micro
+        |FROM costed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t9_unigram_nll" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

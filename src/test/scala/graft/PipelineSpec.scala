@@ -295,4 +295,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab join must broadcast:\n$plan")
   }
+
+  test("bigramNll: in-vocab conditionals, bigram->unigram backoff, OOV floor") {
+    import spark.implicits._
+    graft.functions.Kernels.install(spark)
+    // uni: aa x3, bb x3, cc x1 (T=7); bigrams: (aa,bb) x3, (bb,aa) x1,
+    // (bb,cc) x1. vocab=1 keeps bigram (aa,bb) (cost ln(3/3)=0) and
+    // unigram aa (ties on count, lexical order) — so (bb,aa) backs off
+    // to in-vocab aa, (bb,cc) backs off to OOV cc = the 1/T floor.
+    val docs = Seq(
+      (1L, "aa bb aa bb"), // ln(7/3) head + 0 + backoff aa ln(7/3) + 0
+      (2L, "aa bb cc")     // ln(7/3) head + 0 + backoff cc ln(7)
+    ).toDF("doc_id", "text")
+    def u(p: Double): Long = math.round(1e6 * math.log(p))
+    val exp = Map(
+      1L -> (4L, 2 * u(7.0 / 3)),
+      2L -> (3L, u(7.0 / 3) + u(7.0)))
+    val got = graft.operators.TextAnalysis.bigramNllOver(docs, vocab = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp, s"got $got expected $exp")
+  }
 }
