@@ -58,6 +58,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ: oracle={want_cols} spark={got_cols}")
             n_fail += 1
             continue
+        # The driver hashes typed values: a DuckDB HUGEINT (bare sum())
+        # vs Spark BIGINT fails its hash even when every value is equal.
+        # Mirror that here by requiring the oracle's result types to match
+        # the Spark parquet types column-for-column (sorted by name).
+        want_types = [str(t) for _, t in
+                      sorted(zip(want.columns, want.types), key=lambda p: p[0])]
+        got_types = [str(t) for _, t in
+                     sorted(zip(got.columns, got.types), key=lambda p: p[0])]
+        if want_types != got_types:
+            diffs = [f"{c}: oracle={w} spark={g}"
+                     for c, w, g in zip(want_cols, want_types, got_types) if w != g]
+            print(f"FAIL {name}: column types differ: {'; '.join(diffs)}")
+            n_fail += 1
+            continue
         if len(want_rows) != len(got_rows):
             print(f"FAIL {name}: row count differs: oracle={len(want_rows)} spark={len(got_rows)}")
             n_fail += 1

@@ -513,13 +513,13 @@ object Pipeline {
     "p8_source_mixture" ->
       s"""WITH s AS (
         |  SELECT source, count(*) AS n_docs,
-        |    sum(len(string_split(text, ' '))) AS tok_sum
+        |    sum(len(string_split(text, ' ')))::BIGINT AS tok_sum
         |  FROM documents GROUP BY source),
-        |g AS (SELECT s.*, (SELECT sum(tok_sum) FROM s) AS t FROM s)
+        |g AS (SELECT s.*, (SELECT sum(tok_sum) FROM s)::BIGINT AS t FROM s)
         |SELECT source, n_docs, tok_sum,
-        |  (20000 * tok_sum + t) // (2 * t) AS share_bp,
-        |  least(10000, (2 * $SourceCapBp * t + tok_sum) // (2 * tok_sum)) AS keep_rate_bp,
-        |  least(tok_sum, ($SourceCapBp * t) // 10000) AS capped_tokens
+        |  ((20000 * tok_sum + t) // (2 * t))::BIGINT AS share_bp,
+        |  least(10000, (2 * $SourceCapBp * t + tok_sum) // (2 * tok_sum))::BIGINT AS keep_rate_bp,
+        |  least(tok_sum, ($SourceCapBp * t) // 10000)::BIGINT AS capped_tokens
         |FROM g ORDER BY source""".stripMargin,
 
     // Seeded export shuffle: same 60-bit md5 key, row_number over the
