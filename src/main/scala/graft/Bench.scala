@@ -91,8 +91,12 @@ object Bench {
     * line and must match the baseline's stamp for the guard to arm.
     */
   private[graft] def benchCpus(): String =
-    sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
+    // Validated ONCE here: a non-numeric SPARK_GRAFT_CPUS falls back to
+    // the core count instead of throwing in loadMax()'s arithmetic or
+    // corrupting the JSON line where the value is stamped unquoted
+    // (ADVICE r16).
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.trim.toIntOption).filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors()).toString
 
   /** Per-query baseline minima from the last quiet-machine local bench
     * (`BENCH_baseline_local.json`, refreshed each round) — the second
@@ -336,9 +340,17 @@ object Bench {
                        reruns: Seq[String] = Nil,
                        mode: String = "forked",
                        guard: String = "armed",
-                       fallbackReason: String = ""): String = {
+                       fallbackReason: String = "",
+                       txPhases: Seq[(String, Double)] = Nil): String = {
     def obj(m: collection.Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // x-family phase split (clone/pin/commit/compact/search walls from
+    // the timed rep) so the x-rows' variance is attributable without a
+    // separate TxBench run (r16 verdict item 5)
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    val tx = if (txPhases.isEmpty) ""
+      else txPhases.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("\"tx_phases\":{", ",", "},")
     // any failure invalidates the headline total: a crashed family or
     // query REDUCES the sum, so a plain value diff would read breakage
     // as a speedup
@@ -360,7 +372,7 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(qMed)},""" +
       s""""queries_min":${obj(qMin)},"errors":$errors,"failed":$failedArr,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
-      s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,""" +
+      s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,$tx""" +
       s""""mode":"$mode","baseline_guard":"$guard",$fb"cpus":$cpus,""" +
       s""""cpu_probe_ms":${r2(cpuProbe())},"io_probe_ms":${r2(ioProbe())},""" +
       s""""dirty_kb":${dirtyKb()},"sf":"$sfDir"}"""
@@ -413,12 +425,6 @@ object Bench {
     // against a real `sbt runMain` launch, where the URL walk finds
     // nothing). SparkSession's code source is one jar inside the Spark
     // distribution's jars dir; its SIBLINGS are the rest of it.
-    def codeSource(c: Class[_]): Option[java.io.File] =
-      try Option(c.getProtectionDomain.getCodeSource)
-        .flatMap(cs => Option(cs.getLocation))
-        .filter(_.getProtocol == "file")
-        .map(l => new java.io.File(l.toURI))
-      catch { case _: Exception => None }
     val selfAnchor = codeSource(getClass).map(_.getAbsolutePath)
     selfAnchor.foreach(loaderEntries += _)
     codeSource(classOf[org.apache.spark.sql.SparkSession]).foreach { jar =>
@@ -472,9 +478,24 @@ object Bench {
     * construction and the whole family would read as errors.
     */
   private[graft] def childJvmArgs(inherited: Seq[String]): Seq[String] = {
-    val opens =
-      if (inherited.exists(_.startsWith("--add-opens"))) Nil
-      else Seq(
+    // Union, not all-or-nothing (ADVICE r16): a parent carrying a
+    // PARTIAL opens set (sbt configs commonly add one or two of their
+    // own) must still get every Spark-required module/package pair, or
+    // the child dies at SparkSession construction and the gate silently
+    // degrades to the in-process path. Both spellings are recognized:
+    // "--add-opens X=Y" (two args) and "--add-opens=X=Y" (one arg).
+    val inheritedPairs: Set[String] = {
+      val b = Set.newBuilder[String]
+      val it = inherited.iterator
+      while (it.hasNext) {
+        val a = it.next()
+        if (a == "--add-opens") { if (it.hasNext) b += it.next().takeWhile(_ != '=') }
+        else if (a.startsWith("--add-opens="))
+          b += a.stripPrefix("--add-opens=").takeWhile(_ != '=')
+      }
+      b.result()
+    }
+    val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
         "java.base/java.lang.reflect", "java.base/java.io",
         "java.base/java.net", "java.base/java.nio",
@@ -482,7 +503,8 @@ object Bench {
         "java.base/java.util.concurrent.atomic",
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar",
-      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      ).filterNot(inheritedPairs.contains)
+       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val heap =
       if (inherited.exists(_.startsWith("-Xmx"))) Nil
       else {
@@ -516,7 +538,8 @@ object Bench {
     // One child attempt: returns the parsed result + the child's max
     // recorded loadavg, or None when the child crashed / emitted garbage.
     def runFamily(names: Seq[String])
-        : Option[(Seq[(String, Double)], Seq[(String, Double)], Int, Seq[String], Double)] = {
+        : Option[(Seq[(String, Double)], Seq[(String, Double)], Int, Seq[String], Double,
+                  Seq[(String, Double)])] = {
       val cmd = Seq(javaBin.getAbsolutePath) ++ jvmArgs ++
         Seq("-cp", cp, "graft.Bench")
       val pb = new ProcessBuilder(cmd: _*)
@@ -537,6 +560,7 @@ object Bench {
     val qMin = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val txPhases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var errors = 0
     var famMax = loadStart
     val (baseline, guardStatus) = baselineMinsWithStatus(sfDir)
@@ -579,9 +603,10 @@ object Bench {
         case other => other
       }
       attempt match {
-        case Some((med, min, errs, fld, famLoad)) =>
+        case Some((med, min, errs, fld, famLoad, txp)) =>
           qMed ++= med; qMin ++= min; errors += errs; failed ++= fld
           famMax = math.max(famMax, famLoad)
+          txPhases ++= txp
         case None if firstFamily =>
           // The very first child failing at JVM level means the
           // reconstructed launch doesn't work in this environment
@@ -599,7 +624,8 @@ object Bench {
       firstFamily = false
     }
     println(jsonLine(qMed, qMin, errors, failed.toSeq, sfDir, loadStart, loadAvg(),
-      famMax, reruns.toSeq, mode = "forked", guard = guardStatus))
+      famMax, reruns.toSeq, mode = "forked", guard = guardStatus,
+      txPhases = txPhases.toSeq))
     true
   }
 
@@ -608,7 +634,8 @@ object Bench {
     * arithmetic would silently merge an empty family.
     */
   private def parseChildLine(line: String)
-      : Option[(Seq[(String, Double)], Seq[(String, Double)], Int, Seq[String], Double)] =
+      : Option[(Seq[(String, Double)], Seq[(String, Double)], Int, Seq[String], Double,
+                Seq[(String, Double)])] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
       def numObj(field: String): Seq[(String, Double)] = {
@@ -634,7 +661,7 @@ object Bench {
         Option(root.get("loadavg_end")).map(_.asDouble()).getOrElse(-1.0))
       Some((numObj("queries"), numObj("queries_min"),
         Option(root.get("errors")).map(_.asInt()).getOrElse(0), strArr("failed"),
-        famLoad))
+        famLoad, numObj("tx_phases")))
     } catch {
       case _: Exception => None
     }
@@ -764,7 +791,8 @@ object Bench {
     val loadEnd = loadAvg()
     println(jsonLine(qMed, qMin, failedNames.size, failedNames.toSeq, sfDir,
       loadStart, loadEnd, math.max(loadStart, loadEnd), reruns.toSeq,
-      mode = "inprocess", guard = guardStatus, fallbackReason = fallbackReason))
+      mode = "inprocess", guard = guardStatus, fallbackReason = fallbackReason,
+      txPhases = graft.operators.Transactional.phaseTimings))
     spark.stop()
   }
 }

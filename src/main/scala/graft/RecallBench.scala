@@ -122,7 +122,13 @@ object RecallBench {
     * pruned-probe IVF rows. Returns the artifact JSON line.
     */
   def sweep(spark: SparkSession, dir: String, qids: Seq[Long],
-            geometry: String, extraJson: String): String = {
+            geometry: String, extraJson: => String): String = {
+    // extraJson is BY-NAME: the caller's contamination stamps (loadavg,
+    // io_probe_ms, dirty_kb) must sample at line-emission time — AFTER
+    // the sweep's measured sections — matching the Bench/ServeBench
+    // protocol. Evaluated eagerly they'd stamp the pre-sweep state, and
+    // the ~192 MB ioProbe itself would run between the settle and the
+    // sweep (ADVICE r16).
     val nQueries = qids.size
     val exact: Map[Long, Set[Long]] = qids.map { q =>
       q -> graft.operators.Search.knnCosine(spark, dir, queryVecId = q, k = 10)

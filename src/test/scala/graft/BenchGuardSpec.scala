@@ -105,9 +105,33 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(bare.exists(_.startsWith("-Xmx")), "and a heap pin")
     assert(!bare.exists(a => a.startsWith("-javaagent") || a.startsWith("-agentlib")),
       "agent flags must not re-attach in the child")
-    val full = Bench.childJvmArgs(Seq("--add-opens", "java.base/java.lang=ALL-UNNAMED", "-Xmx4g"))
-    assert(full.count(_ == "--add-opens") == 1, "opens not duplicated")
-    assert(full.count(_.startsWith("-Xmx")) == 1, "heap pin not duplicated")
+    // UNION semantics (ADVICE r16): a parent carrying a PARTIAL opens
+    // set still gets every Spark-required pair added — minus the ones
+    // already present (either spelling) — or the child dies at
+    // SparkSession construction and the gate silently degrades.
+    val partial = Bench.childJvmArgs(
+      Seq("--add-opens", "java.base/java.lang=ALL-UNNAMED", "-Xmx4g"))
+    assert(partial.count(_ == "java.base/java.lang=ALL-UNNAMED") == 1,
+      "an inherited pair must not be re-added")
+    assert(partial.contains("java.base/sun.nio.ch=ALL-UNNAMED"),
+      "missing Spark-required pairs must be added alongside a partial set")
+    assert(partial.count(_.startsWith("-Xmx")) == 1, "heap pin not duplicated")
+    val eqForm = Bench.childJvmArgs(
+      Seq("--add-opens=java.base/sun.nio.ch=ALL-UNNAMED", "-Xmx4g"))
+    assert(!eqForm.contains("java.base/sun.nio.ch=ALL-UNNAMED"),
+      "the --add-opens=X=Y spelling must also count as present")
+    assert(eqForm.exists(_ == "java.base/java.lang=ALL-UNNAMED"),
+      "while the rest of the set is still added")
+    val full = Bench.childJvmArgs(Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++ Seq("-Xmx4g"))
+    assert(full.count(_ == "--add-opens") == 13, "a complete set gains nothing")
   }
 
   /** End-to-end pin of the r15 failure mode: a NON-forked (driver-
