@@ -68,6 +68,10 @@ object SparkEntry {
     // D7: corpus-level repeated-chunk (boilerplate) profile — the
     // CCNet/RefinedWeb repeated-paragraph pass over 8-token chunks.
     "d7_boilerplate" -> ((s, d) => Dedup.boilerplateChunks(s, d)),
+    // D8: exact substring dedup (Lee et al. 2022 ExactSubstr) — maximal
+    // ≥k-token spans duplicated at ANY offset corpus-wide, via k-gram
+    // flagging + doc-bounded interval merge (no suffix array needed).
+    "d8_substring_dedup" -> ((s, d) => Dedup.substringDedup(s, d)),
     "d6_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
     // The bounded-work (sorted-neighborhood) variant, driver-gated at a
     // window that covers every fixture bucket: the |b|·T equi-join path
@@ -129,6 +133,9 @@ object SparkEntry {
     // T10: bigram-LM NLL with unigram backoff (the conditional costs
     // precomputed into the bounded bigram vocabulary).
     "t10_bigram_nll" -> ((s, d) => TextAnalysis.bigramNll(s, d)),
+    // T11: per-source quality aggregation — the RefinedWeb/C4-style
+    // domain-level keep/drop gate over the t2 composite, exact-bp stats.
+    "t11_source_quality" -> ((s, d) => TextAnalysis.sourceQuality(s, d)),
     // X: transactional storage exercised end-to-end (pin → commits →
     // delete → compaction-under-pin → close), oracle-checked.
     "x1_pinned_compaction" -> ((s, d) => Transactional.pinnedCompaction(s, d)),

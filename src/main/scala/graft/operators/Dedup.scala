@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Kernels
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline north star: exact
@@ -677,6 +678,33 @@ object Dedup {
       (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Long]])]
   private val rankedSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Max live persisted relations per session in each registry. A
+    * repeated caller (the bench's warm pass + reps; a library user
+    * looping semdedupBounded/exportShuffle without clearCaches) would
+    * otherwise accumulate full-corpus persisted copies without bound
+    * (ADVICE r16). Eviction unpersists oldest-first — always correct:
+    * an evicted relation still mid-read by a concurrent caller just
+    * recomputes (and its offsets broadcast re-ships from the driver;
+    * unpersist, never destroy). 2 covers the two in-repo callers
+    * interleaving within one query run.
+    */
+  private[graft] val PersistRegistryCap = 2
+
+  private def evictOldest[V](registry: scala.collection.concurrent.TrieMap[(SparkSession, Long), V],
+                             spark: SparkSession, cap: Int)(release: V => Unit): Unit = {
+    val mine = registry.keys.filter(_._1 == spark).toSeq.sortBy(_._2)
+    mine.dropRight(cap).foreach { k =>
+      registry.remove(k).foreach(release)
+    }
+  }
+
+  /** Live registry sizes for this session (ranked, flagged) — spec
+    * visibility for the eviction cap.
+    */
+  private[graft] def livePersistCounts(spark: SparkSession): (Int, Int) =
+    (rankedPersists.keys.count(_._1 == spark),
+      boilerplateFlagPersists.keys.count(_._1 == spark))
+
   private[graft] def rankWithinBuckets(keyed: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
@@ -735,6 +763,9 @@ object Dedup {
       .createDataFrame(rankedRdd, schema.add("rnk", LongType, nullable = false))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rankedPersists.put((spark, rankedSeq.incrementAndGet()), (ranked, bc))
+    evictOldest(rankedPersists, spark, PersistRegistryCap) {
+      case (df, b) => df.unpersist(); b.unpersist()
+    }
     ranked
   }
 
@@ -825,6 +856,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     boilerplateFlagPersists.put(
       (relation.sparkSession, boilerplateFlagSeq.incrementAndGet()), flagged)
+    evictOldest(boilerplateFlagPersists, relation.sparkSession,
+      PersistRegistryCap)(_.unpersist())
     val nFlagged = flagged.count()
     val joined =
       if (nFlagged <= broadcastMaxFlagged) chunks.join(broadcast(flagged), Seq("h"), "left")
@@ -833,6 +866,98 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+      .orderBy("doc_id")
+  }
+
+  /** D8: exact substring-dedup profile — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) pass, re-expressed for Spark: flag every maximal
+    * ARBITRARY-OFFSET span of ≥ `k` tokens that occurs (hash-)identically
+    * at ≥ 2 positions corpus-wide. d7 flags fixed non-overlapping
+    * chunks; the real production pass matches spans at any offset —
+    * a duplicated substring of length L ≥ k appears as its L−k+1
+    * consecutive duplicated k-grams, so merging overlapping/adjacent
+    * duplicated k-gram intervals recovers exactly the maximal
+    * duplicated regions (the suffix-array construction's output,
+    * without the suffix array). Output per document: token count,
+    * number of maximal duplicated spans, tokens covered by them — the
+    * profile a pipeline applies by cutting the spans (the paper) or
+    * dropping high-ratio documents.
+    *
+    * Scale (100 TB): k-gram emission is a per-row map (no shuffle, no
+    * suffix sort); the duplicated-hash set is ONE hash-agg over corpus
+    * k-grams (map-side combine absorbs hot boilerplate grams); the
+    * flag-back join is size-gated BROADCAST (d7's regime argument: a
+    * gram occurring in 100M documents never shuffles on its key — its
+    * rows stay put and carry a broadcast flag) with a plain shuffle
+    * fallback above [[BoilerplateBroadcastMaxRows]]; the interval merge
+    * is a window PARTITIONED BY doc_id — per-document bounded, so its
+    * cost scales with the longest document, not the corpus. Hashing is
+    * the shared 60-bit scheme: corpus-scale collision odds are the
+    * documented approximation (and the oracle hashes identically, so
+    * the gate is exact).
+    */
+  def substringDedup(spark: SparkSession, dir: String, k: Int = SubstringK): DataFrame = {
+    Kernels.install(spark)
+    substringDedupOver(docs(spark, dir).select(col("doc_id"), col("text")), k)
+  }
+
+  /** k-gram width for [[substringDedup]]: the paper uses 50 tokens over
+    * web documents; the fixture corpus averages ~56 tokens/doc, so the
+    * default scales the paper's "long enough to be memorization, not
+    * idiom" bar to fixture geometry.
+    */
+  private[graft] val SubstringK = 16
+
+  private[graft] def substringDedupOver(relation: DataFrame, k: Int,
+                                        broadcastMaxFlagged: Long = BoilerplateBroadcastMaxRows): DataFrame = {
+    val toks = relation.select(col("doc_id"), Kernels.tokens(col("text")).as("w"))
+    val nTok = toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+    // one row per k-gram START: (doc_id, o, h) with o the 1-based token
+    // offset — a pure per-row fan-out, ~|tokens| rows per document
+    val grams = toks.filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - k + 1),
+        i => struct(i.cast("long").as("o"),
+          Kernels.h60(array_join(slice(col("w"), i, lit(k)), " ")).as("h")))).as("x"))
+      .select(col("doc_id"), col("x.o").as("o"), col("x.h").as("h"))
+    // duplicated k-grams: corpus-wide occurrence count ≥ 2 (same hash at
+    // ≥2 (doc,offset) sites — within- and cross-document both count, as
+    // in the paper). Persist-before-count rides the d7 registry.
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    boilerplateFlagPersists.put(
+      (relation.sparkSession, boilerplateFlagSeq.incrementAndGet()), dup)
+    evictOldest(boilerplateFlagPersists, relation.sparkSession,
+      PersistRegistryCap)(_.unpersist())
+    val nDup = dup.count()
+    val flagged =
+      if (nDup <= broadcastMaxFlagged) grams.join(broadcast(dup), Seq("h"), "leftsemi")
+      else grams.join(dup, Seq("h"), "leftsemi")
+    // interval union: a duplicated start o covers tokens [o, o+k−1];
+    // merge overlapping-or-adjacent intervals into maximal regions via
+    // the running-max-end gap-and-island form (doc-bounded windows)
+    val spans = flagged.select(col("doc_id"), col("o").as("s"),
+      (col("o") + lit(k.toLong - 1)).as("e"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val regions = spans
+      .withColumn("pme", max("e").over(wPrev))
+      .withColumn("cut",
+        when(col("pme").isNull || col("s") > col("pme") + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum("cut").over(wRun))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("rs"), max("e").as("re"))
+    val perDoc = regions.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("re") - col("rs") + 1).as("dup_tokens"))
+    nTok.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
       .orderBy("doc_id")
   }
 
@@ -900,6 +1025,39 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d6_semdedup" -> semDedupOracleSql,
     "d6b_semdedup_bounded" -> semDedupOracleSql,
+
+    // Same k-gram → duplicated-hash → merged-interval pipeline as the
+    // Spark side, including the 60-bit md5-prefix hash (exact match by
+    // construction). Zipped unnest comprehensions stand in for a
+    // lateral range().
+    "d8_substring_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |n AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM tok),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, len(w)-$SubstringK+2))::BIGINT AS o,
+        |        unnest([cast(concat('0x', substr(md5(array_to_string(
+        |            w[i:i+$SubstringK-1], ' ')),1,15)) as bigint)
+        |          for i in range(1, len(w)-$SubstringK+2)]) AS h
+        |      FROM tok),
+        |duph AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT g.doc_id, g.o AS s, g.o + $SubstringK - 1 AS e
+        |      FROM g JOIN duph USING (h)),
+        |m AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pme
+        |      FROM d),
+        |isl AS (SELECT doc_id, s, e,
+        |          sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS UNBOUNDED PRECEDING) AS isl
+        |        FROM m),
+        |regions AS (SELECT doc_id, isl, min(s) rs, max(e) re
+        |            FROM isl GROUP BY doc_id, isl)
+        |SELECT n.doc_id, n.n_tokens,
+        |  count(regions.rs)::BIGINT AS n_dup_spans,
+        |  coalesce(sum(regions.re - regions.rs + 1), 0)::BIGINT AS dup_tokens
+        |FROM n LEFT JOIN regions USING (doc_id)
+        |GROUP BY n.doc_id, n.n_tokens ORDER BY n.doc_id""".stripMargin,
 
     "d7_boilerplate" ->
       """WITH tok AS (

@@ -253,24 +253,40 @@ object TextAnalysis {
   def unigramNll(spark: SparkSession, dir: String): DataFrame =
     unigramNllOver(docs(spark, dir), UnigramVocab)
 
-  private[graft] def unigramNllOver(relation: DataFrame, vocab: Int): DataFrame = {
-    val spark = relation.sparkSession
-    val toks = relation.select(col("doc_id"),
-      explode(Kernels.tokens(col("text"))).as("w"))
+  /** Unigram model inputs: corpus token total T and the top-`vocab`
+    * (w, c) rows. Exposed for the rounding-boundary sweep
+    * (NllBoundarySpec): every per-token cost t9 quantizes is
+    * `round(1e6·ln(T/c))` for c drawn from these counts (or the OOV
+    * floor c=1), so this pair enumerates the quantizer's full input
+    * domain.
+    */
+  private[graft] def unigramModel(relation: DataFrame,
+                                  vocab: Int): (Long, Array[(String, Long)]) = {
     // ONE corpus pass materializes the count relation; the total and
     // the vocab cut both read the persisted copy (without the persist
     // each scalar/limit would re-tokenize the corpus), and both are
     // collected eagerly — the vocab is ≤ V rows BY CONSTRUCTION, the
     // total is one row — so the persist can be released immediately.
-    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val counts = relation
+      .select(explode(Kernels.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = math.max(1L,
       counts.agg(sum("c")).collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
-    val vocRows = counts.orderBy(col("c").desc, col("w").asc).limit(vocab).collect()
+    val vocRows = counts.orderBy(col("c").desc, col("w").asc).limit(vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     counts.unpersist()
-    val voc = spark.createDataFrame(
-      spark.sparkContext.parallelize(vocRows.toSeq, 1), counts.schema)
+    (total, vocRows)
+  }
+
+  private[graft] def unigramNllOver(relation: DataFrame, vocab: Int): DataFrame = {
+    val spark = relation.sparkSession
+    import spark.implicits._
+    val toks = relation.select(col("doc_id"),
+      explode(Kernels.tokens(col("text"))).as("w"))
+    val (total, vocRows) = unigramModel(relation, vocab)
+    val voc = spark.createDataset(vocRows.toSeq).toDF("w", "c")
     toks.join(broadcast(voc), Seq("w"), "left")
       .withColumn("u",
         round(lit(1000000.0) * log(lit(total.toDouble) / coalesce(col("c"), lit(1L))), 0)
@@ -297,43 +313,64 @@ object TextAnalysis {
   def bigramNll(spark: SparkSession, dir: String): DataFrame =
     bigramNllOver(docs(spark, dir), UnigramVocab)
 
-  private[graft] def bigramNllOver(relation: DataFrame, vocab: Int): DataFrame = {
-    val spark = relation.sparkSession
-    val toks = relation.select(col("doc_id"), Kernels.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 1)
-    // one position row per token: (doc_id, i, w1, w2?) with w2 the
-    // successor (null at the last position)
-    val pos = toks.select(col("doc_id"),
-        explode(sequence(lit(1), size(col("w")))).as("i"),
-        col("w"))
-      .select(col("doc_id"), col("i"),
-        element_at(col("w"), col("i")).as("w1"),
-        when(col("i") < size(col("w")), element_at(col("w"), col("i") + 1))
-          .as("w2"))
+  /** Bigram-model vocab row: the conditional cost `bu =
+    * round(1e6·ln(c1/c2))` is the value scoring uses; c1/c2 ride along
+    * so the rounding-boundary sweep (NllBoundarySpec) can audit every
+    * ratio the quantizer saw.
+    */
+  private[graft] case class BigramVocabRow(w1: String, w2: String,
+                                           c2: Long, c1: Long, bu: Long)
+
+  /** Bigram model inputs: (T, top-V unigram (w, c), top-V bigram vocab
+    * rows with counts and precomputed conditional cost). The bigram
+    * rows come from a join of the two count AGGREGATES, never of
+    * corpus rows.
+    */
+  private[graft] def bigramModel(relation: DataFrame, vocab: Int)
+      : (Long, Array[(String, Long)], Array[BigramVocabRow]) = {
+    val pos = bigramPositions(relation)
     val uniCounts = pos.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = math.max(1L,
       uniCounts.agg(sum("c")).collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
-    val uniVoc = uniCounts.orderBy(col("c").desc, col("w").asc).limit(vocab).collect()
-    // bigram vocab rows carry the PRECOMPUTED conditional cost — the
-    // join against full unigram counts happens aggregate-vs-aggregate
+    val uniVoc = uniCounts.orderBy(col("c").desc, col("w").asc).limit(vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val biVoc = pos.filter(col("w2").isNotNull)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .join(uniCounts.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
       .withColumn("bu",
         round(lit(1000000.0) * log(col("c1").cast("double") / col("c2")), 0).cast("long"))
       .orderBy(col("c2").desc, col("w1").asc, col("w2").asc).limit(vocab)
-      .select("w1", "w2", "bu").collect()
+      .select("w1", "w2", "c2", "c1", "bu").collect()
+      .map(r => BigramVocabRow(r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
     uniCounts.unpersist()
-    import org.apache.spark.sql.types._
-    val uniDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(uniVoc.toSeq, 1),
-      StructType(Seq(StructField("w", StringType), StructField("c", LongType))))
-    val biDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(biVoc.toSeq, 1),
-      StructType(Seq(StructField("w1", StringType), StructField("w2", StringType),
-        StructField("bu", LongType))))
+    (total, uniVoc, biVoc)
+  }
+
+  /** One position row per token: (doc_id, i, w1, w2?) with w2 the
+    * successor (null at the last position).
+    */
+  private def bigramPositions(relation: DataFrame): DataFrame =
+    relation.select(col("doc_id"), Kernels.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")))).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("i"),
+        element_at(col("w"), col("i")).as("w1"),
+        when(col("i") < size(col("w")), element_at(col("w"), col("i") + 1))
+          .as("w2"))
+
+  private[graft] def bigramNllOver(relation: DataFrame, vocab: Int): DataFrame = {
+    val spark = relation.sparkSession
+    import spark.implicits._
+    val pos = bigramPositions(relation)
+    val (total, uniVoc, biVoc) = bigramModel(relation, vocab)
+    val uniDf = spark.createDataset(uniVoc.toSeq).toDF("w", "c")
+    val biDf = spark.createDataset(biVoc.toSeq.map(b => (b.w1, b.w2, b.bu)))
+      .toDF("w1", "w2", "bu")
     def uniCost(cCol: org.apache.spark.sql.Column) =
       round(lit(1000000.0) * log(lit(total.toDouble) / coalesce(cCol, lit(1L))), 0)
         .cast("long")
@@ -360,7 +397,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** T11 thresholds: a document is LOW-quality below
+    * [[SourceLowQualityBp]] composite basis points; a source is KEPT
+    * when its average composite stays at or above
+    * [[SourceKeepMinAvgBp]] AND its low-quality document share stays at
+    * or below [[SourceKeepMaxLowShareBp]] — the RefinedWeb/C4-style
+    * source-level gate (chosen to split the fixture's 20 sources
+    * nontrivially at every SF: 9/9/6 kept).
+    */
+  private[graft] val SourceLowQualityBp = 7000
+  private[graft] val SourceKeepMinAvgBp = 7600L
+  private[graft] val SourceKeepMaxLowShareBp = 2000L
+
+  /** T11: per-source (domain-level) quality aggregation — the
+    * RefinedWeb/C4-style SOURCE filter: per-document t2 composite
+    * scores aggregate per source into exact basis-point statistics and
+    * a keep/drop decision, the table a corpus build joins to drop whole
+    * domains (and the quality-conditioned input p8's mixture stage
+    * would consume). Same int64 discipline as t2: means are
+    * round-half-up via `(2·sum+n) div (2n)`, shares via
+    * `(20000·k+n) div (2n)` — no floating point anywhere.
+    *
+    * Scale (100 TB): the per-document features are a pure per-row map;
+    * the aggregation is ONE hash-agg keyed by source with map-side
+    * combine — domains are hot keys by construction (a crawl is
+    * Zipf-distributed over domains), which is exactly the shape
+    * partial aggregation absorbs: each task emits one row per domain
+    * it saw, and only the O(domains) combined rows shuffle.
+    */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame =
+    sourceQualityOver(docs(spark, dir))
+
+  private[graft] def sourceQualityOver(relation: DataFrame): DataFrame = {
+    val w = Kernels.tokens(col("text"))
+    val perDoc = relation
+      .withColumn("n", size(w))
+      .withColumn("k", size(filter(w, t => t.isin(StopWords: _*))))
+      .withColumn("d", size(array_distinct(w)))
+      // int64 throughout: a 10^5-token document would overflow the
+      // int32 products t2's fixture-bounded form tolerates
+      .withColumn("qnum",
+        lit(2L) * least(lit(50L), col("n")) * col("n") +
+          lit(75L) * (col("n") - col("k")) + lit(75L) * col("d"))
+      .withColumn("q",
+        expr("(20000 * qnum + 250 * cast(n as bigint)) div (500 * cast(n as bigint))"))
+      .select(col("source"), col("n").cast("long").as("n"), col("q"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("tok_sum"),
+        sum("q").as("qsum"),
+        sum(when(col("q") < SourceLowQualityBp, 1L).otherwise(0L)).as("n_low"))
+      .select(col("source"), col("n_docs"), col("tok_sum"),
+        expr("(2 * qsum + n_docs) div (2 * n_docs)").as("avg_quality_bp"),
+        expr("(20000 * n_low + n_docs) div (2 * n_docs)").as("low_share_bp"))
+      .withColumn("keep",
+        col("avg_quality_bp") >= SourceKeepMinAvgBp &&
+          col("low_share_bp") <= SourceKeepMaxLowShareBp)
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t11_source_quality" ->
+      s"""WITH f AS (
+        |  SELECT source,
+        |    len(string_split(text, ' ')) n,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) k,
+        |    len(list_distinct(string_split(text, ' '))) d
+        |  FROM documents),
+        |g AS (SELECT f.*,
+        |        2 * least(50, n) * n + 75 * (n - k) + 75 * d AS qnum FROM f),
+        |h AS (SELECT source, n,
+        |        ((20000 * qnum + 250 * n) // (500 * n))::BIGINT AS q FROM g),
+        |s AS (SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS tok_sum,
+        |        ((2 * sum(q) + count(*)) // (2 * count(*)))::BIGINT AS avg_quality_bp,
+        |        ((20000 * sum(CASE WHEN q < $SourceLowQualityBp THEN 1 ELSE 0 END)
+        |          + count(*)) // (2 * count(*)))::BIGINT AS low_share_bp
+        |      FROM h GROUP BY source)
+        |SELECT source, n_docs, tok_sum, avg_quality_bp, low_share_bp,
+        |  (avg_quality_bp >= $SourceKeepMinAvgBp AND
+        |   low_share_bp <= $SourceKeepMaxLowShareBp) AS keep
+        |FROM s ORDER BY source""".stripMargin,
+
     "t10_bigram_nll" ->
       s"""WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -395,7 +512,7 @@ object TextAnalysis {
         |  LEFT JOIN bivoc bv ON bv.w1 = pos.w1 AND bv.w2 = pos.w2
         |  LEFT JOIN univoc u2 ON u2.w = pos.w2
         |  LEFT JOIN univoc u1 ON u1.w = pos.w1)
-        |SELECT doc_id, count(*) AS n_tokens, sum(u_head + u_next) AS nll_micro,
+        |SELECT doc_id, count(*) AS n_tokens, sum(u_head + u_next)::BIGINT AS nll_micro,
         |  ((2 * sum(u_head + u_next) + count(*)) // (2 * count(*)))::BIGINT AS avg_nll_micro
         |FROM costed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -409,7 +526,7 @@ object TextAnalysis {
         |  SELECT tok.doc_id,
         |    round(1000000 * ln((SELECT t FROM tot) / coalesce(voc.c, 1)))::BIGINT AS u
         |  FROM tok LEFT JOIN voc USING (w))
-        |SELECT doc_id, count(*) AS n_tokens, sum(u) AS nll_micro,
+        |SELECT doc_id, count(*) AS n_tokens, sum(u)::BIGINT AS nll_micro,
         |  ((2 * sum(u) + count(*)) // (2 * count(*)))::BIGINT AS avg_nll_micro
         |FROM costed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
