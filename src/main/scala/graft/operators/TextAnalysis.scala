@@ -286,7 +286,9 @@ object TextAnalysis {
     val toks = relation.select(col("doc_id"),
       explode(Kernels.tokens(col("text"))).as("w"))
     val (total, vocRows) = unigramModel(relation, vocab)
-    val voc = spark.createDataset(vocRows.toSeq).toDF("w", "c")
+    // single-partition RDD-backed, matching the t10 vocab relations
+    val voc = spark.createDataset(
+      spark.sparkContext.parallelize(vocRows.toSeq, 1)).toDF("w", "c")
     toks.join(broadcast(voc), Seq("w"), "left")
       .withColumn("u",
         round(lit(1000000.0) * log(lit(total.toDouble) / coalesce(col("c"), lit(1L))), 0)
@@ -368,8 +370,14 @@ object TextAnalysis {
     import spark.implicits._
     val pos = bigramPositions(relation)
     val (total, uniVoc, biVoc) = bigramModel(relation, vocab)
-    val uniDf = spark.createDataset(uniVoc.toSeq).toDF("w", "c")
-    val biDf = spark.createDataset(biVoc.toSeq.map(b => (b.w1, b.w2, b.bu)))
+    // single-partition RDD-backed relations, NOT LocalRelations: an ABBA
+    // probe measured the LocalRelation form ~1.26x slower end-to-end —
+    // Catalyst re-evaluates an inlined 4096-row LocalRelation's rows per
+    // planning pass where the RDD form stays opaque
+    val uniDf = spark.createDataset(
+      spark.sparkContext.parallelize(uniVoc.toSeq, 1)).toDF("w", "c")
+    val biDf = spark.createDataset(
+      spark.sparkContext.parallelize(biVoc.toSeq.map(b => (b.w1, b.w2, b.bu)), 1))
       .toDF("w1", "w2", "bu")
     def uniCost(cCol: org.apache.spark.sql.Column) =
       round(lit(1000000.0) * log(lit(total.toDouble) / coalesce(cCol, lit(1L))), 0)
