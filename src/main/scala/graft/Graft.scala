@@ -18,6 +18,7 @@ object Graft {
     operators.Search.clearCaches(spark)
     operators.Dedup.clearCaches(spark)
     operators.MLSimilarity.clearCaches(spark)
+    operators.Sketches.clearCaches(spark)
   }
 
   /** Path to a scheduler allocation file declaring the DEFAULT pool's

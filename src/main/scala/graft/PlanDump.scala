@@ -27,8 +27,17 @@ object PlanDump {
       if (only.forall(_.contains(name))) {
         try {
           val df = fn(spark, sfDir)
-          val plan = df.queryExecution.explainString(
+          // GRAFT_PLANDUMP_EXECUTE=1 appends the POST-EXECUTION adaptive
+          // plan (AQE's final plan, where ReusedExchange/AQEShuffleRead
+          // and runtime join rewrites are visible) after the static one.
+          val static = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
+          val plan =
+            if (sys.env.contains("GRAFT_PLANDUMP_EXECUTE")) {
+              df.count()
+              static + "\n\n== Final (adaptive, post-execution) Plan ==\n" +
+                df.queryExecution.executedPlan.toString
+            } else static
           Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
           println(s"[plandump] $name ok (${plan.length} chars)")
         } catch { case e: Throwable =>

@@ -914,13 +914,23 @@ object Dedup {
     val toks = relation.select(col("doc_id"), Kernels.tokens(col("text")).as("w"))
     val nTok = toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
     // one row per k-gram START: (doc_id, o, h) with o the 1-based token
-    // offset — a pure per-row fan-out, ~|tokens| rows per document
+    // offset — a pure per-row fan-out, ~|tokens| rows per document.
+    // PERSISTED (r17 optimization): both the duplicated-hash aggregate
+    // and the flag-back join consume this relation, and the md5 over a
+    // k-token string per position is the operator's dominant per-row
+    // cost — without the persist it ran twice per invocation. Lifecycle
+    // rides the same session registry as the flagged sets.
     val grams = toks.filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - k + 1),
         i => struct(i.cast("long").as("o"),
           Kernels.h60(array_join(slice(col("w"), i, lit(k)), " ")).as("h")))).as("x"))
       .select(col("doc_id"), col("x.o").as("o"), col("x.h").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    boilerplateFlagPersists.put(
+      (relation.sparkSession, boilerplateFlagSeq.incrementAndGet()), grams)
+    evictOldest(boilerplateFlagPersists, relation.sparkSession,
+      PersistRegistryCap)(_.unpersist())
     // duplicated k-grams: corpus-wide occurrence count ≥ 2 (same hash at
     // ≥2 (doc,offset) sites — within- and cross-document both count, as
     // in the paper). Persist-before-count rides the d7 registry.

@@ -43,6 +43,20 @@ object Retrieval {
   /** BM25 with the standard Robertson/Lucene parameters k1=1.2, b=0.75,
     * idf = ln(1 + (N − df + ½)/(df + ½)). Returns the top-k documents by
     * rounded score (ties → doc_id asc): (doc_id, bm25).
+    *
+    * Shape (r17 optimization, guide §2.3/§2.4): a document's tokens all
+    * sit in ONE array cell, so the per-(doc, term) frequency is a per-row
+    * `size(filter(w, = term))` — the corpus is never exploded and never
+    * shuffled on (doc_id, term) (the old plan's only corpus-sized
+    * exchange). The global stats (N, total tokens) and the per-term
+    * document frequencies collapse into ONE single-row aggregate that is
+    * broadcast back; scoring is then a pure per-row map and the top-k a
+    * TakeOrdered. Two corpus scans, ZERO corpus-sized exchanges.
+    * Numerically identical to the explode form: the same idf/norm
+    * doubles from the same integers, the same ×10^8 fixed-point per-term
+    * contributions (a term absent from a doc contributes the same
+    * nothing as its missing posting row did), docs matching no term are
+    * filtered out exactly as they never had a posting.
     */
   def bm25TopK(spark: SparkSession, dir: String,
                terms: Seq[String] = DefaultTerms, k: Int = 15): DataFrame = {
@@ -50,33 +64,37 @@ object Retrieval {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), Kernels.tokens(col("text")).as("w"))
 
-    // (N, total tokens) — one row; avgdl = total/n is derived inside the
-    // score expression so both engines divide the same exact integers.
-    val stats = d.agg(count(lit(1)).cast("double").as("n"),
-      sum(size(col("w"))).cast("double").as("total"))
+    // Per-document features, computed in the row: length + one tf column
+    // per query term (codegen'd array filter — no explode, no shuffle).
+    val feat = d.select(
+      col("doc_id") +: size(col("w")).as("dln") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("w"), x => x === lit(t))).cast("double").as(s"tf$i")
+        }: _*)
 
-    // Per-(doc, term) postings with the doc length carried through the
-    // explode — no corpus re-join. One shuffle on (doc_id, term).
-    val tf = d
-      .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
-        explode(col("w")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"), min("dl").as("dl"))
+    // ONE row: N, total tokens, and per-term document frequency — the
+    // same exact integers the explode form aggregated, in one pass.
+    val statsCols = count(lit(1)).cast("double").as("n") +:
+      sum(col("dln")).cast("double").as("total") +:
+      terms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("long")).cast("double").as(s"df$i"))
+    val stats = feat.agg(statsCols.head, statsCols.tail: _*)
 
-    // Document frequency per query term: ≤ |terms| rows — broadcast.
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // Per-term fixed-point contribution; tf = 0 contributes exactly 0,
+    // as its absent posting row did in the explode form.
+    def contribFp(i: Int): org.apache.spark.sql.Column = {
+      val tf = col(s"tf$i")
+      val idf = round(
+        log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))), 9)
+      val norm = tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dln").cast("double") / (col("total") / col("n")))
+      round(idf * (tf * lit(2.2)) / norm * lit(1.0e8)).cast("long")
+    }
 
-    val idf = round(
-      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 9)
-    val norm = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("total") / col("n")))
-    val contrib = idf * (col("tf") * lit(2.2)) / norm
-
-    tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib_fp", round(contrib * lit(1.0e8)).cast("long"))
-      .groupBy("doc_id")
-      .agg(round(sum("contrib_fp") / lit(1.0e8), 4).as("bm25"))
+    feat.crossJoin(broadcast(stats))
+      // docs matching no query term never had a posting row
+      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"),
+        round(terms.indices.map(contribFp).reduce(_ + _) / lit(1.0e8), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }

@@ -45,6 +45,36 @@ object Sketches {
   /** Sketch size: RSE ~ 1/√(k−2) ≈ 12.7%. */
   val KmvK = 64
 
+  /** Per-call persisted distinct (lang, h) relations of
+    * [[kmvJaccardLangs]], registered per session with latest-wins
+    * eviction (the [[Dedup.PersistRegistryCap]] discipline): the s2
+    * exact side consumes the relation from three join branches, and
+    * filter pushdown differentiates the branches' subtrees enough that
+    * Spark's exchange reuse cannot dedupe them — the persist is what
+    * guarantees ONE corpus tokenize+shingle+md5 pass per invocation.
+    */
+  private val distinctPersists =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Long), DataFrame]
+  private val distinctSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Release this session's persisted s2 relations (same lifecycle hook
+    * as the dedup caches — called from [[graft.Graft.clearAllCaches]]).
+    */
+  def clearCaches(spark: SparkSession): Unit =
+    distinctPersists.filterInPlace { case ((s, _), df) =>
+      if (s == spark) { df.unpersist(); false } else true }
+
+  private def registerPersist(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    distinctPersists.put((spark, distinctSeq.incrementAndGet()), p)
+    val mine = distinctPersists.keys.filter(_._1 == spark).toSeq.sortBy(_._2)
+    mine.dropRight(1).foreach { k =>
+      distinctPersists.remove(k).foreach(_.unpersist())
+    }
+    p
+  }
+
   /** Distinct-count estimate from a KMV kept-set array (sorted asc).
     * The numerator (k−1)·2^60 is exact in a double (6-bit mantissa ×
     * power-of-two exponent), so `floor(num / kth)` rounds identically in
@@ -153,9 +183,19 @@ object Sketches {
     * points.
     */
   def kmvJaccardLangs(spark: SparkSession, dir: String): DataFrame = {
-    val h = langShingleHashes(spark, dir)
+    // ONE corpus pass (r17 optimization; the old form re-ran the
+    // tokenize+shingle+md5 scan under every consumer — 6 scans in the
+    // executed plan): distinct (lang, h) is computed once, PERSISTED
+    // (see [[distinctPersists]] — exchange reuse alone cannot dedupe the
+    // branches once filter pushdown has specialized them), and every
+    // branch below reads the cached relation.
+    // Equivalences: countDistinct(h) per lang ≡ count over the distinct
+    // relation; the KMV sketch is duplicate-insensitive by construction
+    // (k smallest DISTINCT values — KmvSketchAgg's TreeSet), so sketching
+    // the distinct relation yields the identical kept set.
+    val h = registerPersist(langShingleHashes(spark, dir).distinct())
     val sk = h.groupBy("lang")
-      .agg(countDistinct(col("h")).as("n_exact"),
+      .agg(count(col("h")).as("n_exact"),
         Kernels.kmvSketch(col("h"), KmvK).as("sk"))
 
     // Sketch-merge side: the PRODUCTION path ([[kmvOverlapMatrix]] — the
@@ -171,7 +211,7 @@ object Sketches {
 
     // Exact side: distinct (lang, h) self-join per pair — fixture-scale
     // oracle harness only; production callers use [[kmvJaccardLangsSketch]].
-    val dh = h.distinct()
+    val dh = h
     val inter = dh.as("x").join(dh.as("y"),
         col("x.h") === col("y.h") && col("x.lang") < col("y.lang"))
       .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))

@@ -280,19 +280,41 @@ object TextAnalysis {
     (total, vocRows)
   }
 
+  /** Quantized per-token cost column: `round(1e6·ln(T/c))` as int64 —
+    * the single expression both NLL scorers evaluate, kept in one place
+    * so the precomputed-vocab path (r17 optimization) provably runs THE
+    * SAME Spark expression the per-token path did, just over the ≤V-row
+    * vocab relation (plus once for the OOV constant) instead of per
+    * corpus token.
+    */
+  private def uniCostExpr(total: Long, cCol: org.apache.spark.sql.Column) =
+    round(lit(1000000.0) * log(lit(total.toDouble) / cCol), 0).cast("long")
+
+  /** The OOV cost constant `round(1e6·ln(T/1))`, evaluated THROUGH the
+    * same Spark expression (a 1-row local plan) rather than driver-side
+    * math — bit-identical to what the per-token expression produced for
+    * an OOV token by construction.
+    */
+  private def oovCost(spark: SparkSession, total: Long): Long =
+    spark.range(1).select(uniCostExpr(total, lit(1L))).head().getLong(0)
+
   private[graft] def unigramNllOver(relation: DataFrame, vocab: Int): DataFrame = {
     val spark = relation.sparkSession
     import spark.implicits._
     val toks = relation.select(col("doc_id"),
       explode(Kernels.tokens(col("text"))).as("w"))
     val (total, vocRows) = unigramModel(relation, vocab)
-    // single-partition RDD-backed, matching the t10 vocab relations
+    // single-partition RDD-backed, matching the t10 vocab relations.
+    // The per-token cost is PRECOMPUTED over the ≤V vocab rows (same
+    // expression, same (T, c) inputs → identical int64 values), so the
+    // corpus-sized scoring pass does a broadcast lookup + coalesce with
+    // no ln/round per token (guide §1.2 step 2: per-task work).
     val voc = spark.createDataset(
       spark.sparkContext.parallelize(vocRows.toSeq, 1)).toDF("w", "c")
+      .select(col("w"), uniCostExpr(total, col("c")).as("u"))
+    val uOov = oovCost(spark, total)
     toks.join(broadcast(voc), Seq("w"), "left")
-      .withColumn("u",
-        round(lit(1000000.0) * log(lit(total.toDouble) / coalesce(col("c"), lit(1L))), 0)
-          .cast("long"))
+      .withColumn("u", coalesce(col("u"), lit(uOov)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("u").as("nll_micro"))
       .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
@@ -331,15 +353,23 @@ object TextAnalysis {
   private[graft] def bigramModel(relation: DataFrame, vocab: Int)
       : (Long, Array[(String, Long)], Array[BigramVocabRow]) = {
     val pos = bigramPositions(relation)
-    val uniCounts = pos.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c"))
+    // ONE corpus pass (r17 optimization; the old form tokenized the
+    // corpus once for the unigram counts and AGAIN for the bigram
+    // counts): aggregate (w1, w2) pair counts INCLUDING the null-w2
+    // last-position rows, then derive the unigram counts from that
+    // bounded aggregate — every position row carries exactly one w1, so
+    // c(w1) = Σ_w2 c(w1, w2) over the persisted pair relation.
+    val pairCounts = pos.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniCounts = pairCounts.groupBy(col("w1").as("w"))
+      .agg(sum("c2").as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = math.max(1L,
       uniCounts.agg(sum("c")).collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
     val uniVoc = uniCounts.orderBy(col("c").desc, col("w").asc).limit(vocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val biVoc = pos.filter(col("w2").isNotNull)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val biVoc = pairCounts.filter(col("w2").isNotNull)
       .join(uniCounts.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
       .withColumn("bu",
         round(lit(1000000.0) * log(col("c1").cast("double") / col("c2")), 0).cast("long"))
@@ -347,6 +377,7 @@ object TextAnalysis {
       .select("w1", "w2", "c2", "c1", "bu").collect()
       .map(r => BigramVocabRow(r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3), r.getLong(4)))
+    pairCounts.unpersist()
     uniCounts.unpersist()
     (total, uniVoc, biVoc)
   }
@@ -374,29 +405,34 @@ object TextAnalysis {
     // probe measured the LocalRelation form ~1.26x slower end-to-end —
     // Catalyst re-evaluates an inlined 4096-row LocalRelation's rows per
     // planning pass where the RDD form stays opaque
+    // The unigram vocab rows carry their cost PRECOMPUTED (same Spark
+    // expression over the same (T, c) inputs the per-token form
+    // evaluated — identical int64 values; see [[uniCostExpr]]), so the
+    // corpus-sized scoring pass below does broadcast lookups and
+    // coalesces with no ln/round per position row.
     val uniDf = spark.createDataset(
       spark.sparkContext.parallelize(uniVoc.toSeq, 1)).toDF("w", "c")
+      .select(col("w"), uniCostExpr(total, col("c")).as("u"))
     val biDf = spark.createDataset(
       spark.sparkContext.parallelize(biVoc.toSeq.map(b => (b.w1, b.w2, b.bu)), 1))
       .toDF("w1", "w2", "bu")
-    def uniCost(cCol: org.apache.spark.sql.Column) =
-      round(lit(1000000.0) * log(lit(total.toDouble) / coalesce(cCol, lit(1L))), 0)
-        .cast("long")
+    val uOov = oovCost(spark, total)
     // Each position row carries its own cost contribution: the i=1 row
     // emits the head token's unigram cost; every row with a successor
     // emits that successor's bigram (or backoff-unigram) cost. Summing
     // per doc therefore covers position 1 once and positions 2..n once.
     val costed = pos
       .join(broadcast(biDf), Seq("w1", "w2"), "left")
-      .join(broadcast(uniDf.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_w2")),
+      .join(broadcast(uniDf.withColumnRenamed("w", "w2").withColumnRenamed("u", "u_w2")),
         Seq("w2"), "left")
-      .join(broadcast(uniDf.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_w1")),
+      .join(broadcast(uniDf.withColumnRenamed("w", "w1").withColumnRenamed("u", "u_w1")),
         Seq("w1"), "left")
-      .withColumn("u_head", when(col("i") === 1, uniCost(col("c_w1"))).otherwise(lit(0L)))
+      .withColumn("u_head",
+        when(col("i") === 1, coalesce(col("u_w1"), lit(uOov))).otherwise(lit(0L)))
       .withColumn("u_next",
         when(col("w2").isNull, lit(0L))
           .when(col("bu").isNotNull, col("bu"))
-          .otherwise(uniCost(col("c_w2"))))
+          .otherwise(coalesce(col("u_w2"), lit(uOov))))
     costed.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("u_head") + col("u_next")).as("nll_micro"))
