@@ -19,6 +19,7 @@ object Graft {
     operators.Dedup.clearCaches(spark)
     operators.MLSimilarity.clearCaches(spark)
     operators.Sketches.clearCaches(spark)
+    operators.Pipeline.clearCaches(spark)
   }
 
   /** Path to a scheduler allocation file declaring the DEFAULT pool's

@@ -954,8 +954,11 @@ class VectorDB private (
         // a crash or fenced writer between the writes leaves only
         // invisible orphans, truncated by the next commit.
         beginMorCommit()
-        val nc = codesMor.upsert(newCodes)
-        val nd = docsMor.upsert(newDocs)
+        // Independent per-tier delta writes — overlap them (guide §2.6:
+        // concurrent jobs back-fill each other's task tails); the
+        // commit point stays the `_committed` flip AFTER both land.
+        val (nc, nd) = VectorDB.tierParallel(
+          codesMor.upsert(newCodes), docsMor.upsert(newDocs))
         assertWritable()
         writeCommitted(nc, nd)
         invalidateCache()
@@ -973,15 +976,30 @@ class VectorDB private (
   def removeDocs(ids: Seq[Long]): Unit = {
     assertWritable()
     val idDf = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
-    val missing = idDf.join(codes, Seq("doc_id"), "left_anti").count()
+    // Presence check as a broadcast SEMI join counted against the
+    // distinct id set (r17 optimization): the old `idDf ANTI codes`
+    // direction forced a sort-merge join that shuffled the ENTIRE hot
+    // tier to validate a tiny id list — an anti join can only build its
+    // right side, so the small side could never broadcast. The semi
+    // form scans the table once with the id set broadcast; `codes` is
+    // key-unique (merged last-writer-wins view), so the matched count
+    // is exactly |ids ∩ codes|.
+    val distinctIds = ids.distinct.size
+    val matched = codes.select("doc_id")
+      .join(org.apache.spark.sql.functions.broadcast(idDf), Seq("doc_id"), "left_semi")
+      .count()
+    val missing = distinctIds - matched
     if (missing > 0)
       throw new IllegalArgumentException(s"$missing of ${ids.size} ids not in index")
     if (isMor) {
       // O(batch): append tombstone markers only (same commit protocol
       // as the upsert path: both tiers land, then `_committed` flips).
+      // The two tiers' tombstone writes are independent jobs — overlap
+      // them (guide §2.6); the commit point stays the `_committed` flip
+      // AFTER both land, so atomicity is unchanged.
       beginMorCommit()
-      val nc = codesMor.delete(idDf, codes)
-      val nd = docsMor.delete(idDf, docs)
+      val (nc, nd) = VectorDB.tierParallel(
+        codesMor.delete(idDf, codes), docsMor.delete(idDf, docs))
       assertWritable()
       writeCommitted(nc, nd)
       invalidateCache()
@@ -1009,8 +1027,9 @@ class VectorDB private (
     // folding would otherwise bake uncommitted debris into the base
     beginMorCommit()
     val (codesPins, docsPins) = morPinnedCeilings()
-    codesMor.compact(codesPins)
-    docsMor.compact(docsPins)
+    // The two tiers fold independently (separate dirs, separate
+    // generation files) — overlap the rewrites (guide §2.6).
+    VectorDB.tierParallel(codesMor.compact(codesPins), docsMor.compact(docsPins))
     invalidateCache()
     bumpVersion()
   }
@@ -2967,6 +2986,38 @@ final class DocSelector private[db] (
 }
 
 object VectorDB {
+
+  /** Daemon pool for overlapping one commit's two independent tier jobs
+    * (hot/cold delta writes, per-tier compaction folds): Spark runs
+    * concurrent jobs from separate threads happily, and the second
+    * tier's tasks back-fill the first's task tail (optimization guide
+    * §2.6). Cached pool — at most two tier ops are ever in flight per
+    * commit, and idle threads die after 60 s.
+    */
+  private lazy val tierPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-tier")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Run `a` on [[tierPool]] while `b` runs on the caller thread; wait
+    * for both. `a`'s exception (if any) is unwrapped and rethrown as
+    * itself so error semantics match the old sequential code.
+    */
+  private[db] def tierParallel[A, B](a: => A, b: => B): (A, B) = {
+    val fa = tierPool.submit(new java.util.concurrent.Callable[A] {
+      override def call(): A = a
+    })
+    val rb = b
+    val ra =
+      try fa.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    (ra, rb)
+  }
 
   /** One typed search hit — the reference's own result shape (`search`
     * returns a plain list of dicts, `BinaryVectorDB.py:252`). Field

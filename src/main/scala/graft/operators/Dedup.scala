@@ -841,11 +841,19 @@ object Dedup {
     val toks = relation.select(col("doc_id"),
         Kernels.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= window)
+    // PERSISTED (r17, the d8 discipline): the chunk relation feeds the
+    // document-frequency aggregate AND the flag-back join — without the
+    // persist the tokenize+slice+md5 emission ran twice per invocation.
     val chunks = toks.select(col("doc_id"),
       explode(transform(
         sequence(lit(0), (floor(size(col("w")) / window) - 1).cast("int")),
         i => array_join(slice(col("w"), i * window + lit(1), lit(window)), " "))).as("c"))
       .withColumn("h", Kernels.h60(col("c")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    boilerplateFlagPersists.put(
+      (relation.sparkSession, boilerplateFlagSeq.incrementAndGet()), chunks)
+    evictOldest(boilerplateFlagPersists, relation.sparkSession,
+      PersistRegistryCap)(_.unpersist())
     // Persist BEFORE the gate count so the chunk agg runs once: the
     // count consumes the same materialization the join then reuses.
     // Lifecycle rides the session's dedup-cache registry.

@@ -18,6 +18,30 @@ object Pipeline {
   /** Label-propagation rounds between lineage-truncating checkpoints. */
   val CheckpointEvery = 5
 
+  /** Per-call persisted base relations of [[corpusBuildOver]] (r17: the
+    * one-scan derived-values relation every build stage consumes),
+    * registered per session with latest-wins eviction — the same
+    * lifecycle discipline as [[Dedup.PersistRegistryCap]].
+    */
+  private val basePersists =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Long), DataFrame]
+  private val basePersistSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Release this session's persisted p9 base relations (called from
+    * [[graft.Graft.clearAllCaches]]).
+    */
+  def clearCaches(spark: SparkSession): Unit =
+    basePersists.filterInPlace { case ((s, _), df) =>
+      if (s == spark) { df.unpersist(); false } else true }
+
+  private def registerPersist(spark: SparkSession, df: DataFrame): Unit = {
+    basePersists.put((spark, basePersistSeq.incrementAndGet()), df)
+    val mine = basePersists.keys.filter(_._1 == spark).toSeq.sortBy(_._2)
+    mine.dropRight(1).foreach { k =>
+      basePersists.remove(k).foreach(_.unpersist())
+    }
+  }
+
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     Kernels.install(spark)
     spark.read.parquet(s"$dir/documents.parquet")
@@ -217,9 +241,12 @@ object Pipeline {
   def decontaminate(spark: SparkSession, dir: String,
                     evalSource: String = "src0"): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "lang", "source")
+    // Join the doc metadata BEFORE the shingle explode (guide §3.3:
+    // exploding first multiplies the join's probe side by the shingle
+    // fan-out — the join runs per posting instead of per document).
     val ex = Dedup.shingled(spark, dir)
-      .select(col("doc_id"), explode(col("s")).as("sg"))
       .join(d, "doc_id")
+      .select(col("doc_id"), col("source"), explode(col("s")).as("sg"))
     val evalSh = ex.filter(col("source") === evalSource).select("sg").distinct()
     val contaminated = ex.filter(col("source") =!= evalSource)
       .join(evalSh, "sg")
@@ -259,9 +286,10 @@ object Pipeline {
                          evalSource: String = "src0",
                          fpp: Double = 0.001): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "lang", "source")
+    // Join-before-explode, as in [[decontaminate]] (guide §3.3).
     val ex = Dedup.shingled(spark, dir)
-      .select(col("doc_id"), explode(col("s")).as("sg"))
       .join(d, "doc_id")
+      .select(col("doc_id"), col("source"), explode(col("s")).as("sg"))
     val evalSh = ex.filter(col("source") === evalSource).select("sg").distinct()
     val evalHashes = evalSh.select(Kernels.h60(col("sg")).as("h"))
     val nEval = evalHashes.count()
@@ -424,21 +452,34 @@ object Pipeline {
   private[graft] def corpusBuildOver(d: DataFrame, evalSource: String,
                                      capBp: Long): DataFrame = {
     Kernels.install(d.sparkSession)
+    // r17 optimization (guide §8's decide-on-small-rows principle): the
+    // old single-expression plan re-derived `kept` SIX times and `train`
+    // twice — 12 corpus scans, each re-running md5/h60/tokenize over the
+    // text. The recipe output never needs the text itself, only values
+    // DERIVED from it — so ONE scan computes every per-document derived
+    // value (dedup hash, split bucket, mix hash, token count, shingles)
+    // into a persisted base relation and the whole build composes over
+    // that. Expressions are verbatim the old ones; only the factoring
+    // changed (oracle-verified identical at all three SFs).
+    val base = d.select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text").cast("binary")).as("h"),
+        (Kernels.h60(col("text")) % 100).as("b"),
+        (Kernels.h60(concat(col("text"), lit("#mix"))) % 10000).as("hmix"),
+        size(Kernels.tokens(col("text"))).cast("long").as("n_tokens"),
+        Kernels.shingles3(col("text")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerPersist(d.sparkSession, base)
     // 1. exact dedup, keep-lowest-id
-    val keepIds = d.groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min("doc_id").as("doc_id"))
+    val keepIds = base.groupBy("h").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val kept = d.join(keepIds, Seq("doc_id"), "left_semi")
+    val kept = base.join(keepIds, Seq("doc_id"), "left_semi")
     // 2. decontamination against the eval source, over SURVIVORS
-    val sh = kept
-      .select(col("doc_id"), col("source"),
-        explode(Kernels.shingles3(col("text"))).as("sg"))
+    val sh = kept.select(col("doc_id"), col("source"), explode(col("s")).as("sg"))
     val evalSg = sh.filter(col("source") === evalSource).select("sg").distinct()
     val contaminated = sh.filter(col("source") =!= evalSource)
       .join(evalSg, "sg").select("doc_id").distinct()
     val train = kept.filter(col("source") =!= evalSource)
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .withColumn("n_tokens", size(Kernels.tokens(col("text"))).cast("long"))
     // 3. per-source keep rates over what survived (p8 arithmetic), then
     // the deterministic content-hash downsample
     val srcTok = train.groupBy("source").agg(sum("n_tokens").as("s"))
@@ -448,10 +489,9 @@ object Pipeline {
         least(lit(10000L), expr(s"(2 * $capBp * t + s) div (2 * s)")))
       .select("source", "keep_rate_bp")
     val mixed = train.join(broadcast(rates), "source")
-      .filter(Kernels.h60(concat(col("text"), lit("#mix"))) % 10000 < col("keep_rate_bp"))
+      .filter(col("hmix") < col("keep_rate_bp"))
     // 4-5. split buckets + the recipe table
     mixed
-      .withColumn("b", Kernels.h60(col("text")) % 100)
       .withColumn("split",
         when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
       .groupBy("lang", "split")
