@@ -840,14 +840,16 @@ object Dedup {
                                      broadcastMaxFlagged: Long = BoilerplateBroadcastMaxRows): DataFrame = {
     val toks = relation.select(col("doc_id"),
         Kernels.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= window)
     // PERSISTED (r17, the d8 discipline): the chunk relation feeds the
     // document-frequency aggregate AND the flag-back join — without the
     // persist the tokenize+slice+md5 emission ran twice per invocation.
+    // The short-doc guard is a `when` inside the explode rather than a
+    // row filter, for the same pushdown-duplication reason as d8 (and
+    // sequence(0, n) with n < 0 would generate a descending range).
     val chunks = toks.select(col("doc_id"),
-      explode(transform(
+      explode(when(size(col("w")) >= window, transform(
         sequence(lit(0), (floor(size(col("w")) / window) - 1).cast("int")),
-        i => array_join(slice(col("w"), i * window + lit(1), lit(window)), " "))).as("c"))
+        i => array_join(slice(col("w"), i * window + lit(1), lit(window)), " ")))).as("c"))
       .withColumn("h", Kernels.h60(col("c")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     boilerplateFlagPersists.put(
@@ -928,11 +930,18 @@ object Dedup {
     // k-token string per position is the operator's dominant per-row
     // cost — without the persist it ran twice per invocation. Lifecycle
     // rides the same session registry as the flagged sets.
-    val grams = toks.filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(transform(
+    // The short-doc guard is a `when` INSIDE the explode (null → zero
+    // generated rows, exactly what the row filter produced) rather than
+    // a `.filter(size(w) >= k)`: predicate pushdown re-evaluated the
+    // split per row under the filter form (guide §4.4's duplicated-
+    // evaluation trap) — and sequence() needs the guard anyway, since
+    // sequence(1, n) with n < 1 generates a DESCENDING range, not an
+    // empty one.
+    val grams = toks
+      .select(col("doc_id"), explode(when(size(col("w")) >= k, transform(
         sequence(lit(1), size(col("w")) - k + 1),
         i => struct(i.cast("long").as("o"),
-          Kernels.h60(array_join(slice(col("w"), i, lit(k)), " ")).as("h")))).as("x"))
+          Kernels.h60(array_join(slice(col("w"), i, lit(k)), " ")).as("h"))))).as("x"))
       .select(col("doc_id"), col("x.o").as("o"), col("x.h").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     boilerplateFlagPersists.put(

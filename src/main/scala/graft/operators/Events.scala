@@ -131,16 +131,27 @@ object Events {
       .orderBy("user_id")
   }
 
-  /** E8c: semi-structured props — JSON field extraction + per-type stats. */
+  /** E8c: semi-structured props — JSON field extraction + per-type stats.
+    *
+    * Rows without a numeric k are excluded in BOTH engines (a group of
+    * only such rows would divide by zero in the integer mean). The
+    * exclusion is done INSIDE the aggregates rather than with a row
+    * filter (r17): a `.filter(k.isNotNull)` on the derived column gets
+    * pushed below the projection and re-runs `get_json_object` per row
+    * — the guide §4.4 duplicated-evaluation trap — where min/max/sum
+    * already ignore nulls, the value sum goes null-conditional, and
+    * all-null groups drop out via the aggregate-level `n > 0` filter
+    * (which cannot be pushed below its own aggregation). One JSON parse
+    * per row instead of two; identical output.
+    */
   def jsonStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      // rows without a numeric k are excluded in BOTH engines — otherwise
-      // a group of only such rows divides by zero in the integer mean
-      .filter(col("k").isNotNull)
       .groupBy("event_type")
       .agg(count(col("k")).as("n"), min("k").as("min_k"), max("k").as("max_k"),
-        sum("k").as("ksum"), sum(valueCents).as("sum_value_c"))
+        sum("k").as("ksum"),
+        sum(when(col("k").isNotNull, valueCents)).as("sum_value_c"))
+      .filter(col("n") > 0)
       // integer mean in exact basis points
       .select(col("event_type"), col("n"), col("min_k"), col("max_k"),
         expr("int((20000 * ksum + n) div (2 * n))").as("avg_k_bp"),

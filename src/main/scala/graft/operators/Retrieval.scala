@@ -67,7 +67,7 @@ object Retrieval {
     // Per-document features, computed in the row: length + one tf column
     // per query term (codegen'd array filter — no explode, no shuffle).
     val feat = d.select(
-      col("doc_id") +: size(col("w")).as("dln") +:
+      col("doc_id") +: col("w") +: size(col("w")).as("dln") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("w"), x => x === lit(t))).cast("double").as(s"tf$i")
         }: _*)
@@ -91,8 +91,13 @@ object Retrieval {
     }
 
     feat.crossJoin(broadcast(stats))
-      // docs matching no query term never had a posting row
-      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      // docs matching no query term never had a posting row. The match
+      // test is arrays_overlap on the RAW token array — equivalent to
+      // Σtfᵢ > 0, but cheap when predicate pushdown clones it below the
+      // tf projection (an early-exit membership probe instead of three
+      // re-evaluated size(filter(...)) counts; guide §4.4's duplicated-
+      // evaluation trap, builtin edition).
+      .filter(arrays_overlap(col("w"), array(terms.map(lit): _*)))
       .select(col("doc_id"),
         round(terms.indices.map(contribFp).reduce(_ + _) / lit(1.0e8), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)

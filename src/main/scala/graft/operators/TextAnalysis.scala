@@ -386,8 +386,13 @@ object TextAnalysis {
     * successor (null at the last position).
     */
   private def bigramPositions(relation: DataFrame): DataFrame =
+    // No row-level size filter (r17): `split` never returns an empty
+    // array for a non-null string (size ≥ 1 always holds), and a null
+    // text yields sequence(1, null) = null, which explode skips — the
+    // same zero rows the filter produced. The filter's only effect was
+    // predicate pushdown re-evaluating the split per row (guide §4.4's
+    // duplicated-evaluation trap).
     relation.select(col("doc_id"), Kernels.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 1)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("w")))).as("i"),
         col("w"))
