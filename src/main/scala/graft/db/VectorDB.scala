@@ -909,22 +909,27 @@ class VectorDB private (
       col("doc").cast("string").as("doc"),
       col("text").cast("string").as("text"))
     val F = org.apache.spark.sql.functions
-    val Array(nRows, nIds, nNullIds) = typed.select(
-      F.count(lit(1)), countDistinct(col("doc_id")), F.count(lit(1)) - F.count(col("doc_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    require(nNullIds == 0, s"$nNullIds rows have null/non-integer doc_id")
-    require(nIds == nRows,
-      s"batch has ${nRows - nIds} duplicate doc_id rows — upsert semantics " +
-        "need unique ids per batch (MorTable last-writer-wins would be ambiguous)")
-
     val embedded = typed
       .withColumn("embedding", embedder.embed(col("text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Per-batch int8 calibration (the reference embeds per batch too).
-      val ma = embedded
-        .select(max(array_max(transform(col("embedding"), x => abs(x)))).cast("double"))
-        .head().getDouble(0)
+      // Batch validation and the per-batch int8 calibration max (the
+      // reference embeds per batch too) in ONE job over the persisted
+      // batch (r17: these were two separate scans; the validation pass
+      // additionally re-read the raw batch before the persist).
+      val statsRow = embedded.select(
+        F.count(lit(1)), countDistinct(col("doc_id")),
+        F.count(lit(1)) - F.count(col("doc_id")),
+        max(array_max(transform(col("embedding"), x => abs(x)))).cast("double"))
+        .head()
+      val nRows = statsRow.getLong(0)
+      val nIds = statsRow.getLong(1)
+      val nNullIds = statsRow.getLong(2)
+      require(nNullIds == 0, s"$nNullIds rows have null/non-integer doc_id")
+      require(nIds == nRows,
+        s"batch has ${nRows - nIds} duplicate doc_id rows — upsert semantics " +
+          "need unique ids per batch (MorTable last-writer-wins would be ambiguous)")
+      val ma = statsRow.getDouble(3)
       val packed = Kernels.packBits(col("embedding"))
       // Flat layout: one primitive long column per 64-bit word — the
       // cached columnar scan stays fully primitive (measured ~15% faster
