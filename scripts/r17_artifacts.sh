@@ -1,10 +1,16 @@
 #!/bin/bash
-# Round-17 artifact chain. Serving-side code did NOT change this round,
-# so per the settle-protocol guardrail (r16 verdict item 8) the
-# SCANBENCH/SERVEBENCH/RECALL artifacts are NOT re-recorded — r16's
-# stand. What r17 records: the quiet forked local bench at the driver's
-# 32-cpu shape (now with d8/t11 and the tx_phases split), used both for
-# the r16-noise adjudication and the baseline refresh.
+# Round-17 artifact chain (OPTIMIZATION round 1). Serving-side code did
+# NOT change this round, so per the settle-protocol guardrail (r16
+# verdict item 8) the SCANBENCH/SERVEBENCH/RECALL artifacts are NOT
+# re-recorded — r16's stand. What r17 records:
+#   BENCH_r17_before.json  — quiet pre-optimization draw (committed from
+#                            the round's first settled window)
+#   BENCH_r17_after.json   — quiet post-optimization draw (also copied
+#                            to BENCH_r17_local.json)
+#   BENCH_r17_abba.json    — base-vs-head family ABBA pairs (the
+#                            drift-proof per-family adjudication)
+#   BENCH_baseline_local.json — guard baseline refreshed from head-code
+#                            per-query minima
 # Runs SEQUENTIALLY on a quiet box (never alongside sbt test).
 set -e
 cd "$(dirname "$0")/.."
