@@ -215,6 +215,47 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     }
   }
 
+  /** The subset of `ids` (a small single-column relation on [[keyCol]])
+    * PRESENT in the merged snapshot as of `maxV` — [[readAt]]'s
+    * last-writer-wins resolution restricted to the requested keys
+    * before any heavy work (r17: `removeDocs`' presence check
+    * previously materialized the entire merged view — base anti-join,
+    * delta window, persist — to validate a ~10³-id list, and the
+    * remove's own commit then invalidated that cache). Here the base
+    * contributes via a column-pruned scan + broadcast semi join and the
+    * deltas are id-filtered BEFORE the LWW window, so cost is one
+    * key-column base scan plus the (tiny) delta files.
+    */
+  def presentAt(maxV: Int, ids: DataFrame): DataFrame = {
+    healLegacy()
+    val gens = baseGenList()
+    val baseOpt = gens.filter(_._1 <= maxV).lastOption
+    val floor = baseOpt.map(_._1).getOrElse(0)
+    val deltaDfs = windowDeltaDfs(floor, maxV)
+    val idsOnly = ids.select(keyCol)
+    val baseHits = baseOpt.map { case (_, p) =>
+      spark.read.parquet(p.toString).select(keyCol)
+        .join(org.apache.spark.sql.functions.broadcast(idsOnly), Seq(keyCol), "left_semi")
+    }
+    if (deltaDfs.isEmpty)
+      return baseHits.getOrElse(idsOnly.limit(0))
+    val allDeltas = deltaDfs
+      .reduce(_ unionByName (_, allowMissingColumns = true))
+      .select(col(keyCol), col("_v"), col("_deleted"))
+      .join(org.apache.spark.sql.functions.broadcast(idsOnly), Seq(keyCol), "left_semi")
+    val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
+    val resolvedPresent = allDeltas
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .select(keyCol)
+    baseHits match {
+      case None => resolvedPresent
+      case Some(b) =>
+        b.join(allDeltas.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(resolvedPresent)
+    }
+  }
+
   /** The merged view of ONLY the commits in `(floorExclusive, ceiling]`:
     * each key's latest write inside the window, tombstones dropped,
     * internals (`_v`/`_deleted`) removed. This is what an INCREMENTAL

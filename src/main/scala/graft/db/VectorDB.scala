@@ -981,18 +981,23 @@ class VectorDB private (
   def removeDocs(ids: Seq[Long]): Unit = {
     assertWritable()
     val idDf = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
-    // Presence check as a broadcast SEMI join counted against the
-    // distinct id set (r17 optimization): the old `idDf ANTI codes`
+    // Presence check counted against the distinct id set (r17
+    // optimization, two steps). Step 1: the old `idDf ANTI codes`
     // direction forced a sort-merge join that shuffled the ENTIRE hot
     // tier to validate a tiny id list — an anti join can only build its
-    // right side, so the small side could never broadcast. The semi
-    // form scans the table once with the id set broadcast; `codes` is
-    // key-unique (merged last-writer-wins view), so the matched count
-    // is exactly |ids ∩ codes|.
+    // right side, so the small side could never broadcast. Step 2 (MOR):
+    // even the broadcast-semi form against `codes` materialized AND
+    // persisted the full merged view, which this very commit then
+    // invalidates — [[MorTable.presentAt]] resolves last-writer-wins for
+    // the REQUESTED ids only (column-pruned base scan + id-filtered
+    // deltas), never touching the hot-tier cache. Both forms count
+    // exactly |ids ∩ live keys|.
     val distinctIds = ids.distinct.size
-    val matched = codes.select("doc_id")
-      .join(org.apache.spark.sql.functions.broadcast(idDf), Seq("doc_id"), "left_semi")
-      .count()
+    val matched =
+      if (isMor) codesMor.presentAt(committedCeilings()._1, idDf).count()
+      else codes.select("doc_id")
+        .join(org.apache.spark.sql.functions.broadcast(idDf), Seq("doc_id"), "left_semi")
+        .count()
     val missing = distinctIds - matched
     if (missing > 0)
       throw new IllegalArgumentException(s"$missing of ${ids.size} ids not in index")
