@@ -34,7 +34,11 @@ object PlanDump {
             org.apache.spark.sql.execution.FormattedMode)
           val plan =
             if (sys.env.contains("GRAFT_PLANDUMP_EXECUTE")) {
-              df.count()
+              // collect(), not count(): count() builds a SEPARATE
+              // QueryExecution, leaving this df's AdaptiveSparkPlan
+              // unexecuted (isFinalPlan=false). Declared query results
+              // are small (the oracle collects them too).
+              df.collect()
               static + "\n\n== Final (adaptive, post-execution) Plan ==\n" +
                 df.queryExecution.executedPlan.toString
             } else static
