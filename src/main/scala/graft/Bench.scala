@@ -378,6 +378,75 @@ object Bench {
       s""""dirty_kb":${dirtyKb()},"sf":"$sfDir"}"""
   }
 
+  /** Top-level stdout emission (r17 verdict item 1): the single-line
+    * format above is ~4.8k chars (68 full-precision medians + 68 mins +
+    * tx_phases) while the DRIVER captures only a 2000-char stdout TAIL —
+    * every BENCH_r*.json since round 10 shipped `parsed: null` and the
+    * driver's per-query comparison never ran. The top level therefore
+    * prints TWO lines:
+    *  1. a DETAIL line (full-precision medians, mins, tx_phases, every
+    *     forensic stamp) — same content the old line carried, nothing
+    *     is lost;
+    *  2. the compact FINAL line — metric/value/unit/queries (3-decimal
+    *     medians)/errors/failed/mode/guard/cpus/sf, sized to sit whole
+    *     inside the driver's tail window (~1.75k chars at 68 queries;
+    *     [[benchFinalLine]] is length-pinned in BenchGuardSpec).
+    * CHILD processes keep the old single full-precision line verbatim —
+    * [[parseChildLine]] is that protocol's only consumer.
+    * The timed action (per-family child JVM, untimed warm pass, median
+    * of SPARK_GRAFT_REPS `.count()` reps) is UNCHANGED.
+    */
+  private def emitTopLevel(qMed: collection.Map[String, Double],
+                           qMin: collection.Map[String, Double],
+                           errors: Int, failed: Seq[String], sfDir: String,
+                           loadStart: Double, loadEnd: Double, famMax: Double,
+                           reruns: Seq[String], mode: String, guard: String,
+                           fallbackReason: String = "",
+                           txPhases: Seq[(String, Double)] = Nil): Unit = {
+    def obj(m: collection.Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r2(x: Double): String = (math.round(x * 100) / 100.0).toString
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    val tx = txPhases.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val rerunsArr = reruns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fb = if (fallbackReason.isEmpty) ""
+      else s""""fallback_reason":"$fallbackReason","""
+    println(
+      s"""{"metric":"detail","queries_full":${obj(qMed)},""" +
+        s""""queries_min":${obj(qMin)},"tx_phases":$tx,""" +
+        s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
+        s""""loadavg_family_max":${r2(famMax)},"reruns":$rerunsArr,$fb""" +
+        s""""cpu_probe_ms":${r2(cpuProbe())},"io_probe_ms":${r2(ioProbe())},""" +
+        s""""dirty_kb":${dirtyKb()},"sf":"$sfDir"}""")
+    println(benchFinalLine(qMed, errors, failed, sfDir, mode, guard,
+      reruns, fallbackReason))
+  }
+
+  /** The compact final line — the LAST stdout line of a top-level run,
+    * and the one the driver parses. Query medians at 3 decimals
+    * (Double.toString of the rounded value: locale-independent, trailing
+    * zeros dropped). Extracted for the length pin in BenchGuardSpec.
+    */
+  private[graft] def benchFinalLine(qMed: collection.Map[String, Double],
+                                    errors: Int, failed: Seq[String],
+                                    sfDir: String, mode: String,
+                                    guard: String, reruns: Seq[String] = Nil,
+                                    fallbackReason: String = ""): String = {
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    val q = qMed.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val total = if (errors > 0) -1.0 else r3(qMed.values.sum)
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rerunsArr = reruns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fb = if (fallbackReason.isEmpty) ""
+      else s""""fallback_reason":"$fallbackReason","""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,""" +
+      s""""errors":$errors,"failed":$failedArr,"reruns":$rerunsArr,""" +
+      s""""mode":"$mode","baseline_guard":"$guard",$fb""" +
+      s""""cpus":${benchCpus()},"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     if (sys.env.contains("SPARK_GRAFT_CHILD")) { runInProcess("child"); return }
     if (sys.env.contains("SPARK_GRAFT_NOFORK")) { runInProcess("nofork-env"); return }
@@ -623,9 +692,9 @@ object Bench {
       }
       firstFamily = false
     }
-    println(jsonLine(qMed, qMin, errors, failed.toSeq, sfDir, loadStart, loadAvg(),
+    emitTopLevel(qMed, qMin, errors, failed.toSeq, sfDir, loadStart, loadAvg(),
       famMax, reruns.toSeq, mode = "forked", guard = guardStatus,
-      txPhases = txPhases.toSeq))
+      txPhases = txPhases.toSeq)
     true
   }
 
@@ -789,10 +858,21 @@ object Bench {
       qMed ++= kept._1; qMin ++= kept._2; failedNames ++= kept._3
     }
     val loadEnd = loadAvg()
-    println(jsonLine(qMed, qMin, failedNames.size, failedNames.toSeq, sfDir,
-      loadStart, loadEnd, math.max(loadStart, loadEnd), reruns.toSeq,
-      mode = "inprocess", guard = guardStatus, fallbackReason = fallbackReason,
-      txPhases = graft.operators.Transactional.phaseTimings))
+    // Children keep the single full-precision line (the parent-child
+    // protocol parseChildLine consumes); a TOP-LEVEL in-process run
+    // (NOFORK / fallback) emits the same detail+compact pair as the
+    // forked merger so the driver's tail window always holds the
+    // parsable compact line.
+    if (isChild)
+      println(jsonLine(qMed, qMin, failedNames.size, failedNames.toSeq, sfDir,
+        loadStart, loadEnd, math.max(loadStart, loadEnd), reruns.toSeq,
+        mode = "inprocess", guard = guardStatus, fallbackReason = fallbackReason,
+        txPhases = graft.operators.Transactional.phaseTimings))
+    else
+      emitTopLevel(qMed, qMin, failedNames.size, failedNames.toSeq, sfDir,
+        loadStart, loadEnd, math.max(loadStart, loadEnd), reruns.toSeq,
+        mode = "inprocess", guard = guardStatus, fallbackReason = fallbackReason,
+        txPhases = graft.operators.Transactional.phaseTimings)
     spark.stop()
   }
 }

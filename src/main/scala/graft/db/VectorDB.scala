@@ -993,14 +993,24 @@ class VectorDB private (
     // deltas), never touching the hot-tier cache. Both forms count
     // exactly |ids ∩ live keys|.
     val distinctIds = ids.distinct.size
+    // countDistinct on the MATCHED side, not a raw row count (ADVICE
+    // r17): if the hot tier ever held a duplicated doc_id (invariant
+    // violation), raw rows could exceed distinctIds, missing would go
+    // negative, and the not-in-index guard would be silently bypassed.
     val matched =
-      if (isMor) codesMor.presentAt(committedCeilings()._1, idDf).count()
+      if (isMor) codesMor.presentAt(committedCeilings()._1, idDf)
+        .agg(org.apache.spark.sql.functions.countDistinct("doc_id"))
+        .head().getLong(0)
       else codes.select("doc_id")
         .join(org.apache.spark.sql.functions.broadcast(idDf), Seq("doc_id"), "left_semi")
-        .count()
+        .agg(org.apache.spark.sql.functions.countDistinct("doc_id"))
+        .head().getLong(0)
     val missing = distinctIds - matched
+    assert(missing >= 0, s"matched $matched present ids exceed the " +
+      s"$distinctIds distinct requested — duplicated key in the hot tier")
     if (missing > 0)
-      throw new IllegalArgumentException(s"$missing of ${ids.size} ids not in index")
+      throw new IllegalArgumentException(
+        s"$missing of $distinctIds distinct ids (${ids.size} requested) not in index")
     if (isMor) {
       // O(batch): append tombstone markers only (same commit protocol
       // as the upsert path: both tiers land, then `_committed` flips).
@@ -3014,19 +3024,60 @@ object VectorDB {
   /** Run `a` on [[tierPool]] while `b` runs on the caller thread; wait
     * for both. `a`'s exception (if any) is unwrapped and rethrown as
     * itself so error semantics match the old sequential code.
+    *
+    * Two hardenings (ADVICE r17):
+    *  - the pooled task CLEARS Spark's inherited thread-local job
+    *    properties first — a cached pool thread keeps whatever job
+    *    group / scheduler pool it inherited from the thread that
+    *    created it (threads live 60 s across unrelated callers), so a
+    *    tier commit write could be killed by an unrelated
+    *    `cancelJobGroup` or land in the wrong pool;
+    *  - when the CALLER-thread op `b` throws, the pooled future is
+    *    cancelled and awaited before the exception propagates — the
+    *    sequential code could never start the second op after the
+    *    first failed, and an abandoned in-flight tier write could
+    *    otherwise land AFTER the failed commit (the next commit's
+    *    truncateAbove/writeCommitted ceiling could then cover an
+    *    aborted operation's rows).
     */
   private[db] def tierParallel[A, B](a: => A, b: => B): (A, B) = {
-    val fa = tierPool.submit(new java.util.concurrent.Callable[A] {
-      override def call(): A = a
-    })
-    val rb = b
-    val ra =
-      try fa.get()
+    // 0 = pending, 1 = running, 2 = abandoned (b failed before a began)
+    val state = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var result: Either[Throwable, A] =
+      Left(new IllegalStateException("tier op never ran"))
+    tierPool.execute { () =>
+      try {
+        if (state.compareAndSet(0, 1)) {
+          // local properties are per-THREAD on the context, so any
+          // handle to the active context clears this pool thread's
+          // inherited set (SparkContext.getActive is private[spark])
+          org.apache.spark.sql.SparkSession.getDefaultSession
+            .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+            .map(_.sparkContext).foreach { sc =>
+              sc.clearJobGroup()
+              sc.setLocalProperty("spark.scheduler.pool", null)
+            }
+          result = try Right(a) catch { case t: Throwable => Left(t) }
+        }
+      } finally done.countDown()
+    }
+    val rb =
+      try b
       catch {
-        case e: java.util.concurrent.ExecutionException =>
-          throw Option(e.getCause).getOrElse(e)
+        case t: Throwable =>
+          // skip `a` if it has not begun; if it is mid-flight, WAIT for
+          // it (its secondary error is swallowed — the caller's failure
+          // is the one that matters). Either way no tier write survives
+          // past this frame.
+          if (!state.compareAndSet(0, 2)) done.await()
+          throw t
       }
-    (ra, rb)
+    done.await()
+    result match {
+      case Right(ra) => (ra, rb)
+      case Left(t)   => throw t
+    }
   }
 
   /** One typed search hit — the reference's own result shape (`search`

@@ -59,8 +59,14 @@ object Retrieval {
     * filtered out exactly as they never had a posting.
     */
   def bm25TopK(spark: SparkSession, dir: String,
-               terms: Seq[String] = DefaultTerms, k: Int = 15): DataFrame = {
-    require(terms.nonEmpty, "bm25: at least one query term")
+               rawTerms: Seq[String] = DefaultTerms, k: Int = 15): DataFrame = {
+    require(rawTerms.nonEmpty, "bm25: at least one query term")
+    // Distinct query terms (ADVICE r17): the in-row form scores one
+    // tf/df column per terms INDEX, so a duplicated entry would
+    // contribute twice where the old explode+groupBy(doc_id, term) form
+    // counted each distinct term once. The declared query's list is
+    // already distinct — this pins the semantics for other callers.
+    val terms = rawTerms.distinct
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), Kernels.tokens(col("text")).as("w"))
 

@@ -165,14 +165,50 @@ class BenchGuardSpec extends AnyFunSuite {
       val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
       val code = proc.waitFor()
       assert(code == 0, s"bench exited $code:\n${out.mkString("\n")}")
-      val line = out.find(_.startsWith("{")).getOrElse(fail("no JSON line"))
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      // r17 verdict item 1: a top-level run emits TWO JSON lines — a
+      // detail line (full-precision medians, mins, tx_phases, probes)
+      // followed by the compact final line the driver parses. The
+      // COMPACT line must be the LAST stdout line of the run.
+      val jsonLines = out.filter(_.startsWith("{"))
+      assert(jsonLines.size == 2, s"expected detail + compact lines:\n${out.mkString("\n")}")
+      assert(out.last == jsonLines.last,
+        "the compact line must be the last stdout line")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val detail = om.readTree(jsonLines.head)
+      val line = jsonLines.last
+      val root = om.readTree(line)
+      assert(root.get("metric").asText() == "total", line)
+      assert(detail.get("metric").asText() == "detail", jsonLines.head)
       assert(root.get("mode").asText() == "inprocess", line)
       assert(root.get("baseline_guard").asText() == "armed", line)
       assert(root.get("fallback_reason").asText() == "only-env", line)
       assert(root.get("reruns").size() == 1 && root.get("reruns").get(0).asText() == "v",
         s"poisoned baseline must have re-run the v family: $line")
       assert(root.get("queries").has("v1_hamming_topk"), line)
+      assert(detail.get("queries_full").has("v1_hamming_topk"), jsonLines.head)
+      assert(detail.get("queries_min").has("v1_hamming_topk"), jsonLines.head)
     } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  /** r17 verdict item 1, the root cause pinned: the driver keeps a
+    * 2000-char stdout TAIL (plus sbt's ~70-char success line after the
+    * JSON), and every BENCH_r*.json since round 10 shipped
+    * `parsed: null` because the old ~4.8k single line never fit. The
+    * compact final line over the FULL declared query set at worst-case
+    * 3-decimal values must fit the window with slack.
+    */
+  test("the compact final line fits the driver's 2000-char tail window") {
+    val med = collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.keys.toSeq.sorted.foreach(q => med += q -> 8.888)
+    val line = Bench.benchFinalLine(med, errors = 0, failed = Nil,
+      sfDir = "/root/testdata/sf0.1", mode = "forked", guard = "armed",
+      reruns = Seq("d", "q", "v"))
+    assert(line.length <= 1900,
+      s"compact line is ${line.length} chars — does not fit the driver's " +
+        "tail window; move fields to the detail line or shorten values")
+    // and it parses
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(root.get("queries").size() == SparkEntry.queries.size)
+    assert(root.get("value").asDouble() > 0)
   }
 }
