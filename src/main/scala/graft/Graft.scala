@@ -20,6 +20,7 @@ object Graft {
     operators.MLSimilarity.clearCaches(spark)
     operators.Sketches.clearCaches(spark)
     operators.Pipeline.clearCaches(spark)
+    operators.TextAnalysis.clearCaches(spark)
   }
 
   /** Path to a scheduler allocation file declaring the DEFAULT pool's

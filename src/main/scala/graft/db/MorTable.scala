@@ -200,11 +200,25 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     // `!_deleted` filter from the resolved deltas.
     val allDeltas = deltaDfs
       .reduce(_ unionByName (_, allowMissingColumns = true))
-    val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
-    val resolved = allDeltas
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col("_deleted"))
-      .drop("_rn", "_v", "_deleted")
+    // SINGLE-delta window (r18, guide §2.4): one delta cannot contain
+    // two different writes of a key — upserts have unique keys within a
+    // batch (contract) and duplicated tombstones of one delete all
+    // resolve to nothing either way — so last-writer-wins is the
+    // identity and the per-key window (a full hash exchange + sort of
+    // the delta relation per read) drops to a codegen'd filter. This is
+    // the dominant read shape of the commit protocol's hot phases: the
+    // first read after any single commit, and every pinned read whose
+    // ceiling covers one delta.
+    val resolved =
+      if (deltaDfs.size == 1)
+        allDeltas.filter(!col("_deleted")).drop("_v", "_deleted")
+      else {
+        val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
+        allDeltas
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1 && !col("_deleted"))
+          .drop("_rn", "_v", "_deleted")
+      }
     baseDf match {
       case None => resolved
       case Some(b) =>
@@ -243,11 +257,17 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
       .reduce(_ unionByName (_, allowMissingColumns = true))
       .select(col(keyCol), col("_v"), col("_deleted"))
       .join(org.apache.spark.sql.functions.broadcast(idsOnly), Seq(keyCol), "left_semi")
-    val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
-    val resolvedPresent = allDeltas
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col("_deleted"))
-      .select(keyCol)
+    // same single-delta identity as [[readAt]] — no per-key window
+    val resolvedPresent =
+      if (deltaDfs.size == 1)
+        allDeltas.filter(!col("_deleted")).select(keyCol)
+      else {
+        val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
+        allDeltas
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1 && !col("_deleted"))
+          .select(keyCol)
+      }
     baseHits match {
       case None => resolvedPresent
       case Some(b) =>
@@ -271,11 +291,16 @@ class MorTable(spark: SparkSession, dir: String, keyCol: String) {
     require(deltaDfs.nonEmpty,
       s"MOR table $dir has no deltas in ($floorExclusive, $ceiling]")
     val allDeltas = deltaDfs.reduce(_ unionByName (_, allowMissingColumns = true))
-    val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
-    allDeltas
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col("_deleted"))
-      .drop("_rn", "_v", "_deleted")
+    // same single-delta identity as [[readAt]] — no per-key window
+    if (deltaDfs.size == 1)
+      allDeltas.filter(!col("_deleted")).drop("_v", "_deleted")
+    else {
+      val w = Window.partitionBy(keyCol).orderBy(col("_v").desc)
+      allDeltas
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && !col("_deleted"))
+        .drop("_rn", "_v", "_deleted")
+    }
   }
 
   /** Every key written inside `(floorExclusive, ceiling]` — upserts AND

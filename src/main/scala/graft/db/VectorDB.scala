@@ -917,19 +917,23 @@ class VectorDB private (
       // reference embeds per batch too) in ONE job over the persisted
       // batch (r17: these were two separate scans; the validation pass
       // additionally re-read the raw batch before the persist).
-      val statsRow = embedded.select(
-        F.count(lit(1)), countDistinct(col("doc_id")),
-        F.count(lit(1)) - F.count(col("doc_id")),
-        max(array_max(transform(col("embedding"), x => abs(x)))).cast("double"))
-        .head()
-      val nRows = statsRow.getLong(0)
-      val nIds = statsRow.getLong(1)
-      val nNullIds = statsRow.getLong(2)
-      require(nNullIds == 0, s"$nNullIds rows have null/non-integer doc_id")
-      require(nIds == nRows,
-        s"batch has ${nRows - nIds} duplicate doc_id rows — upsert semantics " +
-          "need unique ids per batch (MorTable last-writer-wins would be ambiguous)")
-      val ma = statsRow.getDouble(3)
+      // Deferred to a function (r18): the MOR fast path below runs it
+      // CONCURRENTLY with the codes-tier delta write.
+      def statsAndValidate(): (Long, Double) = {
+        val statsRow = embedded.select(
+          F.count(lit(1)), countDistinct(col("doc_id")),
+          F.count(lit(1)) - F.count(col("doc_id")),
+          max(array_max(transform(col("embedding"), x => abs(x)))).cast("double"))
+          .head()
+        val nRows = statsRow.getLong(0)
+        val nIds = statsRow.getLong(1)
+        val nNullIds = statsRow.getLong(2)
+        require(nNullIds == 0, s"$nNullIds rows have null/non-integer doc_id")
+        require(nIds == nRows,
+          s"batch has ${nRows - nIds} duplicate doc_id rows — upsert semantics " +
+            "need unique ids per batch (MorTable last-writer-wins would be ambiguous)")
+        (nRows, statsRow.getDouble(3))
+      }
       val packed = Kernels.packBits(col("embedding"))
       // Flat layout: one primitive long column per 64-bit word — the
       // cached columnar scan stays fully primitive (measured ~15% faster
@@ -938,7 +942,7 @@ class VectorDB private (
         if (isFlat) embedded.select(col("doc_id") +:
           (0 until nWords).map(i => element_at(packed, i + 1).as(s"c$i")): _*)
         else embedded.select(col("doc_id"), packed.as("code"))
-      val newCodes =
+      def newCodes(nRows: Long) =
         if (!isIvf) newCodesBase
         else {
           // Strategy-provided assignment (ingest-only — the query hot
@@ -949,30 +953,56 @@ class VectorDB private (
           newCodesBase.withColumn("cell", indexStrategy.cellColumn(
             strategyCtx, codeArr, embedded.select(packed.as("code")), nRows))
         }
-      val newDocs = embedded.select(col("doc_id"), col("doc"),
+      def newDocs(ma: Double) = embedded.select(col("doc_id"), col("doc"),
         Kernels.int8(col("embedding"), lit(if (ma > 0) ma else 1.0)).as("emb_int8"))
 
-      if (isMor) {
+      if (isMor && !isIvf) {
         // O(batch): append delta files; last-writer-wins replaces old
         // ids at read time. No table rewrite. Visibility is the
         // `_committed` flip AFTER both tiers land (fence re-checked) —
         // a crash or fenced writer between the writes leaves only
         // invisible orphans, truncated by the next commit.
         beginMorCommit()
+        // THREE independent jobs overlapped two ways (guide §2.6): the
+        // codes delta needs only the packed bits, so it writes on the
+        // pool thread WHILE the caller thread runs the validation/
+        // calibration aggregate and then the docs write (which needs
+        // the calibration max). A validation failure still aborts the
+        // commit — the `_committed` flip never runs and tierParallel
+        // awaits the in-flight codes write before rethrowing — leaving
+        // at most an INVISIBLE orphan delta, the same debris as a crash
+        // between the two tier writes, truncated by the next commit
+        // (spec: "failed validation leaves no visible rows"). The IVF
+        // layout takes the sequential path below instead: its cell
+        // assignment consumes the batch row count, so the codes write
+        // cannot start before the aggregate.
+        val (nc, nd) = VectorDB.tierParallel(
+          codesMor.upsert(newCodesBase),
+          { val (_, ma) = statsAndValidate(); docsMor.upsert(newDocs(ma)) })
+        assertWritable()
+        writeCommitted(nc, nd)
+        invalidateCache()
+        bumpVersion()
+      } else if (isMor) {
+        val (nRows, ma) = statsAndValidate()
+        beginMorCommit()
         // Independent per-tier delta writes — overlap them (guide §2.6:
         // concurrent jobs back-fill each other's task tails); the
         // commit point stays the `_committed` flip AFTER both land.
         val (nc, nd) = VectorDB.tierParallel(
-          codesMor.upsert(newCodes), docsMor.upsert(newDocs))
+          codesMor.upsert(newCodes(nRows)), docsMor.upsert(newDocs(ma)))
         assertWritable()
         writeCommitted(nc, nd)
         invalidateCache()
         bumpVersion()
       } else {
+        val (nRows, ma) = statsAndValidate()
+        val newCodesCow = newCodes(nRows)
+        val newDocsCow = newDocs(ma)
         // Copy-on-write: anti-join out the replaced ids, union, overwrite.
-        val keptCodes = codes.join(newCodes.select("doc_id"), Seq("doc_id"), "left_anti")
-        val keptDocs = docs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
-        writeSnapshot(keptCodes.unionByName(newCodes), keptDocs.unionByName(newDocs))
+        val keptCodes = codes.join(newCodesCow.select("doc_id"), Seq("doc_id"), "left_anti")
+        val keptDocs = docs.join(newDocsCow.select("doc_id"), Seq("doc_id"), "left_anti")
+        writeSnapshot(keptCodes.unionByName(newCodesCow), keptDocs.unionByName(newDocsCow))
       }
     } finally embedded.unpersist()
   }
@@ -980,7 +1010,17 @@ class VectorDB private (
   /** O5: delete by id; error if any id is absent (`BinaryVectorDB.py:159-160`). */
   def removeDocs(ids: Seq[Long]): Unit = {
     assertWritable()
+    // Bound the tombstone fan-out (r18, guide §6): a driver-local id
+    // relation plans at leaf-node default parallelism (= the core
+    // count), so each tier's tombstone delta was written as up to 32
+    // near-empty files — 32 write tasks + commits per tier here, and 32
+    // extra scan tasks in EVERY later merged read of the delta window
+    // until a fold retires it. Tombstone rows are ~a key wide; size the
+    // write to [[VectorDB.RemoveIdsPerFile]] ids per task/file instead.
     val idDf = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
+      .coalesce(math.max(1,
+        ((ids.size + VectorDB.RemoveIdsPerFile - 1) /
+          VectorDB.RemoveIdsPerFile).toInt))
     // Presence check counted against the distinct id set (r17
     // optimization, two steps). Step 1: the old `idDf ANTI codes`
     // direction forced a sort-merge join that shuffled the ENTIRE hot
@@ -3270,6 +3310,15 @@ object VectorDB {
     */
   val IncServingMaxLayers = 32
   val IncServingMaxTouched = 2000000
+
+  /** Ids per tombstone-delta file/task in [[VectorDB!.removeDocs]]: a
+    * tombstone row is one key + null columns (~16 B on disk), so 4M ids
+    * per task keeps files tens of MB while a typical service-scale
+    * delete (10²–10⁵ ids) lands as ONE file instead of one near-empty
+    * file per core (guide §6: small files hurt twice — here on every
+    * later merged read of the delta window too).
+    */
+  val RemoveIdsPerFile: Int = 4 * 1000 * 1000
   /** Rows-per-block crossover below which a graph (NavBuilder) index
     * strategy is pure build-cost overhead: the linear prepared scan's
     * early-exited popcount walk matches or beats graph navigation

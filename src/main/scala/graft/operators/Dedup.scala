@@ -143,7 +143,15 @@ object Dedup {
     candidates
       .join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("u", size(array_union(col("sa"), col("sb"))))
+      // |A∪B| = |A| + |B| − |A∩B| exactly: shingle arrays are DISTINCT
+      // sets by construction (shingles3 = list_distinct, oracle
+      // mirrored). r18 (guide §4.4/§1.2): the threshold filter is
+      // pushed into the verify join's condition, where the old
+      // array_union re-materialized the union array per candidate pair
+      // — the size identity removes the union entirely (the pushed
+      // condition and the projection each evaluate one array_intersect
+      // instead of intersect + union).
+      .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
       .filter(col("i") * 2 >= col("u"))
       .withColumn("jaccard_bp", expr("int((20000 * i + u) div (2 * u))"))
       .orderBy("doc_a", "doc_b")

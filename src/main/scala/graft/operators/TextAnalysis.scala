@@ -22,6 +22,32 @@ object TextAnalysis {
     spark.read.parquet(s"$dir/documents.parquet")
   }
 
+  /** Per-call persisted relations (t3's one-pass token relation), cap 1
+    * per session, latest-wins — the same registry discipline as
+    * `Sketches.distinctPersists`/d7/d8: a FRESH persisted DataFrame per
+    * invocation (nothing memoized across calls), evicted by the next
+    * call or [[clearCaches]].
+    */
+  private val tokenPersists =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Long), DataFrame]
+  private val tokenSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def clearCaches(spark: SparkSession): Unit =
+    tokenPersists.filterInPlace { case ((s, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true
+    }
+
+  private def registerPersist(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tokenPersists.put((spark, tokenSeq.incrementAndGet()), p)
+    val mine = tokenPersists.keys.filter(_._1 == spark).toSeq.sortBy(_._2)
+    mine.dropRight(1).foreach { k =>
+      tokenPersists.remove(k).foreach(_.unpersist())
+    }
+    p
+  }
+
   /** Stop tokens present in the fixture vocabulary. */
   private val StopWords = Seq("the", "a")
 
@@ -86,14 +112,23 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val tok = d.select(col("lang"), explode(Kernels.tokens(col("text"))).as("t"))
+    // ONE tokenize+explode pass (r18, guide §2.4 — the t9/t10 one-pass
+    // factoring's last instance): the marker fit consumed (lang, t) and
+    // the scoring leg (doc_id, t), each re-running the whole
+    // tokenization. Exploding once with BOTH columns and persisting
+    // per call (registry below, latest-wins) lets each leg
+    // column-prune the cached relation instead; every aggregate below
+    // is expression-identical, so the result is bit-equal.
+    val tok3 = registerPersist(d.select(col("doc_id"), col("lang"),
+      explode(Kernels.tokens(col("text"))).as("t")))
+    val tok = tok3.select(col("lang"), col("t"))
     val markers = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("t").asc)))
       .filter(col("rnk") <= 5)
       .select(col("lang").as("marker_lang"), col("t"))
 
-    val dtok = d.select(col("doc_id"), explode(Kernels.tokens(col("text"))).as("t"))
+    val dtok = tok3.select(col("doc_id"), col("t"))
     val hits = dtok.join(broadcast(markers), "t")
       .groupBy("doc_id", "marker_lang").agg(count(lit(1)).as("hits"))
     val pred = hits.withColumn("rnk", row_number().over(

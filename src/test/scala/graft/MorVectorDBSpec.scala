@@ -228,4 +228,39 @@ class MorVectorDBSpec extends AnyFunSuite {
     assert(base.lastModified() == before, "commits must not rewrite the base")
     assert(db.count() == 50) // 50 − 1 deleted + 1 added
   }
+
+  test("failed batch validation aborts the commit: no visible rows, next commit heals") {
+    // r18: the MOR ingest overlaps the validation aggregate with the
+    // codes-tier delta write (guide §2.6), so a validation failure can
+    // leave an INVISIBLE orphan delta — same debris class as a crash
+    // between the two tier writes. The commit flip must never run, and
+    // the next commit must truncate the orphan and proceed.
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    db.addDocuments(Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text"))
+    intercept[IllegalArgumentException] {
+      db.addDocuments(Seq((3L, "x y"), (3L, "z w")).toDF("doc_id", "text"))
+    }
+    assert(db.count() == 2, "aborted commit must stay invisible")
+    db.addDocuments(Seq((4L, "p q r")).toDF("doc_id", "text"))
+    assert(db.count() == 3)
+    assert(db.search("p q r", k = 1).head().getAs[Long]("doc_id") == 4L)
+  }
+
+  test("a small removeDocs writes ONE tombstone file per tier, not one per core") {
+    // The id relation is driver-local, so it plans at leaf-node default
+    // parallelism — before the r18 coalesce each tier's tombstone delta
+    // landed as up to <cores> near-empty files, paid again by every
+    // later merged read of the window.
+    val dir = freshDir()
+    val db = VectorDB.openOrCreate(spark, dir, storage = VectorDB.StorageMor)
+    db.addDocuments((1L to 200L).map(i => (i, s"doc number $i words")).toDF("doc_id", "text"))
+    db.removeDocs(1L to 100L)
+    val deltas = new java.io.File(s"$dir/codes.mor").listFiles()
+      .filter(_.getName.startsWith("delta_v")).maxBy(_.getName)
+    val parts = deltas.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1,
+      s"100 tombstones must land as one file, got ${parts.length}")
+    assert(db.count() == 100)
+  }
 }
