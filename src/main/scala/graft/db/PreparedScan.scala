@@ -628,6 +628,32 @@ object PreparedScan {
     })
   }
 
+  /** [[extend]] for a window with NO live rows — a delete-only commit
+    * (every touched id is a tombstone). The layer exists purely as a
+    * shadowing-map increment: no delta blocks to build, so the blockify
+    * + materialization Spark job of the general path is skipped and the
+    * refresh cost is one broadcast (r18; the crawl-loop delete regime —
+    * x2's post-remove search — paid a one-task job per refresh for an
+    * empty layer). Chain accounting is identical to `extend` with
+    * deltaRows = 0: depth increments, churn accrues, ceilings advance.
+    */
+  def extendDeleteOnly(base: PreparedScan, touched: Array[Long],
+                       newCeilings: (Int, Int),
+                       onBaseFree: () => Unit): PreparedScan = {
+    val layer = base.chain.depth + 1
+    val prevSup = if (base.supBc == null) null else base.supBc.value
+    val merged = Superseded.merge(prevSup, touched, layer)
+    val supB = base.blocks.sparkContext.broadcast(merged)
+    val chain = ChainInfo(layer, base.chain.baseRows,
+      base.chain.churnRows + touched.length, newCeilings,
+      base.chain.morFolds)
+    val lb = math.max(0L, base.rowsLowerBound - touched.length)
+    new PreparedScan(base.blocks, nWords = base.nWords, supB, chain, lb, () => {
+      supB.unpersist()
+      onBaseFree()
+    })
+  }
+
   /** Materialize a persisted block RDD (one job) and return its total
     * row count.
     */

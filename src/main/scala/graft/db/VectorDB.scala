@@ -1908,37 +1908,46 @@ class VectorDB private (
     val driverSide =
       codesMor.windowBytes(cc0, cc1) + docsMor.windowBytes(dc0, dc1) <=
         incServingDriverWindowBytes
-    val (touched, fusedWin) =
-      if (driverSide) {
-        val (tchd, fused) = driverFusedWindow(cc0, cc1, dc0, dc1)
-        (tchd, fused)
-      } else {
+    val (touched, fusedWin, liveRows) =
+      if (driverSide) driverFusedWindow(cc0, cc1, dc0, dc1)
+      else {
         val tchd = codesMor.touchedKeys(cc0, cc1).collect().map(_.getLong(0))
         java.util.Arrays.sort(tchd)
-        (tchd, null: org.apache.spark.sql.DataFrame)
+        (tchd, null: org.apache.spark.sql.DataFrame, -1L)
       }
     if (touched.length > VectorDB.IncServingMaxTouched) return None
     if (pc.churnRows + touched.length > incServingChurnFrac * pc.baseRows)
       return None
     val t1 = System.nanoTime()
-    val nParts = math.max(1L, math.min(64L,
-      (touched.length.toLong + VectorDB.IncServingRowsPerBlock - 1) /
-        VectorDB.IncServingRowsPerBlock)).toInt
-    // coalesce, not repartition: the window is already small and
-    // partitioned by its delta files (or a local relation) — an
-    // exchange would add a whole shuffle stage to the refresh floor
-    // just to rebalance a batch.
-    val window =
-      (if (driverSide) fusedWin
-       else codesMor.readWindow(cc0, cc1).join(
-         docsMor.readWindow(dc0, dc1)
-           .select(col("doc_id"), col("doc"), col("emb_int8")),
-         Seq("doc_id"))).coalesce(nParts)
-    val out = PreparedScan.extend(prev, window, touched, nWords, isFlat, isIvf,
-      withBytes = true, withDoc = true,
-      navBuilder = indexStrategy.navBuilder(strategyCtx),
-      newCeilings = (cc1, dc1),
-      onBaseFree = () => BlockCache.release(cacheKey, prevVersion))
+    val out =
+      if (liveRows == 0L)
+        // Delete-only window (every touched id a tombstone): the layer
+        // is just a shadowing-map increment — skip the blockify +
+        // materialization job entirely (r18, PreparedScan
+        // .extendDeleteOnly; the crawl-loop delete regime).
+        PreparedScan.extendDeleteOnly(prev, touched,
+          newCeilings = (cc1, dc1),
+          onBaseFree = () => BlockCache.release(cacheKey, prevVersion))
+      else {
+        val nParts = math.max(1L, math.min(64L,
+          (touched.length.toLong + VectorDB.IncServingRowsPerBlock - 1) /
+            VectorDB.IncServingRowsPerBlock)).toInt
+        // coalesce, not repartition: the window is already small and
+        // partitioned by its delta files (or a local relation) — an
+        // exchange would add a whole shuffle stage to the refresh floor
+        // just to rebalance a batch.
+        val window =
+          (if (driverSide) fusedWin
+           else codesMor.readWindow(cc0, cc1).join(
+             docsMor.readWindow(dc0, dc1)
+               .select(col("doc_id"), col("doc"), col("emb_int8")),
+             Seq("doc_id"))).coalesce(nParts)
+        PreparedScan.extend(prev, window, touched, nWords, isFlat, isIvf,
+          withBytes = true, withDoc = true,
+          navBuilder = indexStrategy.navBuilder(strategyCtx),
+          newCeilings = (cc1, dc1),
+          onBaseFree = () => BlockCache.release(cacheKey, prevVersion))
+      }
     val t2 = System.nanoTime()
     lastExtendTimings = Some(((t1 - t0) / 1e6, (t2 - t1) / 1e6))
     Some(out)
@@ -1953,7 +1962,7 @@ class VectorDB private (
     * threshold on file bytes.
     */
   private def driverFusedWindow(cc0: Int, cc1: Int, dc0: Int, dc1: Int):
-      (Array[Long], org.apache.spark.sql.DataFrame) = {
+      (Array[Long], org.apache.spark.sql.DataFrame, Long) = {
     def resolve(df: org.apache.spark.sql.DataFrame):
         (StructType, scala.collection.mutable.LongMap[(Int, org.apache.spark.sql.Row)]) = {
       val schema = df.schema
@@ -1969,8 +1978,12 @@ class VectorDB private (
       }
       (schema, best)
     }
-    val (codesSchema, codesBest) = resolve(codesMor.readWindowRaw(cc0, cc1))
-    val (docsSchema, docsBest) = resolve(docsMor.readWindowRaw(dc0, dc1))
+    // The two tiers' window collects are independent small jobs —
+    // overlap them (guide §2.6), same pool as the tier writes.
+    val ((codesSchema, codesBest), (docsSchema, docsBest)) =
+      VectorDB.tierParallel(
+        resolve(codesMor.readWindowRaw(cc0, cc1)),
+        resolve(docsMor.readWindowRaw(dc0, dc1)))
     val touched = codesBest.keys.toArray
     java.util.Arrays.sort(touched)
 
@@ -1992,7 +2005,7 @@ class VectorDB private (
         ()
       }
     }
-    (touched, spark.createDataFrame(rows, fusedSchema))
+    (touched, spark.createDataFrame(rows, fusedSchema), rows.size().toLong)
   }
 
   /** Dispatch bound for [[driverFusedWindow]] (test hook: force either
