@@ -1037,36 +1037,52 @@ class VectorDB private (
     // r17): if the hot tier ever held a duplicated doc_id (invariant
     // violation), raw rows could exceed distinctIds, missing would go
     // negative, and the not-in-index guard would be silently bypassed.
-    val matched =
-      if (isMor) codesMor.presentAt(committedCeilings()._1, idDf)
-        .agg(org.apache.spark.sql.functions.countDistinct("doc_id"))
-        .head().getLong(0)
-      else codes.select("doc_id")
-        .join(org.apache.spark.sql.functions.broadcast(idDf), Seq("doc_id"), "left_semi")
-        .agg(org.apache.spark.sql.functions.countDistinct("doc_id"))
-        .head().getLong(0)
-    val missing = distinctIds - matched
-    assert(missing >= 0, s"matched $matched present ids exceed the " +
-      s"$distinctIds distinct requested — duplicated key in the hot tier")
-    if (missing > 0)
-      throw new IllegalArgumentException(
-        s"$missing of $distinctIds distinct ids (${ids.size} requested) not in index")
+    // Deferred to a function (r18): the MOR path below runs it
+    // CONCURRENTLY with the tombstone writes — it reads only the
+    // COMMITTED ceilings, which neither the orphan truncation nor the
+    // (not-yet-committed) tombstone deltas can affect.
+    def presenceCheck(): Unit = {
+      val matched =
+        if (isMor) codesMor.presentAt(committedCeilings()._1, idDf)
+          .agg(org.apache.spark.sql.functions.countDistinct("doc_id"))
+          .head().getLong(0)
+        else codes.select("doc_id")
+          .join(org.apache.spark.sql.functions.broadcast(idDf), Seq("doc_id"), "left_semi")
+          .agg(org.apache.spark.sql.functions.countDistinct("doc_id"))
+          .head().getLong(0)
+      val missing = distinctIds - matched
+      assert(missing >= 0, s"matched $matched present ids exceed the " +
+        s"$distinctIds distinct requested — duplicated key in the hot tier")
+      if (missing > 0)
+        throw new IllegalArgumentException(
+          s"$missing of $distinctIds distinct ids (${ids.size} requested) not in index")
+    }
     if (isMor) {
       // O(batch): append tombstone markers only (same commit protocol
       // as the upsert path: both tiers land, then `_committed` flips).
-      // The two tiers' tombstone writes are independent jobs — overlap
-      // them (guide §2.6); the commit point stays the `_committed` flip
-      // AFTER both land, so atomicity is unchanged.
+      // THREE independent jobs overlapped (guide §2.6): the two tiers'
+      // tombstone writes on pool threads, the presence check on the
+      // caller thread. The commit point stays the `_committed` flip
+      // AFTER both writes AND the check pass; a failed check (id not
+      // in index) aborts before the flip, leaving at most INVISIBLE
+      // orphan tombstone deltas — the same debris class as a crash
+      // between the tier writes, truncated by the next commit (the
+      // lifecycle spec's failed-remove → compact sequence covers it).
       beginMorCommit()
-      val (nc, nd) = VectorDB.tierParallel(
-        codesMor.delete(idDf, codes), docsMor.delete(idDf, docs))
+      val ((nc, nd), _) = VectorDB.tierParallel(
+        VectorDB.tierParallel(
+          codesMor.delete(idDf, codes), docsMor.delete(idDf, docs)),
+        presenceCheck())
       assertWritable()
       writeCommitted(nc, nd)
       invalidateCache()
       bumpVersion()
-    } else writeSnapshot(
-      codes.join(idDf, Seq("doc_id"), "left_anti"),
-      docs.join(idDf, Seq("doc_id"), "left_anti"))
+    } else {
+      presenceCheck()
+      writeSnapshot(
+        codes.join(idDf, Seq("doc_id"), "left_anti"),
+        docs.join(idDf, Seq("doc_id"), "left_anti"))
+    }
   }
 
   /** MOR only: fold pending deltas into a NEW base generation (bounds
